@@ -1,0 +1,93 @@
+"""`extract` — the engine's main descriptor entry point.
+
+``extract(df, "protein:AAC")`` appends a ``features array<double>`` column
+computed by one Arrow-vectorized pandas UDF.  The plan stays fully
+declarative: Catalyst prunes the scan to (doc_id, tokens) and the only
+Python boundary is one ArrowEvalPython node streaming ~2048-row batches.
+
+Equal-length descriptors need the dataset length L up front (their output
+dim depends on it); pass ``length=`` or let extract run one tiny agg job
+(`max(n_tok)`) to discover it — at 100 TB you pass it explicitly or let the
+agg run map-side-combined (it reduces to one long per partition).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType
+
+from ifeatureomega_cli_spark.functions.kernels import Ragged
+from ifeatureomega_cli_spark.functions.registry import get_spec
+
+
+def feature_names(name: str, params: dict | None = None, length: int = 0) -> list[str]:
+    return get_spec(name).names(params, length)
+
+
+def descriptor_udf(name: str, params: dict | None = None, length: int = 0):
+    """Build the Arrow-vectorized UDF column function for a descriptor."""
+    spec = get_spec(name)
+    kern = spec.kernel(params, length)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _udf(tokens: pd.Series) -> pd.Series:
+        r = Ragged.from_arrays(tokens.to_numpy())
+        out = kern(r)
+        return pd.Series(list(out))
+
+    return _udf
+
+
+def _discover_length(df: DataFrame, n_tok_col: str) -> int:
+    row = df.agg(
+        F.max(n_tok_col).alias("mx"), F.countDistinct(n_tok_col).alias("nd")
+    ).collect()[0]
+    if row["nd"] != 1:
+        raise ValueError(
+            "equal-length descriptor on a table with varying n_tok "
+            f"({row['nd']} distinct lengths) — filter or pad first"
+        )
+    return int(row["mx"])
+
+
+def extract(
+    df: DataFrame,
+    name: str,
+    params: dict | None = None,
+    tokens_col: str = "tokens",
+    out_col: str = "features",
+    length: int | None = None,
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Append `out_col: array<double>` with the descriptor feature vector."""
+    spec = get_spec(name)
+    L = length or 0
+    if spec.equal_length and not L:
+        L = _discover_length(df, n_tok_col)
+    udf = descriptor_udf(name, params, L)
+    return df.withColumn(out_col, udf(F.col(tokens_col)))
+
+
+def extract_many(
+    df: DataFrame,
+    names: list[str],
+    params: dict[str, dict] | None = None,
+    tokens_col: str = "tokens",
+    length: int | None = None,
+) -> DataFrame:
+    """Fuse several descriptors in one pass — one UDF per descriptor but a
+    single scan/stage; output columns named after each descriptor."""
+    cols: list[Column] = [F.col(c) for c in df.columns]
+    for name in names:
+        p = (params or {}).get(name)
+        spec = get_spec(name)
+        L = length or 0
+        if spec.equal_length and not L:
+            L = _discover_length(df, "n_tok")
+        cols.append(descriptor_udf(name, p, L)(F.col(tokens_col)).alias(
+            name.split(":", 1)[-1].replace(" ", "_")
+        ))
+    return df.select(*cols)

@@ -1,0 +1,224 @@
+"""Batch-vectorized numpy kernels over ragged token batches.
+
+Every kernel consumes a whole Arrow batch of token arrays at once — one
+``Ragged`` (flattened tokens + offsets) — and produces an ``(n_rows, dim)``
+float64 matrix with **no per-row Python loop** for the compositional
+archetypes.  This inverts the reference's per-sequence loops
+(iFeatureOmegaCLI.py:422 etc.) into columnar form, which is what makes the
+Arrow/pandas-UDF path fast: one Python invocation per ~2048 rows, all work
+inside numpy.
+
+Archetype map (SURVEY.md §2.0):
+  A1 k-gram composition  -> kgram_counts / kspaced_pair_counts
+  A2 positional lookup   -> positional_lookup (equal-length)
+  A3 sliding window      -> sliding_window_comp (equal-length)
+  A4 lag autocorrelation -> lag_products / property mapping helpers
+  A6 reduced alphabet    -> apply a remap array before A1
+  A7 cumulative stats    -> cumulative_frequency etc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Ragged:
+    """A batch of variable-length int token rows in flattened form."""
+
+    __slots__ = ("flat", "lengths", "offsets", "n")
+
+    def __init__(self, flat: np.ndarray, lengths: np.ndarray):
+        self.flat = flat
+        self.lengths = lengths
+        self.offsets = np.concatenate(([0], np.cumsum(lengths)))
+        self.n = len(lengths)
+
+    @classmethod
+    def from_arrays(cls, arrays) -> "Ragged":
+        """Build from an iterable of np.ndarray (e.g. a pandas Series from Arrow)."""
+        lengths = np.fromiter((len(a) for a in arrays), dtype=np.int64, count=len(arrays))
+        if lengths.sum() == 0:
+            return cls(np.empty(0, dtype=np.int64), lengths)
+        flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in arrays])
+        return cls(flat, lengths)
+
+    def row_ids(self) -> np.ndarray:
+        return np.repeat(np.arange(self.n), self.lengths)
+
+    def strip(self, token: int) -> "Ragged":
+        """Drop all occurrences of `token` (gap-stripping, ref :423)."""
+        keep = self.flat != token
+        rid = self.row_ids()[keep]
+        lengths = np.bincount(rid, minlength=self.n).astype(np.int64)
+        return Ragged(self.flat[keep], lengths)
+
+    def remap(self, mapping: np.ndarray) -> "Ragged":
+        """Apply an alphabet remap (A6) — same shape, new ids."""
+        return Ragged(mapping[self.flat], self.lengths)
+
+    def to_matrix(self) -> np.ndarray:
+        """(n, L) matrix — only valid when all rows equal-length."""
+        L = int(self.lengths[0]) if self.n else 0
+        if self.n and not np.all(self.lengths == L):
+            raise ValueError("to_matrix requires equal-length rows")
+        return self.flat.reshape(self.n, L)
+
+
+def _safe_div(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    den = np.where(den == 0, 1.0, den)
+    return num / den
+
+
+def unigram_counts(r: Ragged, vocab: int, normalize: bool = True) -> np.ndarray:
+    """A1 k=1: per-row token frequency.  Ids >= vocab are ignored."""
+    rid = r.row_ids()
+    ok = r.flat < vocab
+    c = np.bincount(rid[ok] * vocab + r.flat[ok], minlength=r.n * vocab)
+    out = c.reshape(r.n, vocab).astype(np.float64)
+    if normalize:
+        out = _safe_div(out, out.sum(axis=1, keepdims=True))
+    return out
+
+
+def _valid_gram_mask(r: Ragged, span: int) -> np.ndarray:
+    """Mask over flat positions: True where a gram of total span `span`
+    starting here stays inside the row."""
+    pos_in_row = np.arange(len(r.flat)) - np.repeat(r.offsets[:-1], r.lengths)
+    return pos_in_row + span <= np.repeat(r.lengths, r.lengths)
+
+
+def kgram_ids(r: Ragged, vocab: int, k: int, gap: int = 0):
+    """Gram ids for k tokens spaced by `gap` (stride gap+1 between tokens).
+
+    Returns (ids, row_ids) for all valid positions; positions containing a
+    token >= vocab are dropped.
+    """
+    step = gap + 1
+    span = (k - 1) * step + 1
+    if len(r.flat) == 0 or span <= 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    valid = _valid_gram_mask(r, span)
+    idx = np.nonzero(valid)[0]
+    ids = np.zeros(len(idx), dtype=np.int64)
+    ok = np.ones(len(idx), dtype=bool)
+    for j in range(k):
+        t = r.flat[idx + j * step]
+        ok &= t < vocab
+        ids = ids * vocab + np.where(t < vocab, t, 0)
+    return ids[ok], r.row_ids()[idx[ok]]
+
+
+def kgram_counts(
+    r: Ragged, vocab: int, k: int, normalize: bool = True, gap: int = 0
+) -> np.ndarray:
+    """A1: contiguous (or k-spaced) k-gram composition, dim vocab**k."""
+    dim = vocab**k
+    ids, rid = kgram_ids(r, vocab, k, gap)
+    c = np.bincount(rid * dim + ids, minlength=r.n * dim).reshape(r.n, dim).astype(np.float64)
+    if normalize:
+        c = _safe_div(c, c.sum(axis=1, keepdims=True))
+    return c
+
+
+def kspaced_pair_counts(
+    r: Ragged, vocab: int, kspace: int, normalize: bool = True
+) -> np.ndarray:
+    """CKSAAP/CKSNAP (ref :469-508): pair counts at gaps 0..kspace.
+
+    Output layout: [gap0 pairs(vocab²), gap1 pairs, ...]; type 1 divides each
+    gap block by its own valid-pair count, type 2 leaves raw counts.
+    """
+    blocks = []
+    for g in range(kspace + 1):
+        b = kgram_counts(r, vocab, 2, normalize=False, gap=g)
+        if normalize:
+            b = _safe_div(b, b.sum(axis=1, keepdims=True))
+        blocks.append(b)
+    return np.concatenate(blocks, axis=1)
+
+
+def positional_lookup(r: Ragged, table: np.ndarray) -> np.ndarray:
+    """A2: per-position lookup gather → (n, L*D); equal-length only.
+
+    `table` is (vocab+1, D): the last row is the gap/unknown vector
+    (usually zeros, ref binary :616-635 maps '-' to zeros).
+    """
+    m = r.to_matrix()
+    clipped = np.minimum(m, table.shape[0] - 1)
+    return table[clipped].reshape(r.n, -1).astype(np.float64)
+
+
+def sliding_window_comp(
+    r: Ragged,
+    vocab_out: int,
+    window: int,
+    perm: np.ndarray | None = None,
+    denom: str = "window",
+) -> np.ndarray:
+    """A3 (EAAC/ENAC/EGAAC, ref :438-467, :4662-4695, :1060-1098).
+
+    Equal-length rows; for each window start j in [0, L-w], the composition
+    of tokens (after optional perm/grouping) over the window.  Tokens mapped
+    to id == vocab_out are counted in the denominator when denom='window'
+    (the reference divides by the window size, counting gaps) but never in
+    the numerator.
+    """
+    m = r.to_matrix()
+    if perm is not None:
+        m = perm[m]
+    n, L = m.shape
+    # one-hot prefix sums: P[:, j, a] = count of a in m[:, :j]
+    oh = (m[..., None] == np.arange(vocab_out)).astype(np.int32)  # (n, L, V)
+    P = np.zeros((n, L + 1, vocab_out), dtype=np.int32)
+    np.cumsum(oh, axis=1, out=P[:, 1:, :])
+    W = P[:, window:, :] - P[:, :-window, :]  # (n, L-w+1, V) window counts
+    if denom == "window":
+        out = W.astype(np.float64) / float(window)
+    elif denom == "valid":
+        tot = W.sum(axis=2, keepdims=True).astype(np.float64)
+        out = _safe_div(W.astype(np.float64), tot)
+    else:
+        out = W.astype(np.float64)
+    return out.reshape(n, -1)
+
+
+def property_series(r: Ragged, props: np.ndarray) -> np.ndarray:
+    """Map tokens → property floats: (len(flat), n_props).
+
+    `props` is (vocab+1, n_props); gap rows should hold whatever the
+    reference's semantics need (often the 'A' row or 0)."""
+    return props[np.minimum(r.flat, props.shape[0] - 1)]
+
+
+def lag_products(x: np.ndarray, r: Ragged, nlag: int, mode: str = "broto") -> np.ndarray:
+    """A4: per-row lagged statistics of a property series.
+
+    x: (len(flat),) property values aligned with r.flat.
+    mode='broto':  out[d-1] = Σ_j x[j]·x[j+d] / (N-d)
+    Returns (n, nlag).
+    """
+    out = np.zeros((r.n, nlag), dtype=np.float64)
+    pos = np.arange(len(x)) - np.repeat(r.offsets[:-1], r.lengths)
+    rid = r.row_ids()
+    rl = np.repeat(r.lengths, r.lengths)
+    for d in range(1, nlag + 1):
+        ok = pos + d < rl
+        prod = x[: len(x)][ok] * np.take(x, np.nonzero(ok)[0] + d)
+        s = np.bincount(rid[ok], weights=prod, minlength=r.n)
+        denom = np.maximum(r.lengths - d, 1).astype(np.float64)
+        out[:, d - 1] = s / denom
+    return out
+
+
+def cumulative_frequency(r: Ragged) -> np.ndarray:
+    """A7 ANF (ref :4604-4627): out[j] = count of token[j] in tokens[0..j] / (j+1).
+
+    Counts every token — including the gap token, matching the reference
+    which counts '-' like any other character.  Equal-length only; (n, L)."""
+    m = r.to_matrix()
+    n, L = m.shape
+    vocab = int(m.max()) + 1 if m.size else 1
+    oh = (m[..., None] == np.arange(vocab)).astype(np.int64)
+    csum = np.cumsum(oh, axis=1)  # counts up to and including j
+    run = np.take_along_axis(csum, m[..., None], axis=2)[..., 0]
+    return run.astype(np.float64) / (np.arange(1, L + 1)[None, :])

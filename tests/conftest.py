@@ -1,0 +1,25 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ifeatureomega_cli_spark.session import get_spark  # noqa: E402
+
+FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+GOLDDIR = os.path.join(FIXDIR, "golden")
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="ifos-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+    )
+    yield s
+    s.stop()
