@@ -455,3 +455,184 @@ register(
         _mk_binary_dna, equal_length=True, ref="iFeatureOmegaCLI.py:4697-4725",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# A2 — positional lookup descriptors (equal-length).  Lookup tables pinned
+# from the reference by tools/make_lookups.py (probe method) into
+# resources/*.npz; loaded lazily so the registry imports without Spark.
+# --------------------------------------------------------------------------
+
+from ifeatureomega_cli_spark.functions import lookups as LK  # noqa: E402
+
+
+def _register_a2(
+    name: str,
+    seq_type: str,
+    names_fn,
+    ref: str,
+    grams: int = 1,
+    prop_major: bool = False,
+    table_key: str | None = None,
+):
+    """Register a positional-lookup descriptor backed by a probed table.
+
+    grams>1: the lookup key is the k-gram id at each position (L-k+1 blocks).
+    prop_major: values laid out property-major across positions (DPCP2/TPCP2
+    replicate the reference's header/value layout mismatch, ref :5069/:5081).
+    """
+
+    def mk_kernel(cfg, L):
+        table = LK.a2_table(seq_type if seq_type != "rna" else "dna", table_key or name, grams)
+
+        def kern(r: Ragged):
+            if grams == 1:
+                out = K.positional_lookup(r, table)
+                if prop_major:
+                    n = r.n
+                    D = table.shape[1]
+                    out = out.reshape(n, -1, D).transpose(0, 2, 1).reshape(n, -1)
+                return out
+            # k-gram positional lookup: compute gram ids then gather
+            m = r.to_matrix()
+            vocab = 4 if seq_type in ("dna", "rna") else 20
+            gap = vocab  # gap/unknown sentinel
+            ids = np.zeros((m.shape[0], m.shape[1] - grams + 1), dtype=np.int64)
+            ok = np.ones_like(ids, dtype=bool)
+            for j in range(grams):
+                t = m[:, j : m.shape[1] - grams + 1 + j]
+                ok &= t < vocab
+                ids = ids * vocab + np.where(t < vocab, t, 0)
+            gathered = table[ids]  # (n, L-k+1, D)
+            gathered = np.where(ok[..., None], gathered, 0.0)
+            if prop_major:
+                gathered = gathered.transpose(0, 2, 1)
+            return gathered.reshape(m.shape[0], -1)
+
+        return kern
+
+    register(
+        DescriptorSpec(name, seq_type, names_fn, mk_kernel, equal_length=True, ref=ref)
+    )
+
+
+_B3_LABELS = {
+    1: ["Polar", "Neutral", "Hydrophobicity"],
+    2: ["Volume_range(0-2.78)", "Volumn_range(2.95-4.0)", "Volumn_range(4.03-8.08)"],
+    3: ["PolarityValue(4.9-6.2)", "PolarityValue(8.0-9.2)", "PolarityValue(10.4-13.0)"],
+    4: ["PolarizabilityValue(0-0.108)", "PolarizabilityValue(0.128-0.186)",
+        "PolarizabilityValue(0.219-0.409)"],
+    5: ["Positive", "Neutral", "Negative"],
+    6: ["Helix", "Strand", "Coil"],
+    7: ["Buried", "Exposed", "Intermediate"],
+}
+_OPF10_LABELS = ["Aromatic", "Negative", "Positive", "Polar", "Hydrophobic",
+                 "Aliphatic", "Tiny", "Charged", "Small", "Proline"]
+_OPF7_LABELS = ["Charge", "Hydrophobicity", "Normalized vander Waals volume",
+                "Polarity", "Polariizability", "Secondary Structure",
+                "Solvent Accessibility"]
+_B5T1_LABELS = ["alphatic", "aromatic", "postivecharge", "negativecharge", "uncharge"]
+
+_register_a2("binary_6bit", "protein",
+             lambda cfg, L: [f"Binary6_p{i}_g{j}" for i in range(1, L + 1) for j in range(1, 7)],
+             "iFeatureOmegaCLI.py:637-670")
+_register_a2("binary_5bit type 1", "protein",
+             lambda cfg, L: [f"Binary5_t1_p{i}_{lab}" for i in range(1, L + 1) for lab in _B5T1_LABELS],
+             "iFeatureOmegaCLI.py:672-704")
+_register_a2("binary_5bit type 2", "protein",
+             lambda cfg, L: [f"Binary5_t2_{i}" for i in range(1, 5 * L + 1)],
+             "iFeatureOmegaCLI.py:706-752")
+for _t in range(1, 8):
+    _register_a2(f"binary_3bit type {_t}", "protein",
+                 (lambda labs: lambda cfg, L: [f"Binary3_t{labs[0]}_p{i}_g{lab}"
+                                               for i in range(1, L + 1) for lab in labs[1]])((_t, _B3_LABELS[_t])),
+                 "iFeatureOmegaCLI.py:754-978")
+_register_a2("AESNN3", "protein",
+             lambda cfg, L: [f"AESNN3_p{p}z{z}" for p in range(1, L + 1) for z in ("1", "2", "3")],
+             "iFeatureOmegaCLI.py:980-1025")
+_register_a2("ZScale", "protein",
+             lambda cfg, L: [f"ZScale_p{p}.z{z}" for p in range(1, L + 1) for z in ("1", "2", "3", "4", "5")],
+             "iFeatureOmegaCLI.py:1317-1362")
+_register_a2("BLOSUM62", "protein",
+             lambda cfg, L: [f"blosum62_{i}" for i in range(1, 20 * L + 1)],
+             "iFeatureOmegaCLI.py:1364-1408")
+_register_a2("AAIndex", "protein",
+             lambda cfg, L: [f"AAindex_p.{p}.{prop}" for p in range(1, L + 1)
+                             for prop in cfg["aaindex"].split(";")],
+             "iFeatureOmegaCLI.py:1263-1315")
+DESCRIPTORS["protein:AAIndex"].defaults = {
+    "aaindex": "ANDN920101;ARGP820101;ARGP820102;ARGP820103;BEGF750101;BEGF750102;BEGF750103;BHAR880101"
+}
+_register_a2("OPF_10bit", "protein",
+             lambda cfg, L: [f"OPF_p{i}_{lab}" for i in range(1, L + 1) for lab in _OPF10_LABELS],
+             "iFeatureOmegaCLI.py:2366-2405")
+for _t in (1, 2, 3):
+    _register_a2(f"OPF_7bit type {_t}", "protein",
+                 (lambda t: lambda cfg, L: [f"OPF7_t{t}_p{i}_{lab}"
+                                            for i in range(1, L + 1) for lab in _OPF7_LABELS])(_t),
+                 "iFeatureOmegaCLI.py:2407-2519")
+
+# DNA positional lookups
+_register_a2("NCP", "dna",
+             lambda cfg, L: [f"NCP_{i}" for i in range(1, 3 * L + 1)],
+             "iFeatureOmegaCLI.py:4629-4660")
+_register_a2("EIIP", "dna",
+             lambda cfg, L: [f"EIIP_{i}" for i in range(1, L + 1)],
+             "iFeatureOmegaCLI.py:4775-4806")
+_register_a2("DBE", "dna",
+             lambda cfg, L: [f"DBE_{i}" for i in range(1, 4 * (L - 1) + 1)],
+             "iFeatureOmegaCLI.py:4890-4936", grams=2)
+
+_DI_DNA_DEFAULT = "Rise;Roll;Shift;Slide;Tilt;Twist"
+
+
+def _dpcp2_names(cfg, L):
+    props = cfg["Di-DNA-Phychem"].split(";")
+    return [f"DPCP2_{p}_pos{i}" for i in range(1, L) for p in props]
+
+
+_register_a2("DPCP type2", "dna", _dpcp2_names,
+             "iFeatureOmegaCLI.py:5042-5092", grams=2, prop_major=True)
+DESCRIPTORS["dna:DPCP type2"].defaults = {"Di-DNA-Phychem": _DI_DNA_DEFAULT}
+
+
+def _tpcp2_names(cfg, L):
+    props = cfg["Tri-DNA-Phychem"].split(";")
+    return [f"TPCP2_{p}_pos{i}" for i in range(1, L - 1) for p in props]
+
+
+_register_a2("TPCP type2", "dna", _tpcp2_names,
+             "iFeatureOmegaCLI.py:5150-5196", grams=3, prop_major=True)
+DESCRIPTORS["dna:TPCP type2"].defaults = {"Tri-DNA-Phychem": "Dnase I;Bendability (DNAse)"}
+
+
+def _register_ps(k: int):
+    """PS2/PS3/PS4 (ref :5271-5362): positional one-hot of k-grams."""
+    dim = 4**k
+
+    def mk_kernel(cfg, L):
+        table = np.eye(dim, dtype=np.float64)
+
+        def kern(r: Ragged):
+            m = r.to_matrix()
+            ids = np.zeros((m.shape[0], m.shape[1] - k + 1), dtype=np.int64)
+            ok = np.ones_like(ids, dtype=bool)
+            for j in range(k):
+                t = m[:, j : m.shape[1] - k + 1 + j]
+                ok &= t < 4
+                ids = ids * 4 + np.where(t < 4, t, 0)
+            out = table[ids]
+            out = np.where(ok[..., None], out, 0.0)
+            return out.reshape(m.shape[0], -1)
+
+        return kern
+
+    register(DescriptorSpec(
+        f"PS{k}", "dna",
+        lambda cfg, L: [f"PS{k}_{i}" for i in range(1, dim * (L - k + 1) + 1)],
+        mk_kernel, equal_length=True, ref="iFeatureOmegaCLI.py:5271-5362",
+    ))
+
+
+for _k in (2, 3, 4):
+    _register_ps(_k)

@@ -1,0 +1,128 @@
+"""Derive per-token lookup tables from the reference by probing.
+
+For every A2 (positional lookup) descriptor, the feature vector of a
+length-1 sequence IS the lookup row of that residue.  We feed the reference
+21 single-char "sequences" (20 AAs + gap; 5 for DNA: ACGT + gap) and pin
+the resulting (vocab+1, D) matrices into resources/*.npz.  This avoids
+hand-transcribing constants embedded in the reference source and guarantees
+bit-exact agreement.
+
+Dinucleotide-indexed lookups (DBE, DPCP type2, ...) are probed with
+length-2 sequences (16 dinucleotides), trinucleotide ones with length-3.
+
+Usage: python tools/make_lookups.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.reference_loader import load_reference  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RES = os.path.join(REPO, "resources")
+
+AA = "ACDEFGHIKLMNPQRSTVWY"
+NT = "ACGT"
+
+PROTEIN_A2 = [
+    "binary", "binary_6bit", "binary_5bit type 1", "binary_5bit type 2",
+    "binary_3bit type 1", "binary_3bit type 2", "binary_3bit type 3",
+    "binary_3bit type 4", "binary_3bit type 5", "binary_3bit type 6",
+    "binary_3bit type 7", "AESNN3", "ZScale", "BLOSUM62", "AAIndex",
+    "OPF_10bit", "OPF_7bit type 1", "OPF_7bit type 2", "OPF_7bit type 3",
+]
+DNA_A2_1 = ["binary", "NCP", "EIIP"]  # per-nucleotide
+DNA_A2_2 = ["DBE", "DPCP type2"]  # per-dinucleotide positional
+DNA_A2_3 = ["TPCP type2"]  # per-trinucleotide positional
+
+
+def _write_fasta(path: str, seqs: list[str]) -> None:
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">P{i:03d}|0|training\n{s}\n")
+
+
+def _run_probe_set(make_obj, probes: list[str], descs: list[str]):
+    out = {}
+    failed = []
+    with tempfile.TemporaryDirectory() as td:
+        fp = os.path.join(td, "probe.txt")
+        _write_fasta(fp, probes)
+        obj = make_obj(fp)
+        for d in descs:
+            ok = obj.get_descriptor(d)
+            if ok is False or obj.encodings is None or len(obj.encodings) != len(probes):
+                failed.append(d)
+                continue
+            out[d] = obj.encodings.to_numpy(dtype=np.float64)
+    return out, failed
+
+
+def probe(make_obj, probes: list[str], descs: list[str], gap_probe: bool = False):
+    """Run each descriptor on single-gram probe sequences; the output row of
+    probe i is the lookup-table row of gram i.  If `gap_probe`, a trailing
+    '-' probe is included; descriptors that reject it get an all-zero gap
+    row instead (matching the reference's '-'→zeros convention)."""
+    full = probes + (["-" * len(probes[0])] if gap_probe else [])
+    out, failed = _run_probe_set(make_obj, full, descs)
+    if failed and gap_probe:
+        retr, failed2 = _run_probe_set(make_obj, probes, failed)
+        for d, mat in retr.items():
+            out[d] = np.vstack([mat, np.zeros((1, mat.shape[1]))])
+        failed = failed2
+    for d in failed:
+        print(f"  probe FAIL {d}")
+    for d, mat in out.items():
+        print(f"  probed {d}: {mat.shape}")
+    return out
+
+
+def main() -> None:
+    os.makedirs(RES, exist_ok=True)
+    ref = load_reference()
+
+    # protein single-residue probes; pad with 'A'*3 variety chars so the
+    # alphabet sniffer classifies as protein (needs >5 distinct chars)
+    probes = list(AA)
+    res_p = probe(
+        lambda fp: _mk(ref.iProtein, fp, "/root/reference/parameters/Protein_parameters_setting.json"),
+        probes, PROTEIN_A2, gap_probe=True,
+    )
+    np.savez(os.path.join(RES, "protein_a2.npz"), **{k.replace(" ", "_"): v for k, v in res_p.items()})
+
+    nt_probes = list(NT)
+    res_d1 = probe(
+        lambda fp: _mk(ref.iDNA, fp, "/root/reference/parameters/DNA_parameters_setting.json"),
+        nt_probes, DNA_A2_1, gap_probe=True,
+    )
+    np.savez(os.path.join(RES, "dna_a2_1.npz"), **{k.replace(" ", "_"): v for k, v in res_d1.items()})
+
+    di_probes = [a + b for a in NT for b in NT]
+    res_d2 = probe(
+        lambda fp: _mk(ref.iDNA, fp, "/root/reference/parameters/DNA_parameters_setting.json"),
+        di_probes, DNA_A2_2,
+    )
+    np.savez(os.path.join(RES, "dna_a2_2.npz"), **{k.replace(" ", "_"): v for k, v in res_d2.items()})
+
+    tri_probes = [a + b + c for a in NT for b in NT for c in NT]
+    res_d3 = probe(
+        lambda fp: _mk(ref.iDNA, fp, "/root/reference/parameters/DNA_parameters_setting.json"),
+        tri_probes, DNA_A2_3,
+    )
+    np.savez(os.path.join(RES, "dna_a2_3.npz"), **{k.replace(" ", "_"): v for k, v in res_d3.items()})
+
+
+def _mk(cls, fp, params):
+    obj = cls(fp)
+    obj.import_parameters(params)
+    return obj
+
+
+if __name__ == "__main__":
+    main()
