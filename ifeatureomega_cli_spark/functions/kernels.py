@@ -222,3 +222,62 @@ def cumulative_frequency(r: Ragged) -> np.ndarray:
     csum = np.cumsum(oh, axis=1)  # counts up to and including j
     run = np.take_along_axis(csum, m[..., None], axis=2)[..., 0]
     return run.astype(np.float64) / (np.arange(1, L + 1)[None, :])
+
+
+def lag_stats(x: np.ndarray, r: Ragged, nlag: int) -> dict[str, np.ndarray]:
+    """Per-row lagged statistics of a property series x aligned with r.flat.
+
+    Returns (each (n, nlag) unless noted):
+      raw[d]    = Σ_j x[j]·x[j+d] / (N−d)                (Moreau-Broto)
+      cen[d]    = Σ_j (x[j]−x̄)(x[j+d]−x̄) / (N−d)        (auto-covariance)
+      diffsq[d] = Σ_j (x[j]−x[j+d])²                     (Geary numerator, unscaled)
+      ssq (n,)  = Σ_j (x[j]−x̄)²
+      mean (n,) = x̄
+    All computed with segmented bincounts — no per-row Python.
+    """
+    n = r.n
+    rid = r.row_ids()
+    lengths = r.lengths.astype(np.float64)
+    tot = np.bincount(rid, weights=x, minlength=n)
+    mean = tot / np.maximum(lengths, 1.0)
+    xc = x - mean[rid]
+    ssq = np.bincount(rid, weights=xc * xc, minlength=n)
+
+    pos = np.arange(len(x)) - np.repeat(r.offsets[:-1], r.lengths)
+    rl = np.repeat(r.lengths, r.lengths)
+    raw = np.zeros((n, nlag))
+    cen = np.zeros((n, nlag))
+    diffsq = np.zeros((n, nlag))
+    for d in range(1, nlag + 1):
+        ok = pos + d < rl
+        idx = np.nonzero(ok)[0]
+        a, b = x[idx], x[idx + d]
+        ac, bc = xc[idx], xc[idx + d]
+        w = rid[idx]
+        denom = np.maximum(lengths - d, 1.0)
+        raw[:, d - 1] = np.bincount(w, weights=a * b, minlength=n) / denom
+        cen[:, d - 1] = np.bincount(w, weights=ac * bc, minlength=n) / denom
+        diffsq[:, d - 1] = np.bincount(w, weights=(a - b) ** 2, minlength=n)
+    return {"raw": raw, "cen": cen, "diffsq": diffsq, "ssq": ssq, "mean": mean,
+            "lengths": lengths}
+
+
+def cross_cov(x: np.ndarray, y: np.ndarray, r: Ragged, nlag: int) -> np.ndarray:
+    """CC (ref :1652-1703): Σ_j (x[j]−x̄)(y[j+d]−ȳ) / (N−d), per row and lag."""
+    n = r.n
+    rid = r.row_ids()
+    lengths = r.lengths.astype(np.float64)
+    mx = np.bincount(rid, weights=x, minlength=n) / np.maximum(lengths, 1.0)
+    my = np.bincount(rid, weights=y, minlength=n) / np.maximum(lengths, 1.0)
+    xc, yc = x - mx[rid], y - my[rid]
+    pos = np.arange(len(x)) - np.repeat(r.offsets[:-1], r.lengths)
+    rl = np.repeat(r.lengths, r.lengths)
+    out = np.zeros((n, nlag))
+    for d in range(1, nlag + 1):
+        ok = pos + d < rl
+        idx = np.nonzero(ok)[0]
+        out[:, d - 1] = (
+            np.bincount(rid[idx], weights=xc[idx] * yc[idx + d], minlength=n)
+            / np.maximum(lengths - d, 1.0)
+        )
+    return out

@@ -52,7 +52,9 @@ def aaidx_matrix() -> tuple[list[str], np.ndarray]:
                 continue
             parts = line.rstrip("\n").split("\t")
             names.append(parts[0])
-            rows.append([float(x) for x in parts[1:]])
+            # some rows carry 'NA' entries (matching the reference, which
+            # would fail on them only if those properties are selected)
+            rows.append([float(x) if x != "NA" else np.nan for x in parts[1:]])
     vals = np.array(rows)  # (n_props, 20) in file column order
     from ifeatureomega_cli_spark.tokenize import PROTEIN_AA
 

@@ -636,3 +636,551 @@ def _register_ps(k: int):
 
 for _k in (2, 3, 4):
     _register_ps(_k)
+
+
+# --------------------------------------------------------------------------
+# A4 — lagged autocorrelation / covariance descriptors
+# --------------------------------------------------------------------------
+
+import json as _json  # noqa: E402
+import os as _os  # noqa: E402
+
+
+def _znorm_rows(v: np.ndarray) -> np.ndarray:
+    return (v - v.mean(axis=1, keepdims=True)) / v.std(axis=1, keepdims=True)
+
+
+def _aaidx_props(prop_names: list[str]) -> np.ndarray:
+    """(n_props, 21) z-normalized AAidx.txt property rows in canonical token
+    order; gap column 0 (stripped before use anyway)."""
+    names, vals = LK.aaidx_matrix()  # canonical order already
+    idx = [names.index(p) for p in prop_names]
+    v = _znorm_rows(vals[idx].astype(np.float64))
+    return np.hstack([v, np.zeros((len(idx), 1))])
+
+
+def _aaindex_pickle_props(prop_names: list[str]) -> np.ndarray:
+    """(n_props, 21) z-normalized AAindex.data property rows (canonical order)."""
+    import numpy as _np
+
+    z = LK._npz("phyche_AAindex.npz")["values"]
+    names = _json.load(open(_os.path.join(LK.RES, "phyche_AAindex_names.json")))
+    alt = AA_ALT
+    perm = [alt.index(c) for c in AA]
+    idx = [names.index(p) for p in prop_names]
+    v = z[idx][:, perm]
+    v = _znorm_rows(v.astype(_np.float64))
+    return _np.hstack([v, _np.zeros((len(idx), 1))])
+
+
+def _register_autocorr(name: str, kind: str, prop_src, header_fn, ref: str):
+    """kind: 'broto' | 'moran' | 'geary' | 'ac'."""
+
+    def mk_names(cfg, L):
+        return header_fn(cfg)
+
+    def mk_kernel(cfg, L):
+        props = cfg["aaindex"].split(";")
+        nlag = cfg["nlag"]
+        table = prop_src(props)  # (P, 21)
+
+        def kern(r: Ragged):
+            rs = r.strip(PGAP)
+            blocks = []
+            for p in range(table.shape[0]):
+                x = table[p][rs.flat]
+                st = K.lag_stats(x, rs, nlag)
+                if kind == "broto":
+                    v = st["raw"]
+                elif kind == "ac":
+                    v = st["cen"]
+                elif kind == "moran":
+                    v = st["cen"] / np.where(st["ssq"] == 0, 1.0,
+                                             st["ssq"] / st["lengths"])[:, None]
+                elif kind == "geary":
+                    Nl = st["lengths"][:, None]
+                    d = np.arange(1, nlag + 1)[None, :]
+                    v = ((Nl - 1.0) / (2.0 * (Nl - d))) * st["diffsq"] / np.where(
+                        st["ssq"] == 0, 1.0, st["ssq"])[:, None]
+                # rows shorter than nlag+1 are NaN in the reference ('NA')
+                short = st["lengths"] <= nlag
+                if kind in ("broto", "moran", "geary"):
+                    v = np.where(short[:, None], np.nan, v)
+                blocks.append(v)
+            return np.concatenate(blocks, axis=1)
+
+        return kern
+
+    register(DescriptorSpec(
+        name, "protein", mk_names, mk_kernel, ref=ref,
+        defaults={"aaindex": "ANDN920101;ARGP820101;ARGP820102;ARGP820103;"
+                             "BEGF750101;BEGF750102;BEGF750103;BHAR880101", "nlag": 3},
+    ))
+
+
+def _lag_header(tag: str, sep: str = ".lag"):
+    def h(cfg):
+        return [f"{tag}_{p}{sep}{n}" for p in cfg["aaindex"].split(";")
+                for n in range(1, cfg["nlag"] + 1)]
+
+    return h
+
+
+_register_autocorr("NMBroto", "broto", _aaidx_props, _lag_header("NMBroto"),
+                   "iFeatureOmegaCLI.py:1410-1467")
+_register_autocorr("Moran", "moran", _aaidx_props, _lag_header("Moran"),
+                   "iFeatureOmegaCLI.py:1469-1530")
+_register_autocorr("Geary", "geary", _aaidx_props, _lag_header("Geary"),
+                   "iFeatureOmegaCLI.py:1532-1592")
+_register_autocorr("AC", "ac", _aaindex_pickle_props, _lag_header("AC"),
+                   "iFeatureOmegaCLI.py:1602-1650")
+
+
+def _prop_pairs(props: list[str]) -> list[tuple[str, str]]:
+    # ref generatePropertyPairs (:1594-1600): (i,j) then (j,i) for i<j
+    out = []
+    for i in range(len(props)):
+        for j in range(i + 1, len(props)):
+            out.append((props[i], props[j]))
+            out.append((props[j], props[i]))
+    return out
+
+
+def _mk_cc_kernel(cfg, L):
+    props = cfg["aaindex"].split(";")
+    nlag = cfg["nlag"]
+    table = _aaindex_pickle_props(props)
+    pairs = [(props.index(a), props.index(b)) for a, b in _prop_pairs(props)]
+
+    def kern(r: Ragged):
+        rs = r.strip(PGAP)
+        series = [table[p][rs.flat] for p in range(len(props))]
+        return np.concatenate(
+            [K.cross_cov(series[a], series[b], rs, nlag) for a, b in pairs], axis=1
+        )
+
+    return kern
+
+
+register(DescriptorSpec(
+    "CC", "protein",
+    lambda cfg, L: [f"CC_{a}_{b}_lag.{n}" for a, b in _prop_pairs(cfg["aaindex"].split(";"))
+                    for n in range(1, cfg["nlag"] + 1)],
+    _mk_cc_kernel, ref="iFeatureOmegaCLI.py:1652-1703",
+    defaults=DESCRIPTORS["protein:AC"].defaults,
+))
+
+
+def _mk_acc_kernel(cfg, L):
+    ac_k = DESCRIPTORS["protein:AC"].make_kernel(cfg, L)
+    cc_k = _mk_cc_kernel(cfg, L)
+
+    def kern(r: Ragged):
+        return np.concatenate([ac_k(r), cc_k(r)], axis=1)
+
+    return kern
+
+
+register(DescriptorSpec(
+    "ACC", "protein",
+    lambda cfg, L: (
+        [f"ACC_{p}.lag{n}" for p in cfg["aaindex"].split(";")
+         for n in range(1, cfg["nlag"] + 1)]
+        + [f"ACC_{a}_{b}_lag.{n}" for a, b in _prop_pairs(cfg["aaindex"].split(";"))
+           for n in range(1, cfg["nlag"] + 1)]
+    ),
+    _mk_acc_kernel, ref="iFeatureOmegaCLI.py:1705-1770",
+    defaults=DESCRIPTORS["protein:AC"].defaults,
+))
+
+
+# --------------------------------------------------------------------------
+# CTD family (A6+A1 / A7) — group table probed into resources/ctd_groups.npz
+# --------------------------------------------------------------------------
+
+CTD_PROPS = [
+    "hydrophobicity_PRAM900101", "hydrophobicity_ARGP820101",
+    "hydrophobicity_ZIMJ680101", "hydrophobicity_PONP930101",
+    "hydrophobicity_CASG920101", "hydrophobicity_ENGD860101",
+    "hydrophobicity_FASG890101", "normwaalsvolume", "polarity",
+    "polarizability", "charge", "secondarystruct", "solventaccess",
+]
+
+
+def _ctd_groups() -> np.ndarray:
+    return LK._npz("ctd_groups.npz")["groups"]  # (13, 21) ints 0..2
+
+
+def _mk_ctdc(cfg, L):
+    groups = _ctd_groups()
+
+    def kern(r: Ragged):
+        rs = r.strip(PGAP)
+        blocks = []
+        for p in range(13):
+            c = K.unigram_counts(rs.remap(groups[p]), 3, normalize=True)
+            # reference computes c3 = 1 - c1 - c2 (ref :1844); with a full
+            # partition of the alphabet that equals the direct frequency
+            c[:, 2] = 1.0 - c[:, 0] - c[:, 1]
+            blocks.append(c)
+        return np.concatenate(blocks, axis=1)
+
+    return kern
+
+
+register(DescriptorSpec(
+    "CTDC", "protein",
+    lambda cfg, L: [f"CTDC_{p}.G{g}" for p in CTD_PROPS for g in (1, 2, 3)],
+    _mk_ctdc, ref="iFeatureOmegaCLI.py:1778-1851",
+))
+
+
+def _mk_ctdt(cfg, L):
+    groups = _ctd_groups()
+
+    def kern(r: Ragged):
+        rs = r.strip(PGAP)
+        pos = np.arange(len(rs.flat)) - np.repeat(rs.offsets[:-1], rs.lengths)
+        rl = np.repeat(rs.lengths, rs.lengths)
+        ok = pos + 1 < rl
+        idx = np.nonzero(ok)[0]
+        rid = rs.row_ids()[idx]
+        npairs = np.maximum(rs.lengths - 1, 1).astype(np.float64)
+        blocks = []
+        for p in range(13):
+            g = groups[p][rs.flat]
+            a, b = g[idx], g[idx + 1]
+            tr1221 = ((a == 0) & (b == 1)) | ((a == 1) & (b == 0))
+            tr1331 = ((a == 0) & (b == 2)) | ((a == 2) & (b == 0))
+            tr2332 = ((a == 1) & (b == 2)) | ((a == 2) & (b == 1))
+            out = np.stack([
+                np.bincount(rid, weights=tr.astype(np.float64), minlength=rs.n) / npairs
+                for tr in (tr1221, tr1331, tr2332)
+            ], axis=1)
+            blocks.append(out)
+        return np.concatenate(blocks, axis=1)
+
+    return kern
+
+
+register(DescriptorSpec(
+    "CTDT", "protein",
+    lambda cfg, L: [f"CTDT_{p}.{tr}" for p in CTD_PROPS
+                    for tr in ("Tr1221", "Tr1331", "Tr2332")],
+    _mk_ctdt, ref="iFeatureOmegaCLI.py:1853-1937",
+))
+
+
+def _mk_ctdd(cfg, L):
+    groups = _ctd_groups()
+
+    def kern(r: Ragged):
+        rs = r.strip(PGAP)
+        n = rs.n
+        rid_all = rs.row_ids()
+        pos1 = (np.arange(len(rs.flat))
+                - np.repeat(rs.offsets[:-1], rs.lengths) + 1)  # 1-based
+        Lrow = rs.lengths.astype(np.float64)
+        out = np.zeros((n, 13 * 15))
+        col = 0
+        for p in range(13):
+            g = groups[p][rs.flat]
+            for grp in range(3):
+                sel = g == grp
+                rid = rid_all[sel]
+                ppos = pos1[sel]
+                cnt = np.bincount(rid, minlength=n)  # members per row
+                starts = np.concatenate(([0], np.cumsum(cnt)))
+                # cutoffs (ref Count1 :1939-1958): 1st, floor(q·cnt) (min 1), last
+                for qi, q in enumerate((None, 0.25, 0.50, 0.75, 1.0)):
+                    if q is None:
+                        target = np.ones(n, dtype=np.int64)
+                    elif q == 1.0:
+                        target = cnt
+                    else:
+                        target = np.maximum(np.floor(q * cnt).astype(np.int64), 1)
+                    has = cnt > 0
+                    idx = starts[:-1] + np.minimum(target, np.maximum(cnt, 1)) - 1
+                    vals = np.zeros(n)
+                    vals[has] = ppos[idx[has]] / Lrow[has] * 100.0
+                    out[:, col + qi] = vals
+                col += 5
+        return out
+
+    return kern
+
+
+register(DescriptorSpec(
+    "CTDD", "protein",
+    lambda cfg, L: [f"CTDD_{p}.{g}.residue{d}" for p in CTD_PROPS
+                    for g in (1, 2, 3) for d in (0, 25, 50, 75, 100)],
+    _mk_ctdd, ref="iFeatureOmegaCLI.py:1939-2032",
+))
+
+
+# --------------------------------------------------------------------------
+# CTriad / KSCTriad (A6+A1 with per-gap min-max scaling, ref :2034-2129)
+# --------------------------------------------------------------------------
+
+CTRIAD_GROUPS = [("g1", "AGV"), ("g2", "ILFP"), ("g3", "YMTS"), ("g4", "HNQW"),
+                 ("g5", "RK"), ("g6", "DE"), ("g7", "C")]
+
+
+def _mk_ksctriad(max_gap_fn, tag):
+    gmap = group_map(CTRIAD_GROUPS)
+
+    def mk_kernel(cfg, L):
+        gaps = max_gap_fn(cfg)
+
+        def kern(r: Ragged):
+            rs = r.strip(PGAP).remap(gmap)
+            blocks = []
+            for g in range(gaps + 1):
+                c = K.kgram_counts(rs, 7, 3, normalize=False, gap=g)
+                mn = c.min(axis=1, keepdims=True)
+                mx = c.max(axis=1, keepdims=True)
+                blocks.append((c - mn) / np.where(mx == 0, 1.0, mx))
+            return np.concatenate(blocks, axis=1)
+
+        return kern
+
+    return mk_kernel
+
+
+_TRIAD_FEATS = [f"{a}.{b}.{c}" for a in [g[0] for g in CTRIAD_GROUPS]
+                for b in [g[0] for g in CTRIAD_GROUPS]
+                for c in [g[0] for g in CTRIAD_GROUPS]]
+
+register(DescriptorSpec(
+    "CTriad", "protein",
+    lambda cfg, L: [f"CTriad_{f}" for f in _TRIAD_FEATS],
+    _mk_ksctriad(lambda cfg: 0, "CTriad"), ref="iFeatureOmegaCLI.py:2034-2087",
+))
+register(DescriptorSpec(
+    "KSCTriad", "protein",
+    lambda cfg, L: [f"KSCTriad_{f}.gap{g}" for g in range(cfg["kspace"] + 1)
+                    for f in _TRIAD_FEATS],
+    _mk_ksctriad(lambda cfg: cfg["kspace"], "KSCTriad"),
+    defaults={"kspace": 3}, ref="iFeatureOmegaCLI.py:2089-2129",
+))
+
+
+# --------------------------------------------------------------------------
+# SOCNumber / QSOrder / PAAC / APAAC (A4/A5, ref :2131-2364)
+# --------------------------------------------------------------------------
+
+
+def _dist_matrices():
+    """(schneider, grantham) 20×20 squared-distance matrices in canonical
+    token order, parsed from resources/ data files."""
+    import numpy as _np
+
+    def parse(fname, order):
+        path = _os.path.join(LK.RES, fname)
+        with open(path) as f:
+            f.readline()
+            rows = [[float(x) for x in line.split()[1:]] for line in f if line.strip()]
+        m = _np.array(rows)
+        perm = [order.index(c) for c in AA]
+        return m[perm][:, perm]
+
+    sw = parse("Schneider-Wrede.txt", "ACDEFGHIKLMNPQRSTVWY")
+    gm = parse("Grantham.txt", AA_ALT)
+    return sw, gm
+
+
+def _pair_lag_sum(rs: Ragged, M: np.ndarray, nlag: int, mean: bool) -> np.ndarray:
+    """Σ_j M[s_j, s_{j+n}] per row for n=1..nlag (optionally / (L-n))."""
+    out = np.zeros((rs.n, nlag))
+    pos = np.arange(len(rs.flat)) - np.repeat(rs.offsets[:-1], rs.lengths)
+    rl = np.repeat(rs.lengths, rs.lengths)
+    rid_all = rs.row_ids()
+    for d in range(1, nlag + 1):
+        ok = pos + d < rl
+        idx = np.nonzero(ok)[0]
+        w = M[rs.flat[idx], rs.flat[idx + d]]
+        s = np.bincount(rid_all[idx], weights=w, minlength=rs.n)
+        if mean:
+            s = s / np.maximum(rs.lengths - d, 1.0)
+        out[:, d - 1] = s
+    return out
+
+
+def _mk_socnumber(cfg, L):
+    sw, gm = _dist_matrices()
+    nlag = cfg["nlag"]
+
+    def kern(r: Ragged):
+        rs = r.strip(PGAP)
+        return np.concatenate([
+            _pair_lag_sum(rs, sw**2, nlag, mean=True),
+            _pair_lag_sum(rs, gm**2, nlag, mean=True),
+        ], axis=1)
+
+    return kern
+
+
+register(DescriptorSpec(
+    "SOCNumber", "protein",
+    lambda cfg, L: ([f"SOCNumber_Schneider.lag{n}" for n in range(1, cfg["nlag"] + 1)]
+                    + [f"SOCNumber_gGrantham.lag{n}" for n in range(1, cfg["nlag"] + 1)]),
+    _mk_socnumber, defaults={"nlag": 3}, ref="iFeatureOmegaCLI.py:2131-2178",
+))
+
+
+def _mk_qsorder(cfg, L):
+    sw, gm = _dist_matrices()
+    nlag, w = cfg["nlag"], cfg["weight"]
+    perm = tk.perm_for(AA_ALT, gap_id=PGAP)
+
+    def kern(r: Ragged):
+        rs = r.strip(PGAP)
+        tau_sw = _pair_lag_sum(rs, sw**2, nlag, mean=False)
+        tau_gm = _pair_lag_sum(rs, gm**2, nlag, mean=False)
+        counts = K.unigram_counts(rs.remap(perm), 20, normalize=False)
+        den_sw = 1.0 + w * tau_sw.sum(axis=1, keepdims=True)
+        den_gm = 1.0 + w * tau_gm.sum(axis=1, keepdims=True)
+        return np.concatenate([
+            counts / den_sw, counts / den_gm,
+            w * tau_sw / den_sw, w * tau_gm / den_gm,
+        ], axis=1)
+
+    return kern
+
+
+register(DescriptorSpec(
+    "QSOrder", "protein",
+    lambda cfg, L: ([f"QSOrder_Schneider.Xr.{a}" for a in AA_ALT]
+                    + [f"QSOrder_Grantham.Xr.{a}" for a in AA_ALT]
+                    + [f"QSOrder_Schneider.Xd.{n}" for n in range(1, cfg["nlag"] + 1)]
+                    + [f"QSOrder_Grantham.Xd.{n}" for n in range(1, cfg["nlag"] + 1)]),
+    _mk_qsorder, defaults={"nlag": 3, "weight": 0.05},
+    ref="iFeatureOmegaCLI.py:2180-2251",
+))
+
+
+def _paac_props(n_props: int | None = None):
+    """PAAC.txt property rows z-normalized (population std over the 20 AAs),
+    permuted to canonical token order.  Returns (names, (P, 20))."""
+    path = _os.path.join(LK.RES, "PAAC.txt")
+    with open(path) as f:
+        header = f.readline().rstrip("\n").split("\t")[1:]
+        names, rows = [], []
+        for line in f:
+            if not line.strip():
+                continue
+            parts = line.rstrip("\n").split("\t")
+            names.append(parts[0])
+            rows.append([float(x) for x in parts[1:]])
+    v = np.array(rows)
+    if n_props is not None:
+        v = v[:n_props]
+        names = names[:n_props]
+    v = (v - v.mean(axis=1, keepdims=True)) / np.sqrt(
+        ((v - v.mean(axis=1, keepdims=True)) ** 2).mean(axis=1, keepdims=True))
+    perm = [header.index(c) for c in AA]
+    return names, v[:, perm]
+
+
+def _mk_paac(cfg, L):
+    lam, w = cfg["lambdaValue"], cfg["weight"]
+    _, props = _paac_props()
+    # Rvalue (ref :2253-2254): mean over props of (P[a]-P[b])^2
+    R = ((props[:, :, None] - props[:, None, :]) ** 2).mean(axis=0)
+    perm = tk.perm_for(AA_ALT, gap_id=PGAP)
+
+    def kern(r: Ragged):
+        rs = r.strip(PGAP)
+        theta = _pair_lag_sum(rs, R, lam, mean=True)  # (n, lam)
+        counts = K.unigram_counts(rs.remap(perm), 20, normalize=False)
+        den = 1.0 + w * theta.sum(axis=1, keepdims=True)
+        return np.concatenate([counts / den, w * theta / den], axis=1)
+
+    return kern
+
+
+register(DescriptorSpec(
+    "PAAC", "protein",
+    lambda cfg, L: ([f"PAAC_Xc1.{a}" for a in AA_ALT]
+                    + [f"PAAC_Xc2.lambda{n}" for n in range(1, cfg["lambdaValue"] + 1)]),
+    _mk_paac, defaults={"lambdaValue": 3, "weight": 0.05},
+    ref="iFeatureOmegaCLI.py:2253-2308",
+))
+
+
+def _mk_apaac(cfg, L):
+    lam, w = cfg["lambdaValue"], cfg["weight"]
+    names, props = _paac_props(n_props=2)  # ref :2327 uses rows [1, len-1)
+    perm = tk.perm_for(AA_ALT, gap_id=PGAP)
+    outer = [np.outer(props[p], props[p]) for p in range(props.shape[0])]
+
+    def kern(r: Ragged):
+        rs = r.strip(PGAP)
+        # theta order (ref :2348-2352): for n: for prop
+        cols = []
+        for d in range(1, lam + 1):
+            for p in range(len(outer)):
+                cols.append(_pair_lag_sum(rs, outer[p], d, mean=True)[:, d - 1])
+        theta = np.stack(cols, axis=1)
+        counts = K.unigram_counts(rs.remap(perm), 20, normalize=False)
+        den = 1.0 + w * theta.sum(axis=1, keepdims=True)
+        return np.concatenate([counts / den, w * theta / den], axis=1)
+
+    return kern
+
+
+register(DescriptorSpec(
+    "APAAC", "protein",
+    lambda cfg, L: ([f"APAAC_Pc1.{a}" for a in AA_ALT]
+                    + [f"APAAC_Pc2.{p}.{n}" for n in range(1, cfg["lambdaValue"] + 1)
+                       for p in _paac_props(2)[0]]),
+    _mk_apaac, defaults={"lambdaValue": 3, "weight": 0.05},
+    ref="iFeatureOmegaCLI.py:2310-2364",
+))
+
+
+# --------------------------------------------------------------------------
+# ASDC (ref :2521-2552): all-pairs (j<k) skip-dipeptide composition.
+# O(L²) reference loop → O(L·20) suffix-count accumulation.
+# --------------------------------------------------------------------------
+
+
+def _mk_asdc_factory(vocab: int, gap_id: int, seq_type: str):
+    def mk_kernel(cfg, L):
+        def kern(r: Ragged):
+            rs = r.strip(gap_id)
+            n = rs.n
+            C = np.zeros((n, vocab, vocab))
+            rid = rs.row_ids()
+            # suffix counts: for each flat position j, counts of each token
+            # strictly after j within the row
+            oh = np.zeros((len(rs.flat), vocab))
+            oh[np.arange(len(rs.flat)), rs.flat] = 1.0
+            csum = np.cumsum(oh, axis=0)
+            row_tot = np.add.reduceat(oh, rs.offsets[:-1], axis=0) if n else oh
+            # total per row up to end: cumulative at row end
+            ends = csum[np.maximum(rs.offsets[1:] - 1, 0)]
+            starts_prev = np.where(
+                (rs.offsets[:-1] > 0)[:, None],
+                csum[np.maximum(rs.offsets[:-1] - 1, 0)], 0.0)
+            suffix = ends[rid] - csum + 0.0  # counts after each position j
+            np.add.at(C, (rid, rs.flat), suffix)
+            C = C.reshape(n, vocab * vocab)
+            tot = C.sum(axis=1, keepdims=True)
+            return C / np.where(tot == 0, 1.0, tot)
+
+        return kern
+
+    return mk_kernel
+
+
+register(DescriptorSpec(
+    "ASDC", "protein",
+    lambda cfg, L: [f"ASDC_{a}{b}" for a in AA for b in AA],
+    _mk_asdc_factory(20, PGAP, "protein"), ref="iFeatureOmegaCLI.py:2521-2552",
+))
+register(DescriptorSpec(
+    "ASDC", "dna",
+    lambda cfg, L: [f"ASDC_{a}{b}" for a in NT for b in NT],
+    _mk_asdc_factory(4, DGAP, "dna"), ref="iFeatureOmegaCLI.py:4855-4888",
+))

@@ -126,3 +126,27 @@ def _mk(cls, fp, params):
 
 if __name__ == "__main__":
     main()
+
+
+def make_ctd_groups():
+    """Derive the CTD 13-property 3-group classification (ref :1780-1824)
+    by probing CTDC with single-AA sequences: the (c1,c2,c3) triple of a
+    length-1 sequence one-hot-encodes the group of that AA."""
+    ref = load_reference()
+    with tempfile.TemporaryDirectory() as td:
+        fp = os.path.join(td, "probe.txt")
+        _write_fasta(fp, list(AA))
+        obj = ref.iProtein(fp)
+        assert obj.get_descriptor("CTDC") is not False
+        mat = obj.encodings.to_numpy(dtype=np.float64)  # (20, 39)
+    groups = np.zeros((13, 21), dtype=np.int64)
+    for p in range(13):
+        tri = mat[:, 3 * p : 3 * p + 3]
+        groups[p, :20] = tri.argmax(axis=1)
+        groups[p, 20] = 2
+    np.savez(os.path.join(RES, "ctd_groups.npz"), groups=groups)
+    print("  ctd_groups:", groups.shape)
+
+
+if __name__ == "__main__" and "--ctd" in sys.argv:
+    make_ctd_groups()
