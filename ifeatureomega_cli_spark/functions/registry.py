@@ -474,6 +474,7 @@ def _register_a2(
     grams: int = 1,
     prop_major: bool = False,
     table_key: str | None = None,
+    invalid_fill: float = 0.0,
 ):
     """Register a positional-lookup descriptor backed by a probed table.
 
@@ -504,7 +505,7 @@ def _register_a2(
                 ok &= t < vocab
                 ids = ids * vocab + np.where(t < vocab, t, 0)
             gathered = table[ids]  # (n, L-k+1, D)
-            gathered = np.where(ok[..., None], gathered, 0.0)
+            gathered = np.where(ok[..., None], gathered, invalid_fill)
             if prop_major:
                 gathered = gathered.transpose(0, 2, 1)
             return gathered.reshape(m.shape[0], -1)
@@ -581,9 +582,9 @@ _register_a2("EIIP", "dna",
              "iFeatureOmegaCLI.py:4775-4806")
 _register_a2("DBE", "dna",
              lambda cfg, L: [f"DBE_{i}" for i in range(1, 4 * (L - 1) + 1)],
-             "iFeatureOmegaCLI.py:4890-4936", grams=2)
+             "iFeatureOmegaCLI.py:4890-4936", grams=2, invalid_fill=0.5)
 
-_DI_DNA_DEFAULT = "Rise;Roll;Shift;Slide;Tilt;Twist"
+_DI_DNA_DEFAULT = "Twist;Tilt;Roll;Shift;Slide;Rise"  # parameters/DNA_parameters_setting.json
 
 
 def _dpcp2_names(cfg, L):
