@@ -215,13 +215,7 @@ def cumulative_frequency(r: Ragged) -> np.ndarray:
 
     Counts every token — including the gap token, matching the reference
     which counts '-' like any other character.  Equal-length only; (n, L)."""
-    m = r.to_matrix()
-    n, L = m.shape
-    vocab = int(m.max()) + 1 if m.size else 1
-    oh = (m[..., None] == np.arange(vocab)).astype(np.int64)
-    csum = np.cumsum(oh, axis=1)  # counts up to and including j
-    run = np.take_along_axis(csum, m[..., None], axis=2)[..., 0]
-    return run.astype(np.float64) / (np.arange(1, L + 1)[None, :])
+    return running_count_frequency(r.to_matrix())
 
 
 def lag_stats(x: np.ndarray, r: Ragged, nlag: int) -> dict[str, np.ndarray]:
@@ -248,6 +242,7 @@ def lag_stats(x: np.ndarray, r: Ragged, nlag: int) -> dict[str, np.ndarray]:
     raw = np.zeros((n, nlag))
     cen = np.zeros((n, nlag))
     diffsq = np.zeros((n, nlag))
+    headssq = np.zeros((n, nlag))  # Σ_{j<N-d} (x[j]-x̄)² (DNA Moran/Geary quirk)
     for d in range(1, nlag + 1):
         ok = pos + d < rl
         idx = np.nonzero(ok)[0]
@@ -258,8 +253,9 @@ def lag_stats(x: np.ndarray, r: Ragged, nlag: int) -> dict[str, np.ndarray]:
         raw[:, d - 1] = np.bincount(w, weights=a * b, minlength=n) / denom
         cen[:, d - 1] = np.bincount(w, weights=ac * bc, minlength=n) / denom
         diffsq[:, d - 1] = np.bincount(w, weights=(a - b) ** 2, minlength=n)
+        headssq[:, d - 1] = np.bincount(w, weights=ac * ac, minlength=n)
     return {"raw": raw, "cen": cen, "diffsq": diffsq, "ssq": ssq, "mean": mean,
-            "lengths": lengths}
+            "headssq": headssq, "lengths": lengths}
 
 
 def cross_cov(x: np.ndarray, y: np.ndarray, r: Ragged, nlag: int) -> np.ndarray:
@@ -281,3 +277,33 @@ def cross_cov(x: np.ndarray, y: np.ndarray, r: Ragged, nlag: int) -> np.ndarray:
             / np.maximum(lengths - d, 1.0)
         )
     return out
+
+
+def gram_view(r: Ragged, vocab: int, k: int):
+    """View the batch as a series of contiguous k-gram ids per row.
+
+    Returns (gram_ids, Ragged2) where Ragged2 has lengths max(L-k+1, 0) and
+    gram_ids are ordered row-major (same order as positions).  Tokens must
+    already be < vocab (strip gaps first)."""
+    if k == 1:
+        return r.flat.copy(), r
+    valid = _valid_gram_mask(r, k)
+    idx = np.nonzero(valid)[0]
+    ids = np.zeros(len(idx), dtype=np.int64)
+    for j in range(k):
+        ids = ids * vocab + r.flat[idx + j]
+    lengths2 = np.maximum(r.lengths - k + 1, 0)
+    return ids, Ragged(ids, lengths2)
+
+
+def running_count_frequency(m: np.ndarray) -> np.ndarray:
+    """out[i, j] = count of m[i, j] in m[i, :j+1], divided by (j+1).
+
+    Generic A7 cumulative kernel over an integer matrix (ANF over tokens,
+    LPDF over digram ids)."""
+    n, L = m.shape
+    vocab = int(m.max()) + 1 if m.size else 1
+    oh = (m[..., None] == np.arange(vocab)).astype(np.int64)
+    csum = np.cumsum(oh, axis=1)
+    run = np.take_along_axis(csum, m[..., None], axis=2)[..., 0]
+    return run.astype(np.float64) / (np.arange(1, L + 1)[None, :])

@@ -1185,3 +1185,609 @@ register(DescriptorSpec(
     lambda cfg, L: [f"ASDC_{a}{b}" for a in NT for b in NT],
     _mk_asdc_factory(4, DGAP, "dna"), ref="iFeatureOmegaCLI.py:4855-4888",
 ))
+
+
+# --------------------------------------------------------------------------
+# DNA descriptor batch: Mismatch, Subsequence, RCKmer, PseEIIP, LPDF,
+# DPCP/TPCP, MMI, Z-curves, dinucleotide autocorrelations, Pse* family
+# --------------------------------------------------------------------------
+
+
+def _phyche(fname: str, prop_names: list[str] | None = None, znorm: bool = False):
+    """Property matrix (P, 4^k) from a pickled-phyche npz resource."""
+    z = LK._npz(f"phyche_{fname}.npz")["values"]
+    names = _json.load(open(_os.path.join(LK.RES, f"phyche_{fname}_names.json")))
+    if prop_names is None:
+        idx = list(range(len(names)))
+        sel = names
+    else:
+        idx = [names.index(p) for p in prop_names]
+        sel = prop_names
+    v = z[idx].astype(np.float64)
+    if znorm:
+        v = (v - v.mean(axis=1, keepdims=True)) / v.std(axis=1, keepdims=True)
+    return sel, v
+
+
+def _mk_mismatch(cfg, L):
+    k, m = cfg["kmer"], cfg["mismatch"]
+    dim = 4**k
+    # Hamming-ball matrix B[g, t] = 1 iff dist(g, t) <= m (ref :4373-4412)
+    digs = np.array([[(g // 4**(k - 1 - j)) % 4 for j in range(k)] for g in range(dim)])
+    dist = (digs[:, None, :] != digs[None, :, :]).sum(axis=2)
+    B = (dist <= m).astype(np.float64)
+
+    def kern(r: Ragged):
+        c = K.kgram_counts(r.strip(DGAP), 4, k, normalize=False)
+        return c @ B
+
+    return kern
+
+
+register(DescriptorSpec(
+    "Mismatch", "dna",
+    lambda cfg, L: [f"Mismatch_{g}" for g in _kmers(NT, cfg["kmer"])],
+    _mk_mismatch, defaults={"kmer": 3, "mismatch": 1},
+    ref="iFeatureOmegaCLI.py:4373-4412",
+))
+
+
+def _mk_subsequence(cfg, L):
+    k, delta = cfg["kmer"], cfg["delta"]
+    dim = 4**k
+
+    def kern(r: Ragged):
+        # δ=0: only contiguous subsequences score (1); = raw k-gram counts.
+        # General δ: DP over positions maintaining weighted prefix states.
+        # NOTE: tokens are NOT gap-stripped (ref :4466 uses elem[1] raw) but
+        # gap k-mers aren't in the dict → contribute nothing.
+        if delta == 0.0:
+            c = K.kgram_counts(r, 4, k, normalize=False)
+            # ref bug (:4449-4452): kmerdict.get(gap-kmer) → None and
+            # vector[0, None] += score adds to the whole row; with δ=0 only
+            # contiguous (span==k) gap k-mers score 1
+            valid = K._valid_gram_mask(r, k)
+            idx = np.nonzero(valid)[0]
+            bad = np.zeros(len(idx), dtype=bool)
+            for j in range(k):
+                bad |= r.flat[idx + j] >= 4
+            gapcnt = np.bincount(r.row_ids()[idx[bad]], minlength=r.n).astype(np.float64)
+            return c + gapcnt[:, None]
+        m = r.to_matrix() if np.all(r.lengths == r.lengths[0]) else None
+        out = np.zeros((r.n, dim))
+        for i in range(r.n):  # slow general path (documented; δ>0 is rare)
+            seq = r.flat[r.offsets[i]: r.offsets[i + 1]]
+            n = len(seq)
+            # state[prefix_len][gram_prefix] = Σ δ^{t-i1+1-...} partial weights
+            import itertools as _it
+
+            for combo in _it.combinations(range(n), k):
+                toks = seq[list(combo)]
+                if (toks >= 4).any():
+                    continue
+                g = 0
+                for t in toks:
+                    g = g * 4 + int(t)
+                span = combo[-1] - combo[0] + 1
+                out[i, g] += 1.0 if span == k else delta**span
+        return out
+
+    return kern
+
+
+register(DescriptorSpec(
+    "Subsequence", "dna",
+    lambda cfg, L: [f"Subsequence_{g}" for g in _kmers(NT, cfg["kmer"])],
+    _mk_subsequence, defaults={"kmer": 3, "delta": 0.0},
+    ref="iFeatureOmegaCLI.py:4415-4474",
+))
+
+
+def _rc_canonical(k: int):
+    """gram id -> (canonical index, names) for reverse-complement kmers."""
+    dim = 4**k
+    comp = np.array([3, 2, 1, 0])  # A<->T, C<->G in ACGT ids
+
+    def digits(g):
+        return [(g // 4**(k - 1 - j)) % 4 for j in range(k)]
+
+    def gid(ds):
+        v = 0
+        for d in ds:
+            v = v * 4 + int(d)
+        return v
+
+    canon = np.zeros(dim, dtype=np.int64)
+    for g in range(dim):
+        rc = gid(comp[digits(g)][::-1])
+        canon[g] = min(g, rc)
+    uniq = sorted(set(canon.tolist()))
+    rank = {g: i for i, g in enumerate(uniq)}
+    mapping = np.array([rank[c] for c in canon])
+    names = ["".join(NT[d] for d in digits(g)) for g in uniq]
+    return mapping, names
+
+
+def _mk_rckmer(normalized: bool):
+    def mk_kernel(cfg, L):
+        k = cfg["kmer"]
+        mapping, _ = _rc_canonical(k)
+        ncanon = mapping.max() + 1
+
+        def kern(r: Ragged):
+            rs = r.strip(DGAP)
+            ids, rid = K.kgram_ids(rs, 4, k)
+            c = np.bincount(rid * ncanon + mapping[ids],
+                            minlength=rs.n * ncanon).reshape(rs.n, ncanon).astype(np.float64)
+            if normalized:
+                tot = c.sum(axis=1, keepdims=True)
+                c = c / np.where(tot == 0, 1.0, tot)
+            return c
+
+        return kern
+
+    return mk_kernel
+
+
+register(DescriptorSpec(
+    "RCKmer type 1", "dna", lambda cfg, L: _rc_canonical(cfg["kmer"])[1],
+    _mk_rckmer(True), defaults={"kmer": 3}, ref="iFeatureOmegaCLI.py:4478-4577",
+))
+register(DescriptorSpec(
+    "RCKmer type 2", "dna", lambda cfg, L: _rc_canonical(cfg["kmer"])[1],
+    _mk_rckmer(False), defaults={"kmer": 3}, ref="iFeatureOmegaCLI.py:4478-4577",
+))
+
+_EIIP_VALS = None
+
+
+def _mk_pseeiip(cfg, L):
+    eiip = LK.a2_table("dna", "EIIP", 1)[:4, 0]  # per-NT EIIP from probe
+    tri_w = (eiip[:, None, None] + eiip[None, :, None] + eiip[None, None, :]).reshape(-1)
+
+    def kern(r: Ragged):
+        f = K.kgram_counts(r.strip(DGAP), 4, 3, normalize=True)
+        return f * tri_w[None, :]
+
+    return kern
+
+
+register(DescriptorSpec(
+    "PseEIIP", "dna",
+    lambda cfg, L: [f"PseEIIP_{g}" for g in _kmers(NT, 3)],
+    _mk_pseeiip, ref="iFeatureOmegaCLI.py:4808-4853",
+))
+
+
+def _mk_lpdf(cfg, L):
+    def kern(r: Ragged):
+        m = r.to_matrix()
+        # reversed digram over the 5-symbol alphabet incl. gap (ref :4952-4977)
+        d = m[:, 1:] * 5 + m[:, :-1]
+        return K.running_count_frequency(d)
+
+    return kern
+
+
+register(DescriptorSpec(
+    "LPDF", "dna",
+    lambda cfg, L: [f"LPDF_{i}" for i in range(1, L)],
+    _mk_lpdf, equal_length=True, ref="iFeatureOmegaCLI.py:4938-4988",
+))
+
+
+def _mk_dpcp(cfg, L):
+    sel, v = _phyche("didnaPhyche", cfg["Di-DNA-Phychem"].split(";"))
+
+    def kern(r: Ragged):
+        f = K.kgram_counts(r.strip(DGAP), 4, 2, normalize=True)
+        return (f[:, None, :] * v[None, :, :]).reshape(r.n, -1)
+
+    return kern
+
+
+register(DescriptorSpec(
+    "DPCP", "dna",
+    lambda cfg, L: [f"DPCP_{a}{b}_{p}" for p in cfg["Di-DNA-Phychem"].split(";")
+                    for a in NT for b in NT],
+    _mk_dpcp, defaults={"Di-DNA-Phychem": _DI_DNA_DEFAULT},
+    ref="iFeatureOmegaCLI.py:4990-5040",
+))
+
+
+def _mk_tpcp(cfg, L):
+    # quirk to replicate: ref :5103 overwrites the selection with ALL keys
+    sel, v = _phyche("tridnaPhyche", None)
+
+    def kern(r: Ragged):
+        f = K.kgram_counts(r.strip(DGAP), 4, 3, normalize=True)
+        return (f[:, None, :] * v[None, :, :]).reshape(r.n, -1)
+
+    return kern
+
+
+register(DescriptorSpec(
+    "TPCP", "dna",
+    lambda cfg, L: [f"TPCP_{g}_{p}" for p in _phyche("tridnaPhyche", None)[0]
+                    for g in _kmers(NT, 3)],
+    _mk_tpcp, ref="iFeatureOmegaCLI.py:5094-5148",
+))
+
+
+def _sorted_class_map(k: int):
+    """gram id -> index of its sorted-digit class among sorted class strings."""
+    dim = 4**k
+    classes = {}
+    mapping = np.zeros(dim, dtype=np.int64)
+    strs = []
+    for g in range(dim):
+        ds = sorted((g // 4**(k - 1 - j)) % 4 for j in range(k))
+        s = "".join(NT[d] for d in ds)
+        strs.append(s)
+    uniq = sorted(set(strs))
+    rank = {s: i for i, s in enumerate(uniq)}
+    for g in range(dim):
+        mapping[g] = rank[strs[g]]
+    return mapping, uniq
+
+
+def _mk_mmi(cfg, L):
+    map2, cls2 = _sorted_class_map(2)
+    map3, cls3 = _sorted_class_map(3)
+    # per sorted-class component digrams for the f3 terms
+    c3_parts = []
+    for s in cls3:
+        c3_parts.append((
+            cls2.index("".join(sorted(s[0:2]))),
+            cls2.index("".join(sorted(s[0] + s[2]))),
+            cls2.index("".join(sorted(s[1:3]))),
+            NT.index(s[0]), NT.index(s[1]), NT.index(s[2]),
+        ))
+    c3_parts = np.array(c3_parts)
+
+    def kern(r: Ragged):
+        rs = r.strip(DGAP)
+        f1 = K.unigram_counts(rs, 4, normalize=True)
+        c2 = K.kgram_counts(rs, 4, 2, normalize=False)
+        # class counts / (L-1)
+        f2 = np.zeros((rs.n, len(cls2)))
+        np.add.at(f2, (slice(None), map2), 0)
+        for g in range(16):
+            f2[:, map2[g]] += c2[:, g]
+        f2 = f2 / np.maximum(rs.lengths - 1, 1)[:, None].astype(np.float64)
+        c3 = K.kgram_counts(rs, 4, 3, normalize=False)
+        f3 = np.zeros((rs.n, len(cls3)))
+        for g in range(64):
+            f3[:, map3[g]] += c3[:, g]
+        f3 = f3 / np.maximum(rs.lengths - 2, 1)[:, None].astype(np.float64)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # dinucleotide MI terms (ref :5247-5251)
+            pa = np.array([cls2.index("".join(sorted(s))) for s in
+                           ["".join(sorted(c)) for c in cls2]])
+            out2 = np.zeros((rs.n, len(cls2)))
+            for ci, s in enumerate(cls2):
+                fa = f1[:, NT.index(s[0])] * f1[:, NT.index(s[1])]
+                v = f2[:, ci] * np.log(f2[:, ci] / fa)
+                v = np.where((f2[:, ci] != 0) & (fa != 0), v, 0.0)
+                out2[:, ci] = v
+            out3 = np.zeros((rs.n, len(cls3)))
+            for ci in range(len(cls3)):
+                i01, i02, i12, a0, a1, a2 = c3_parts[ci]
+                fa01 = f1[:, a0] * f1[:, a1]
+                e1 = f2[:, i01] * np.log(f2[:, i01] / fa01)
+                e1 = np.where((f2[:, i01] != 0) & (fa01 != 0), e1, 0.0)
+                rat2 = f2[:, i02] / f1[:, a2]
+                e2 = rat2 * np.log(rat2)
+                e2 = np.where((f2[:, i02] != 0) & (f1[:, a2] != 0), e2, 0.0)
+                rat3 = f3[:, ci] / f2[:, i12]
+                e3 = rat3 * np.log(rat3)
+                e3 = np.where((f2[:, i12] != 0) & (rat3 != 0), e3, 0.0)
+                out3[:, ci] = e1 + e2 - e3
+        out2 = np.nan_to_num(out2, nan=0.0, posinf=0.0, neginf=0.0)
+        out3 = np.nan_to_num(out3, nan=0.0, posinf=0.0, neginf=0.0)
+        return np.concatenate([out2, out3], axis=1)
+
+    return kern
+
+
+register(DescriptorSpec(
+    "MMI", "dna",
+    lambda cfg, L: ([f"MMI_{s}" for s in _sorted_class_map(2)[1]]
+                    + [f"MMI_{s}" for s in _sorted_class_map(3)[1]]),
+    _mk_mmi, ref="iFeatureOmegaCLI.py:5198-5269",
+))
+
+
+# --------------------------------------------------------------------------
+# Z-curve family (ref :5364-5609): phase-stratified k-gram counts → x/y/z
+# linear combos per (k-1)-gram prefix, ÷ (L-k+1).
+# --------------------------------------------------------------------------
+
+_ZMAT = np.array([  # rows x,y,z; cols A,C,G,T
+    [1.0, -1.0, 1.0, -1.0],
+    [1.0, 1.0, -1.0, -1.0],
+    [1.0, -1.0, -1.0, 1.0],
+])
+
+
+def _mk_zcurve(k: int, phased: bool):
+    def mk_kernel(cfg, L):
+        def kern(r: Ragged):
+            rs = r.strip(DGAP)
+            dim = 4**k
+            ids, rid = K.kgram_ids(rs, 4, k)
+            denom = np.maximum(rs.lengths - k + 1, 1).astype(np.float64)
+            if phased:
+                # phase of gram start: (i+1)%3 → block order 1,2,0
+                pos = (np.arange(len(rs.flat))
+                       - np.repeat(rs.offsets[:-1], rs.lengths))
+                valid = K._valid_gram_mask(rs, k)
+                ph = (pos[valid] + 1) % 3  # 1,2,0
+                phase_block = np.where(ph == 1, 0, np.where(ph == 2, 1, 2))
+                c = np.bincount((rid * 3 + phase_block) * dim + ids,
+                                minlength=rs.n * 3 * dim).reshape(rs.n, 3, dim)
+            else:
+                c = np.bincount(rid * dim + ids,
+                                minlength=rs.n * dim).reshape(rs.n, 1, dim)
+            nph = c.shape[1]
+            # prefix-major output: (prefix, phase, xyz)
+            c = c.reshape(rs.n, nph, dim // 4, 4).astype(np.float64)
+            xyz = np.einsum("npqa,ea->nqpe", c, _ZMAT)  # (n, prefix, phase, 3)
+            if k == 1:
+                denom_eff = rs.lengths.astype(np.float64)
+            else:
+                denom_eff = denom
+            return (xyz.reshape(rs.n, -1)
+                    / np.where(denom_eff == 0, 1.0, denom_eff)[:, None])
+
+        return kern
+
+    return mk_kernel
+
+
+def _zc_names(k: int, phased: bool, bits: int):
+    prefixes = _kmers(NT, k - 1) if k > 1 else [""]
+    out = []
+    for pre in prefixes:
+        if phased:
+            for pos in (1, 2, 3):
+                for e in ("x", "y", "z"):
+                    if k == 1:
+                        out.append(f"Zcurve{bits}_{pos}.{e}")
+                    elif k == 2:
+                        out.append(f"Zcurve{bits}_{pre}_{pos}.{e}")  # unused
+                    else:
+                        out.append(f"Zcurve{bits}_{pos}_{pre}.{e}")
+        else:
+            for e in ("x", "y", "z"):
+                out.append(f"Zcurve{bits}_{pre}.{e}")
+    return out
+
+
+register(DescriptorSpec(
+    "Z_curve_9bit", "dna", lambda cfg, L: _zc_names(1, True, 9),
+    _mk_zcurve(1, True), ref="iFeatureOmegaCLI.py:5364-5417",
+))
+register(DescriptorSpec(
+    "Z_curve_12bit", "dna", lambda cfg, L: _zc_names(2, False, 12),
+    _mk_zcurve(2, False), ref="iFeatureOmegaCLI.py:5419-5453",
+))
+
+
+def _zc36_names(cfg, L):
+    return [f"Zcurve36_{pos}_{b}.{e}" for b in NT for pos in (1, 2, 3)
+            for e in ("x", "y", "z")]
+
+
+register(DescriptorSpec(
+    "Z_curve_36bit", "dna", _zc36_names,
+    _mk_zcurve(2, True), ref="iFeatureOmegaCLI.py:5455-5530",
+))
+register(DescriptorSpec(
+    "Z_curve_48bit", "dna",
+    lambda cfg, L: [f"Zcurve48_{b}{b1}.{e}" for b in NT for b1 in NT
+                    for e in ("x", "y", "z")],
+    _mk_zcurve(3, False), ref="iFeatureOmegaCLI.py:5532-5560",
+))
+register(DescriptorSpec(
+    "Z_curve_144bit", "dna",
+    lambda cfg, L: [f"Zcurve144_{pos}_{b}{b1}.{e}" for b in NT for b1 in NT
+                    for pos in (1, 2, 3) for e in ("x", "y", "z")],
+    _mk_zcurve(3, True), ref="iFeatureOmegaCLI.py:5536-5609",
+))
+
+
+# --------------------------------------------------------------------------
+# DNA/RNA dinucleotide-property autocorrelations and Pse* family
+# --------------------------------------------------------------------------
+
+_TRI_DNA_DEFAULT = "Dnase I;Bendability (DNAse)"
+
+
+def _gram_prop_series(rs: Ragged, k: int, prop_row: np.ndarray):
+    ids, r2 = K.gram_view(rs, 4, k)
+    return prop_row[ids], r2
+
+
+def _register_dna_autocorr(name: str, kind: str, ref: str):
+    def mk_names(cfg, L):
+        return [f"{name}_{p}.lag{n}" for p in cfg["Di-DNA-Phychem"].split(";")
+                for n in range(1, cfg["nlag"] + 1)]
+
+    def mk_kernel(cfg, L):
+        sel, v = _phyche("didnaPhyche", cfg["Di-DNA-Phychem"].split(";"), znorm=True)
+        nlag = cfg["nlag"]
+
+        def kern(r: Ragged):
+            rs = r.strip(DGAP)
+            blocks = []
+            for p in range(v.shape[0]):
+                x, r2 = _gram_prop_series(rs, 2, v[p])
+                st = K.lag_stats(x, r2, nlag)
+                Nl = st["lengths"][:, None]
+                d = np.arange(1, nlag + 1)[None, :]
+                if kind == "broto":
+                    out = st["raw"]
+                    out = np.where((st["lengths"] <= nlag)[:, None], 0.0, out)
+                elif kind == "moran":
+                    # Idup/(headssq/N) (ref :5689-5692); /0 → exception → 0
+                    den = st["headssq"] / Nl
+                    out = np.where(den != 0, st["cen"] / np.where(den == 0, 1, den), 0.0)
+                else:  # geary: (diffsq/(2(N-d))) / (headssq/(N-1)) (ref :5779-5781)
+                    num = st["diffsq"] / (2.0 * np.maximum(Nl - d, 1.0))
+                    den = st["headssq"] / np.maximum(Nl - 1.0, 1.0)
+                    out = np.where(den != 0, num / np.where(den == 0, 1, den), 0.0)
+                blocks.append(out)
+            return np.concatenate(blocks, axis=1)
+
+        return kern
+
+    register(DescriptorSpec(
+        name, "dna", mk_names, mk_kernel, ref=ref,
+        defaults={"Di-DNA-Phychem": _DI_DNA_DEFAULT, "nlag": 3},
+    ))
+
+
+_register_dna_autocorr("NMBroto", "broto", "iFeatureOmegaCLI.py:5611-5671")
+_register_dna_autocorr("Moran", "moran", "iFeatureOmegaCLI.py:5673-5731")
+_register_dna_autocorr("Geary", "geary", "iFeatureOmegaCLI.py:5733-5791")
+
+
+def _register_dactac(name: str, k: int, mode: str, prop_key: str, default_props: str, ref: str):
+    """DAC/TAC (auto), DCC/TCC (cross), DACC/TACC (concat), ref :5800-5950."""
+
+    def props_of(cfg):
+        return cfg[prop_key].split(";")
+
+    def mk_names(cfg, L):
+        ps = props_of(cfg)
+        nlag = cfg["nlag"]
+        if mode == "ac":
+            return [f"{name}_{p}.lag{n}" for p in ps for n in range(1, nlag + 1)]
+        if mode == "cc":
+            return [f"{name}_{a}-{b}-lag.{n}" for a, b in _prop_pairs(ps)
+                    for n in range(1, nlag + 1)]
+        return ([f"{p}.lag{n}" for p in ps for n in range(1, nlag + 1)]
+                + [f"{name}_{a}-{b}-lag.{n}" for a, b in _prop_pairs(ps)
+                   for n in range(1, nlag + 1)])
+
+    def mk_kernel(cfg, L):
+        ps = props_of(cfg)
+        fname = "didnaPhyche" if k == 2 else "tridnaPhyche"
+        sel, v = _phyche(fname, ps)  # raw values (no z-norm, ref :4162)
+        nlag = cfg["nlag"]
+        pairs = [(ps.index(a), ps.index(b)) for a, b in _prop_pairs(ps)]
+
+        def kern(r: Ragged):
+            rs = r.strip(DGAP)
+            ids, r2 = K.gram_view(rs, 4, k)
+            blocks = []
+            if mode in ("ac", "acc"):
+                for p in range(v.shape[0]):
+                    st = K.lag_stats(v[p][ids], r2, nlag)
+                    blocks.append(st["cen"])
+            if mode in ("cc", "acc"):
+                series = [v[p][ids] for p in range(v.shape[0])]
+                for a, b in pairs:
+                    blocks.append(K.cross_cov(series[a], series[b], r2, nlag))
+            return np.concatenate(blocks, axis=1)
+
+        return kern
+
+    register(DescriptorSpec(
+        name, "dna", mk_names, mk_kernel, ref=ref,
+        defaults={prop_key: default_props, "nlag": 3},
+    ))
+
+
+_register_dactac("DAC", 2, "ac", "Di-DNA-Phychem", _DI_DNA_DEFAULT, "iFeatureOmegaCLI.py:5800-5835")
+# NOTE ref :3998-4003: the DNA dispatch evals _make_ac_vector for DCC/DACC/
+# TCC/TACC too — they produce AC values under their own name prefix
+_register_dactac("DCC", 2, "ac", "Di-DNA-Phychem", _DI_DNA_DEFAULT, "iFeatureOmegaCLI.py:3999,5800-5835")
+_register_dactac("DACC", 2, "ac", "Di-DNA-Phychem", _DI_DNA_DEFAULT, "iFeatureOmegaCLI.py:4000,5800-5835")
+_register_dactac("TAC", 3, "ac", "Tri-DNA-Phychem", _TRI_DNA_DEFAULT, "iFeatureOmegaCLI.py:5800-5835")
+_register_dactac("TCC", 3, "ac", "Tri-DNA-Phychem", _TRI_DNA_DEFAULT, "iFeatureOmegaCLI.py:4002,5800-5835")
+_register_dactac("TACC", 3, "ac", "Tri-DNA-Phychem", _TRI_DNA_DEFAULT, "iFeatureOmegaCLI.py:4003,5800-5835")
+
+
+def _register_pse(name: str, comp_k: int, corr_k: int, series: bool,
+                  prop_key: str, default_props: str, fname: str, ref: str,
+                  extra_defaults: dict | None = None):
+    """PseDNC/PseKNC/PCPse*/SCPse* (ref :6000-6182).
+
+    comp_k: k of the composition block; corr_k: k of the correlation grams;
+    series=False → θ via mean-squared-diff (type 1), True → per-property
+    products (type 2, SC*)."""
+
+    def mk_names(cfg, L):
+        lam = cfg["lambdaValue"]
+        grams = sorted(_kmers(NT, cfg.get("kmer", comp_k)))
+        base = [f"{name}_{g}" for g in grams]
+        if series:
+            n_p = len(cfg[prop_key].split(";"))
+            return base + [f"{name}_lamada_{i}" for i in range(1, lam * n_p + 1)]
+        return base + [f"{name}_lamada_{i}" for i in range(1, lam + 1)]
+
+    def mk_kernel(cfg, L):
+        lam, w = cfg["lambdaValue"], cfg["weight"]
+        ps = cfg[prop_key].split(";")
+        sel, v = _phyche(fname, ps)  # raw pickle values
+        dim_c = 4**corr_k
+        if not series:
+            # R matrix: mean over props of (P[a]-P[b])² (ref :5963-5967)
+            R = ((v[:, :, None] - v[:, None, :]) ** 2).mean(axis=0)
+        else:
+            outer = [np.outer(v[p], v[p]) for p in range(v.shape[0])]
+
+        def kern(r: Ragged):
+            rs = r.strip(DGAP)
+            ids, r2 = K.gram_view(rs, 4, corr_k)
+            # θ[λ] uses lag λ+1 over the gram series, denominator
+            # L - λ - corr_k = N_series - (λ+1)
+            if not series:
+                theta = np.zeros((rs.n, lam))
+                for d in range(1, lam + 1):
+                    theta[:, d - 1] = _pair_lag_sum_series(ids, r2, R, d)
+            else:
+                cols = []
+                for d in range(1, lam + 1):
+                    for p in range(len(outer)):
+                        cols.append(_pair_lag_sum_series(ids, r2, outer[p], d))
+                theta = np.stack(cols, axis=1)
+            freq = K.kgram_counts(rs, 4, cfg.get("kmer", comp_k), normalize=True)
+            den = 1.0 + w * theta.sum(axis=1, keepdims=True)
+            return np.concatenate([freq / den, w * theta / den], axis=1)
+
+        return kern
+
+    defaults = {prop_key: default_props, "weight": 0.05, "lambdaValue": 3}
+    defaults.update(extra_defaults or {})
+    register(DescriptorSpec(name, "dna", mk_names, mk_kernel, ref=ref,
+                            defaults=defaults))
+
+
+def _pair_lag_sum_series(ids: np.ndarray, r2, M: np.ndarray, d: int) -> np.ndarray:
+    """Σ_j M[g_j, g_{j+d}] / (N_series - d) over a gram-id series."""
+    pos = np.arange(len(ids)) - np.repeat(r2.offsets[:-1], r2.lengths)
+    rl = np.repeat(r2.lengths, r2.lengths)
+    ok = pos + d < rl
+    idx = np.nonzero(ok)[0]
+    w = M[ids[idx], ids[idx + d]]
+    s = np.bincount(r2.row_ids()[idx], weights=w, minlength=r2.n)
+    return s / np.maximum(r2.lengths - d, 1.0)
+
+
+_register_pse("PseDNC", 2, 2, False, "Di-DNA-Phychem", _DI_DNA_DEFAULT,
+              "didnaPhyche", "iFeatureOmegaCLI.py:6000-6028")
+_register_pse("PCPseDNC", 2, 2, False, "Di-DNA-Phychem", _DI_DNA_DEFAULT,
+              "didnaPhyche", "iFeatureOmegaCLI.py:6030-6058")
+_register_pse("PCPseTNC", 3, 3, False, "Tri-DNA-Phychem", _TRI_DNA_DEFAULT,
+              "tridnaPhyche", "iFeatureOmegaCLI.py:6060-6090")
+_register_pse("SCPseDNC", 2, 2, True, "Di-DNA-Phychem", _DI_DNA_DEFAULT,
+              "didnaPhyche", "iFeatureOmegaCLI.py:6092-6121")
+_register_pse("SCPseTNC", 3, 3, True, "Tri-DNA-Phychem", _TRI_DNA_DEFAULT,
+              "tridnaPhyche", "iFeatureOmegaCLI.py:6123-6151")
+_register_pse("PseKNC", 3, 2, False, "Di-DNA-Phychem", _DI_DNA_DEFAULT,
+              "didnaPhyche", "iFeatureOmegaCLI.py:6153-6182",
+              extra_defaults={"weight": 0.1, "lambdaValue": 2, "kmer": 3})

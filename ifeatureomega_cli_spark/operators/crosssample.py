@@ -1,0 +1,240 @@
+"""Cross-sample (A8) descriptors: PSTNP and KNN.
+
+These are the reference's only genuinely *distributed* descriptors
+(SURVEY.md §2.8): they need a training-set aggregate before the per-row map.
+
+PSTNP fit = a per-position trinucleotide×label count — computed as a
+distributed partial aggregation (mapInPandas partial counts → driver sum →
+small broadcast matrix), the classic map-side-combine pattern.  Transform is
+then one Arrow-vectorized UDF with leave-one-out correction for training
+rows (ref iFeatureOmegaCLI.py:6194-6269).
+
+KNN = top-k vote over BLOSUM62 (protein, :3735-3846) / identity (DNA/RNA,
+:6353-6448) similarity to the training set.  The training matrix is
+broadcast into the UDF (it must be small); at cluster scale you would LSH-
+bucket candidates first — see operators/similarity.py for that machinery.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType
+
+from ifeatureomega_cli_spark.functions import lookups as LK
+from ifeatureomega_cli_spark.tokenize import PROTEIN_AA, PROTEIN_AA_ALT
+
+_DS_REMAP = np.array([0, 1, 1, 0, 4])  # T→A, G→C (ref :6290-6292), gap stays
+
+
+def _tri_ids(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n, L-2) trinucleotide ids over ACGT + validity mask (no gap)."""
+    a, b, c = mat[:, :-2], mat[:, 1:-1], mat[:, 2:]
+    ok = (a < 4) & (b < 4) & (c < 4)
+    ids = np.where(ok, a * 16 + b * 4 + c, 0)
+    return ids, ok
+
+
+def fit_pstnp(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    label_col: str = "label",
+    purpose_col: str = "purpose",
+    double_strand: bool = False,
+) -> dict:
+    """Distributed fit: per-position trinucleotide counts by class over the
+    training rows.  Partial (L-2, 64) matrices per partition, summed on the
+    driver — no wide shuffle, result is tiny."""
+    train = df.filter(F.col(purpose_col) == "training").select(
+        tokens_col, label_col
+    )
+
+    def partial(batches):
+        for pdf in batches:
+            mats = {}
+            for lab in ("0", "1"):
+                rows = pdf[pdf[label_col] == lab][tokens_col]
+                if len(rows) == 0:
+                    continue
+                m = np.stack([np.asarray(t) for t in rows])
+                if double_strand:
+                    m = _DS_REMAP[m]
+                ids, ok = _tri_ids(m)
+                Lm2 = ids.shape[1]
+                cnt = np.zeros((Lm2, 64))
+                pos = np.tile(np.arange(Lm2), (ids.shape[0], 1))
+                np.add.at(cnt, (pos[ok], ids[ok]), 1.0)
+                mats[lab] = (cnt, len(rows))
+            out = {}
+            for lab, (cnt, n) in mats.items():
+                out[f"counts_{lab}"] = [cnt.reshape(-1).tolist()]
+                out[f"n_{lab}"] = [n]
+            for lab in ("0", "1"):
+                out.setdefault(f"counts_{lab}", [None])
+                out.setdefault(f"n_{lab}", [0])
+            yield pd.DataFrame(out)
+
+    schema = ("counts_0 array<double>, n_0 long, "
+              "counts_1 array<double>, n_1 long")
+    parts = train.mapInPandas(partial, schema=schema).collect()
+    mat = {"0": None, "1": None}
+    num = {"0": 0, "1": 0}
+    for row in parts:
+        for lab in ("0", "1"):
+            c = row[f"counts_{lab}"]
+            if c is None:
+                continue
+            c = np.array(c)
+            mat[lab] = c if mat[lab] is None else mat[lab] + c
+            num[lab] += row[f"n_{lab}"]
+    Lm2 = len(mat["1"]) // 64 if mat["1"] is not None else len(mat["0"]) // 64
+    return {
+        "matrix_po": (mat["1"] if mat["1"] is not None else np.zeros(Lm2 * 64)).reshape(Lm2, 64),
+        "matrix_ne": (mat["0"] if mat["0"] is not None else np.zeros(Lm2 * 64)).reshape(Lm2, 64),
+        "p_num": num["1"],
+        "n_num": num["0"],
+        "double_strand": double_strand,
+    }
+
+
+def pstnp_transform(
+    df: DataFrame,
+    model: dict,
+    tokens_col: str = "tokens",
+    label_col: str = "label",
+    purpose_col: str = "purpose",
+    out_col: str = "features",
+) -> DataFrame:
+    """Score every row: po/p − ne/n per position, leave-one-out for training
+    rows (ref :6252-6261); gap-containing trigram → 0."""
+    mp, mn = model["matrix_po"], model["matrix_ne"]
+    pn, nn = model["p_num"], model["n_num"]
+    ds = model["double_strand"]
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _udf(tokens: pd.Series, label: pd.Series, purpose: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(t) for t in tokens])
+        if ds:
+            m = _DS_REMAP[m]
+        ids, ok = _tri_ids(m)
+        n, Lm2 = ids.shape
+        pos = np.tile(np.arange(Lm2), (n, 1))
+        po = mp[pos, ids]
+        ne = mn[pos, ids]
+        is_tr = (purpose == "training").to_numpy()
+        is_pos = is_tr & (label == "1").to_numpy()
+        is_neg = is_tr & (label == "0").to_numpy()
+        # leave-one-out: subtract own contribution where count > 0
+        po_adj = np.where(is_pos[:, None] & (po > 0), po - 1, po)
+        p_den = np.where(is_pos[:, None] & (po > 0), pn - 1, pn).astype(np.float64)
+        ne_adj = np.where(is_neg[:, None] & (ne > 0), ne - 1, ne)
+        n_den = np.where(is_neg[:, None] & (ne > 0), nn - 1, nn).astype(np.float64)
+        vals = po_adj / np.where(p_den == 0, 1.0, p_den) - ne_adj / np.where(
+            n_den == 0, 1.0, n_den)
+        vals = np.where(ok, vals, 0.0)
+        return pd.Series(list(vals))
+
+    return df.withColumn(
+        out_col, _udf(F.col(tokens_col), F.col(label_col), F.col(purpose_col))
+    )
+
+
+def pstnp(df: DataFrame, double_strand: bool = False, **kw) -> DataFrame:
+    model = fit_pstnp(df, double_strand=double_strand, **{
+        k: v for k, v in kw.items() if k in ("tokens_col", "label_col", "purpose_col")})
+    return pstnp_transform(df, model, **kw)
+
+
+# --------------------------------------------------------------------------
+# KNN
+# --------------------------------------------------------------------------
+
+_TOPK_FRACS = [round(0.01 * i, 2) for i in range(1, 31)]
+
+
+def _blosum_norm() -> np.ndarray:
+    """(21, 21) normalized BLOSUM62 similarity in canonical token order
+    (gap id 20 row/col = 0 raw), (v+4)/15 per ref :3735-3764."""
+    tbl = LK.a2_table("protein", "BLOSUM62")  # (21, 20): row=canonical token
+    B = np.zeros((21, 21))
+    alt_idx = [PROTEIN_AA_ALT.index(c) for c in PROTEIN_AA]
+    B[:21, :20] = tbl[:, alt_idx][:, : 20]
+    # columns are canonical order now; gap column stays 0
+    return (B + 4.0) / 15.0
+
+
+def _identity_norm() -> np.ndarray:
+    """(5, 5) normalized DNA similarity: (2 match / −1 mismatch +1)/3,
+    gap treated as a 5th symbol matching itself (ref :6353-6366)."""
+    B = np.full((5, 5), -1.0)
+    np.fill_diagonal(B, 2.0)
+    return (B + 1.0) / 3.0
+
+
+def knn_features(
+    df: DataFrame,
+    seq_type: str = "protein",
+    tokens_col: str = "tokens",
+    label_col: str = "label",
+    purpose_col: str = "purpose",
+    id_col: str = "doc_id",
+    out_col: str = "features",
+) -> DataFrame:
+    """Top-k label-vote features vs the training set (broadcast join).
+
+    The training matrix is collected and shipped inside the UDF closure
+    (Spark broadcasts it with the task); queries stream through in Arrow
+    batches, distances computed as L gather-adds of (batch × n_train)."""
+    train_pd = (
+        df.filter(F.col(purpose_col) == "training")
+        .select(id_col, tokens_col, label_col)
+        .toPandas()
+    )
+    t_names = train_pd[id_col].astype(str).to_numpy()
+    t_mat = np.stack([np.asarray(t) for t in train_pd[tokens_col]])
+    t_labels = train_pd[label_col].astype(int).to_numpy()
+    label_set = sorted(set(t_labels.tolist()))
+    n_train = len(t_mat)
+    topk = [math.ceil(n_train * f) for f in _TOPK_FRACS]
+    B = _blosum_norm() if seq_type == "protein" else _identity_norm()
+    L = t_mat.shape[1]
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _udf(tokens: pd.Series, names: pd.Series) -> pd.Series:
+        q = np.stack([np.asarray(t) for t in tokens])
+        nq = len(q)
+        sim = np.zeros((nq, n_train))
+        for i in range(L):
+            sim += B[q[:, i][:, None], t_mat[None, :, i]]
+        dist = 1.0 - sim / L
+        # exclude self (by name) from candidates, as the reference does
+        name_arr = names.astype(str).to_numpy()
+        self_mask = name_arr[:, None] == t_names[None, :]
+        dist = np.where(self_mask, np.inf, dist)
+        # stable sort by (distance, label): lexsort-compatible ordering
+        order = np.lexsort((np.tile(t_labels, (nq, 1)), dist), axis=1)
+        sorted_labels = t_labels[order]
+        valid = ~np.take_along_axis(self_mask, order, axis=1)
+        out = np.zeros((nq, len(topk) * len(label_set)))
+        # cumulative label counts over sorted neighbors
+        for li, lab in enumerate(label_set):
+            hits = (sorted_labels == lab) & valid
+            csum = np.cumsum(hits, axis=1)
+            for ki, k in enumerate(topk):
+                out[:, ki * len(label_set) + li] = csum[:, k - 1] / k
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, _udf(F.col(tokens_col), F.col(id_col)))
+
+
+def knn_feature_names(n_train: int, labels: list[int]) -> list[str]:
+    return [
+        f"Top{math.ceil(n_train * f)}.label{l}"
+        for f in _TOPK_FRACS
+        for l in labels
+    ]

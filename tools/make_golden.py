@@ -57,8 +57,8 @@ DNA = [
     "SCPseDNC", "SCPseTNC", "PSTNPss", "PSTNPds", "KNN",
 ]
 RNA = [
-    "Kmer", "Mismatch", "Subsequence", "NAC", "ANF", "NCP", "ENAC", "binary",
-    "CKSNAP type 1", "CKSNAP type 2", "EIIP", "PseEIIP", "ASDC", "DBE",
+    "Kmer type 1", "Kmer type 2", "Mismatch", "Subsequence", "NAC", "ANF", "NCP", "ENAC", "binary",
+    "CKSNAP type 1", "CKSNAP type 2", "ASDC", "DBE",
     "LPDF", "DPCP", "DPCP type2", "MMI", "PS2", "PS3", "PS4",
     "Z_curve_9bit", "Z_curve_12bit", "Z_curve_36bit", "Z_curve_48bit",
     "Z_curve_144bit", "NMBroto", "Moran", "Geary", "DAC", "DCC", "DACC",
@@ -103,6 +103,16 @@ def run(seq_type: str, wanted: set[str] | None) -> dict[str, list[str]]:
         descs = RNA
         tokens_path = os.path.join(FIXDIR, "rna_tokens.parquet")
 
+    if seq_type in ("dna", "rna"):
+        # the DNA/RNA example files carry no labels; synthesize a
+        # deterministic label/purpose split so cross-sample descriptors
+        # (PSTNPss/ds, KNN) have two classes and a train/test split
+        for i, row in enumerate(obj.fasta_list):
+            row[2] = str(i % 2)
+            row[3] = "training" if i % 5 != 4 else "testing"
+        import numpy as _np
+        obj.sample_purpose = _np.array([r[3] == "training" for r in obj.fasta_list])
+
     if not os.path.exists(tokens_path):
         dump_tokens(obj, "protein" if seq_type == "protein" else "dna", tokens_path)
 
@@ -110,6 +120,9 @@ def run(seq_type: str, wanted: set[str] | None) -> dict[str, list[str]]:
         if wanted and d not in wanted:
             continue
         out = os.path.join(GOLDDIR, slug(seq_type, d) + ".parquet")
+        obj.encodings = None  # get_descriptor returns None on both paths;
+        # a stale non-None encodings would otherwise masquerade as success
+        obj.error_msg = ""
         ok = obj.get_descriptor(d)
         if ok is False or obj.encodings is None:
             print(f"  SKIP {seq_type}:{d}: {obj.error_msg}")
