@@ -1791,3 +1791,321 @@ _register_pse("SCPseTNC", 3, 3, True, "Tri-DNA-Phychem", _TRI_DNA_DEFAULT,
 _register_pse("PseKNC", 3, 2, False, "Di-DNA-Phychem", _DI_DNA_DEFAULT,
               "didnaPhyche", "iFeatureOmegaCLI.py:6153-6182",
               extra_defaults={"weight": 0.1, "lambdaValue": 2, "kmer": 3})
+
+
+# --------------------------------------------------------------------------
+# RNA registration (ref iRNA :6492-8974 is a structural copy of iDNA with
+# dirnaPhyche properties; U→T canonicalization happens at tokenize time so
+# alphabet-generic kernels are shared verbatim)
+# --------------------------------------------------------------------------
+
+_RNA_SHARED = [
+    "Kmer type 1", "Kmer type 2", "Mismatch", "Subsequence", "NAC", "ANF",
+    "NCP", "ENAC", "binary", "CKSNAP type 1", "CKSNAP type 2", "ASDC", "DBE",
+    "LPDF", "MMI", "PS2", "PS3", "PS4", "Z_curve_9bit", "Z_curve_12bit",
+    "Z_curve_36bit", "Z_curve_48bit", "Z_curve_144bit",
+]
+for _n in _RNA_SHARED:
+    _sp = DESCRIPTORS[f"dna:{_n}"]
+    register(DescriptorSpec(_sp.name, "rna", _sp.make_names, _sp.make_kernel,
+                            _sp.equal_length, dict(_sp.defaults), _sp.ref))
+
+_DI_RNA_DEFAULT = ("Rise (RNA);Roll (RNA);Shift (RNA);Slide (RNA);"
+                   "Tilt (RNA);Twist (RNA)")
+
+
+def _mk_dpcp_rna(cfg, L):
+    sel, v = _phyche("dirnaPhyche", cfg["Di-RNA-Phychem"].split(";"))
+
+    def kern(r: Ragged):
+        f = K.kgram_counts(r.strip(DGAP), 4, 2, normalize=True)
+        return (f[:, None, :] * v[None, :, :]).reshape(r.n, -1)
+
+    return kern
+
+
+register(DescriptorSpec(
+    "DPCP", "rna",
+    lambda cfg, L: [f"DPCP_{a}{b}_{p}" for p in cfg["Di-RNA-Phychem"].split(";")
+                    for a in NT for b in NT],
+    _mk_dpcp_rna, defaults={"Di-RNA-Phychem": _DI_RNA_DEFAULT},
+    ref="iFeatureOmegaCLI.py:7554-7604",
+))
+
+
+def _mk_dpcp2_rna(cfg, L):
+    sel, v = _phyche("dirnaPhyche", cfg["Di-RNA-Phychem"].split(";"))
+    table = v.T  # (16, P)
+
+    def kern(r: Ragged):
+        m = r.to_matrix()
+        ids = np.zeros((m.shape[0], m.shape[1] - 1), dtype=np.int64)
+        ok = (m[:, :-1] < 4) & (m[:, 1:] < 4)
+        ids = np.where(ok, m[:, :-1] * 4 + m[:, 1:], 0)
+        g = table[ids]
+        g = np.where(ok[..., None], g, 0.0)
+        return g.transpose(0, 2, 1).reshape(m.shape[0], -1)  # prop-major values
+
+    return kern
+
+
+register(DescriptorSpec(
+    "DPCP type2", "rna",
+    lambda cfg, L: [f"DPCP2_{p}_pos{i}" for i in range(1, L)
+                    for p in cfg["Di-RNA-Phychem"].split(";")],
+    _mk_dpcp2_rna, equal_length=True,
+    defaults={"Di-RNA-Phychem": _DI_RNA_DEFAULT},
+    ref="iFeatureOmegaCLI.py:7606-7656",
+))
+
+
+def _register_rna_autocorr(name: str, kind: str, ref: str):
+    def mk_names(cfg, L):
+        return [f"{name}_{p}.lag{n}" for p in cfg["Di-RNA-Phychem"].split(";")
+                for n in range(1, cfg["nlag"] + 1)]
+
+    def mk_kernel(cfg, L):
+        sel, v = _phyche("dirnaPhyche", cfg["Di-RNA-Phychem"].split(";"), znorm=True)
+        nlag = cfg["nlag"]
+        base = DESCRIPTORS[f"dna:{name}"]
+        # reuse the DNA kernel logic by temporarily mapping cfg keys
+        dna_cfg = {"Di-DNA-Phychem": cfg["Di-RNA-Phychem"], "nlag": nlag}
+        kern_dna = None
+
+        def kern(r: Ragged):
+            rs = r.strip(DGAP)
+            blocks = []
+            for p in range(v.shape[0]):
+                x, r2 = _gram_prop_series(rs, 2, v[p])
+                st = K.lag_stats(x, r2, nlag)
+                Nl = st["lengths"][:, None]
+                d = np.arange(1, nlag + 1)[None, :]
+                if kind == "broto":
+                    out = np.where((st["lengths"] <= nlag)[:, None], 0.0, st["raw"])
+                elif kind == "moran":
+                    den = st["headssq"] / Nl
+                    out = np.where(den != 0, st["cen"] / np.where(den == 0, 1, den), 0.0)
+                else:
+                    num = st["diffsq"] / (2.0 * np.maximum(Nl - d, 1.0))
+                    den = st["headssq"] / np.maximum(Nl - 1.0, 1.0)
+                    out = np.where(den != 0, num / np.where(den == 0, 1, den), 0.0)
+                blocks.append(out)
+            return np.concatenate(blocks, axis=1)
+
+        return kern
+
+    register(DescriptorSpec(name, "rna", mk_names, mk_kernel, ref=ref,
+                            defaults={"Di-RNA-Phychem": _DI_RNA_DEFAULT, "nlag": 3}))
+
+
+_register_rna_autocorr("NMBroto", "broto", "iFeatureOmegaCLI.py:8175-8235")
+_register_rna_autocorr("Moran", "moran", "iFeatureOmegaCLI.py:8237-8295")
+_register_rna_autocorr("Geary", "geary", "iFeatureOmegaCLI.py:8297-8355")
+
+
+def _register_rna_dac(name: str, ref: str):
+    def mk_names(cfg, L):
+        return [f"{name}_{p}.lag{n}" for p in cfg["Di-RNA-Phychem"].split(";")
+                for n in range(1, cfg["nlag"] + 1)]
+
+    def mk_kernel(cfg, L):
+        sel, v = _phyche("dirnaPhyche", cfg["Di-RNA-Phychem"].split(";"))
+        nlag = cfg["nlag"]
+
+        def kern(r: Ragged):
+            rs = r.strip(DGAP)
+            ids, r2 = K.gram_view(rs, 4, 2)
+            blocks = []
+            for p in range(v.shape[0]):
+                st = K.lag_stats(v[p][ids], r2, nlag)
+                blocks.append(st["cen"])
+            return np.concatenate(blocks, axis=1)
+
+        return kern
+
+    register(DescriptorSpec(name, "rna", mk_names, mk_kernel, ref=ref,
+                            defaults={"Di-RNA-Phychem": _DI_RNA_DEFAULT, "nlag": 3}))
+
+
+# RNA dispatch shares the same _make_ac_vector quirk for DCC/DACC (ref :6622-6624)
+_register_rna_dac("DAC", "iFeatureOmegaCLI.py:8370-8420")
+_register_rna_dac("DCC", "iFeatureOmegaCLI.py:6623,8370-8420")
+_register_rna_dac("DACC", "iFeatureOmegaCLI.py:6624,8370-8420")
+
+
+def _register_rna_pse(name: str, series: bool, ref: str, extra: dict | None = None):
+    def mk_names(cfg, L):
+        lam = cfg["lambdaValue"]
+        grams = sorted(_kmers(NT, cfg.get("kmer", 2)))
+        base = [f"{name}_{g}" for g in grams]
+        if series:
+            n_p = len(cfg["Di-RNA-Phychem"].split(";"))
+            return base + [f"{name}_lamada_{i}" for i in range(1, lam * n_p + 1)]
+        return base + [f"{name}_lamada_{i}" for i in range(1, lam + 1)]
+
+    def mk_kernel(cfg, L):
+        lam, w = cfg["lambdaValue"], cfg["weight"]
+        ps = cfg["Di-RNA-Phychem"].split(";")
+        sel, v = _phyche("dirnaPhyche", ps)
+        if not series:
+            R = ((v[:, :, None] - v[:, None, :]) ** 2).mean(axis=0)
+        else:
+            outer = [np.outer(v[p], v[p]) for p in range(v.shape[0])]
+
+        def kern(r: Ragged):
+            rs = r.strip(DGAP)
+            ids, r2 = K.gram_view(rs, 4, 2)
+            if not series:
+                theta = np.zeros((rs.n, lam))
+                for d in range(1, lam + 1):
+                    theta[:, d - 1] = _pair_lag_sum_series(ids, r2, R, d)
+            else:
+                cols = []
+                for d in range(1, lam + 1):
+                    for p in range(len(outer)):
+                        cols.append(_pair_lag_sum_series(ids, r2, outer[p], d))
+                theta = np.stack(cols, axis=1)
+            freq = K.kgram_counts(rs, 4, cfg.get("kmer", 2), normalize=True)
+            den = 1.0 + w * theta.sum(axis=1, keepdims=True)
+            return np.concatenate([freq / den, w * theta / den], axis=1)
+
+        return kern
+
+    defaults = {"Di-RNA-Phychem": _DI_RNA_DEFAULT, "weight": 0.05, "lambdaValue": 3}
+    defaults.update(extra or {})
+    register(DescriptorSpec(name, "rna", mk_names, mk_kernel, ref=ref,
+                            defaults=defaults))
+
+
+_register_rna_pse("PseDNC", False, "iFeatureOmegaCLI.py:8564-8590")
+_register_rna_pse("PCPseDNC", False, "iFeatureOmegaCLI.py:8594-8620")
+_register_rna_pse("SCPseDNC", True, "iFeatureOmegaCLI.py:8656-8680")
+_register_rna_pse("PseKNC", False, "iFeatureOmegaCLI.py:8716-8745",
+                  extra={"kmer": 3, "weight": 0.05, "lambdaValue": 3})
+
+
+# --------------------------------------------------------------------------
+# DistancePair (ref :2554-2702) and PseKRAAC types 1-16 (ref :2704-3733)
+# Reduced-alphabet tables probed into resources/{distancepair,psekraac}.json
+# --------------------------------------------------------------------------
+
+
+def _dp_table(cp: str):
+    d = _json.load(open(_os.path.join(LK.RES, "distancepair.json")))[cp]
+    classes = d["classes"]
+    gmap = np.full(21, len(classes), dtype=np.int64)
+    gmap[:20] = d["groups"]
+    return classes, gmap
+
+
+def _dp_names(cfg, L):
+    classes, _ = _dp_table(cfg["cp"])
+    out = []
+    for d in range(cfg["distance"] + 1):
+        if d == 0:
+            out += [f"DP_{c}" for c in sorted(classes)]
+        else:
+            out += [f"DP_{a}{b}.distance{d}"
+                    for a, b in sorted((a, b) for a in classes for b in classes)]
+    return out
+
+
+def _mk_distancepair(cfg, L):
+    classes, gmap = _dp_table(cfg["cp"])
+    nc = len(classes)
+    # sorted-order permutation for singles and pairs
+    sing_perm = np.argsort(np.array(classes, dtype=object))
+    pair_keys = [(a, b) for a in classes for b in classes]
+    pair_perm = np.argsort(np.array([a + b for a, b in pair_keys], dtype=object))
+
+    def kern(r: Ragged):
+        rs = r.strip(PGAP).remap(gmap)
+        blocks = []
+        for d in range(cfg["distance"] + 1):
+            if d == 0:
+                c = K.unigram_counts(rs, nc, normalize=True)
+                blocks.append(c[:, sing_perm])
+            else:
+                # pairs (i, i+d): gap parameter of kgram machinery is d-1
+                c = K.kgram_counts(rs, nc, 2, normalize=False, gap=d - 1)
+                denom = np.maximum(rs.lengths - d, 1).astype(np.float64)
+                blocks.append((c / denom[:, None])[:, pair_perm])
+        return np.concatenate(blocks, axis=1)
+
+    return kern
+
+
+register(DescriptorSpec(
+    "DistancePair", "protein", _dp_names, _mk_distancepair,
+    defaults={"distance": 0, "cp": "cp(20)"}, ref="iFeatureOmegaCLI.py:2554-2702",
+))
+
+
+def _psekraac_meta(t: str, clust: int):
+    d = _json.load(open(_os.path.join(LK.RES, "psekraac.json")))[f"{t}|{clust}"]
+    gmap = np.full(21, len(d["gnames"]), dtype=np.int64)
+    gmap[:20] = d["groups"]
+    return d["ttype"], d["gnames"], gmap
+
+
+def _register_psekraac(t: str, default_clust: int):
+    name = f"PseKRAAC type {t}"
+
+    def mk_names(cfg, L):
+        ttype, gnames, _ = _psekraac_meta(t, cfg["RAAC_clust"])
+        kt = cfg["k-tuple"]
+        model = cfg["PseKRAAC_model"]
+        gl = cfg["g-gap"] if model == "g-gap" else cfg["lambdaValue"]
+        suffix = f"gap{gl}" if model == "g-gap" else f"LC{gl}"
+        tuples = [""]
+        for _ in range(kt):
+            tuples = [p + ("_" if p else "") + g for p in tuples for g in gnames]
+        return [f"{ttype}_{tp}_{suffix}" for tp in tuples]
+
+    def mk_kernel(cfg, L):
+        ttype, gnames, gmap = _psekraac_meta(t, cfg["RAAC_clust"])
+        nG = len(gnames)
+        kt = cfg["k-tuple"]
+        model = cfg["PseKRAAC_model"]
+        gl = cfg["g-gap"] if model == "g-gap" else cfg["lambdaValue"]
+
+        def kern(r: Ragged):
+            rs = r.strip(PGAP).remap(gmap)
+            dim = nG**kt
+            pos = np.arange(len(rs.flat)) - np.repeat(rs.offsets[:-1], rs.lengths)
+            rl = np.repeat(rs.lengths, rs.lengths)
+            if model == "g-gap":
+                # sampled starts j ≡ 0 (mod g+1); tuple tokens contiguous
+                start_ok = pos % (gl + 1) == 0
+                step = 1
+            else:
+                # all starts; tuple tokens at stride λ
+                start_ok = np.ones(len(rs.flat), dtype=bool)
+                step = gl
+            span = (kt - 1) * step + 1 if kt > 1 else 1
+            ok = start_ok & (pos + span <= rl)
+            idx = np.nonzero(ok)[0]
+            ids = np.zeros(len(idx), dtype=np.int64)
+            for j in range(kt):
+                ids = ids * nG + rs.flat[idx + j * step]
+            rid = rs.row_ids()[idx]
+            return (np.bincount(rid * dim + ids, minlength=rs.n * dim)
+                    .reshape(rs.n, dim).astype(np.float64))
+
+        return kern
+
+    register(DescriptorSpec(
+        name, "protein", mk_names, mk_kernel,
+        defaults={"lambdaValue": 3, "PseKRAAC_model": "g-gap", "g-gap": 2,
+                  "k-tuple": 2, "RAAC_clust": default_clust},
+        ref="iFeatureOmegaCLI.py:2704-3733",
+    ))
+
+
+_PSEKRAAC_DEFAULT_CLUST = {
+    "1": 2, "2": 2, "3A": 2, "3B": 2, "4": 5, "5": 3, "6A": 4, "6B": 5,
+    "6C": 5, "7": 2, "8": 2, "9": 2, "10": 2, "11": 2, "12": 2, "13": 4,
+    "14": 2, "15": 2, "16": 2,
+}
+for _t, _c in _PSEKRAAC_DEFAULT_CLUST.items():
+    _register_psekraac(_t, _c)

@@ -84,6 +84,27 @@ def dump_tokens(obj, seq_type: str, path: str) -> None:
     ).to_parquet(path, index=False)
 
 
+def _fresh(seq_type: str):
+    ref = load_reference()
+    if seq_type == "protein":
+        obj = ref.iProtein(os.path.join(EXAMPLES, "peptide_sequences.txt"))
+        obj.import_parameters("/root/reference/parameters/Protein_parameters_setting.json")
+    elif seq_type == "dna":
+        obj = ref.iDNA(os.path.join(EXAMPLES, "DNA_sequences.txt"))
+        obj.import_parameters("/root/reference/parameters/DNA_parameters_setting.json")
+    else:
+        obj = ref.iRNA(os.path.join(EXAMPLES, "RNA_sequences.txt"))
+        obj.import_parameters("/root/reference/parameters/RNA_parameters_setting.json")
+    if seq_type in ("dna", "rna"):
+        for i, row in enumerate(obj.fasta_list):
+            row[0] = f"{row[0]}#r{i}" if seq_type == "rna" else row[0]
+            row[2] = str(i % 2)
+            row[3] = "training" if i % 5 != 4 else "testing"
+        import numpy as _np
+        obj.sample_purpose = _np.array([r[3] == "training" for r in obj.fasta_list])
+    return obj
+
+
 def run(seq_type: str, wanted: set[str] | None) -> dict[str, list[str]]:
     ref = load_reference()
     names: dict[str, list[str]] = {}
@@ -106,8 +127,10 @@ def run(seq_type: str, wanted: set[str] | None) -> dict[str, list[str]]:
     if seq_type in ("dna", "rna"):
         # the DNA/RNA example files carry no labels; synthesize a
         # deterministic label/purpose split so cross-sample descriptors
-        # (PSTNPss/ds, KNN) have two classes and a train/test split
+        # (PSTNPss/ds, KNN) have two classes and a train/test split.
+        # RNA example names are not unique → make ids unique for alignment.
         for i, row in enumerate(obj.fasta_list):
+            row[0] = f"{row[0]}#r{i}"
             row[2] = str(i % 2)
             row[3] = "training" if i % 5 != 4 else "testing"
         import numpy as _np
@@ -120,8 +143,9 @@ def run(seq_type: str, wanted: set[str] | None) -> dict[str, list[str]]:
         if wanted and d not in wanted:
             continue
         out = os.path.join(GOLDDIR, slug(seq_type, d) + ".parquet")
-        obj.encodings = None  # get_descriptor returns None on both paths;
-        # a stale non-None encodings would otherwise masquerade as success
+        obj = _fresh(seq_type)  # fresh object: some reference kernels
+        # mutate fasta_list in place (PSTNPds T→A/G→C, ref :6291-6292)
+        obj.encodings = None
         obj.error_msg = ""
         ok = obj.get_descriptor(d)
         if ok is False or obj.encodings is None:

@@ -124,7 +124,7 @@ def _mk(cls, fp, params):
     return obj
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not any(a.startswith("--") for a in sys.argv[1:]):
     main()
 
 
@@ -150,3 +150,83 @@ def make_ctd_groups():
 
 if __name__ == "__main__" and "--ctd" in sys.argv:
     make_ctd_groups()
+
+
+PSEKRAAC_TYPES = [
+    "1", "2", "3A", "3B", "4", "5", "6A", "6B", "6C", "7", "8", "9", "10",
+    "11", "12", "13", "14", "15", "16",
+]
+
+
+def make_psekraac_tables():
+    """Probe every PseKRAAC (type, cluster-count) combo with ktuple=1,
+    g-gap=0 single-AA sequences: output row one-hot → group of each AA; the
+    probe header strings give the exact ttype/gname labels (including the
+    reference's 'tpye10' typo)."""
+    import json as _json
+
+    ref = load_reference()
+    out = {}
+    with tempfile.TemporaryDirectory() as td:
+        fp = os.path.join(td, "probe.txt")
+        _write_fasta(fp, list(AA))
+        for t in PSEKRAAC_TYPES:
+            for clust in range(2, 21):
+                obj = ref.iProtein(fp)
+                obj.import_parameters(
+                    "/root/reference/parameters/Protein_parameters_setting.json")
+                # override params (flat dict copy happens in get_descriptor)
+                key = f"PseKRAAC type {t}"
+                pd_ = getattr(obj, "_iProtein__default_para_dict", None)
+                if pd_ is None or key not in pd_:
+                    continue
+                pd_[key] = {**pd_[key], "PseKRAAC_model": "g-gap", "g-gap": 0,
+                            "k-tuple": 1, "RAAC_clust": clust}
+                obj.encodings = None
+                obj.get_descriptor(key)
+                if obj.encodings is None or len(obj.encodings) != 20:
+                    continue
+                cols = [str(c) for c in obj.encodings.columns]
+                mat = obj.encodings.to_numpy(dtype=np.float64)
+                groups = mat.argmax(axis=1).tolist()
+                # header 'ttype_gname_gap0' → split off trailing '_gap0'
+                gnames = [c[: -len("_gap0")] for c in cols]
+                ttype = gnames[0].split("_")[0]
+                gnames = [g[len(ttype) + 1:] for g in gnames]
+                out[f"{t}|{clust}"] = {"ttype": ttype, "gnames": gnames,
+                                       "groups": groups}
+    with open(os.path.join(RES, "psekraac.json"), "w") as f:
+        _json.dump(out, f)
+    print(f"  psekraac combos: {len(out)}")
+
+
+if __name__ == "__main__" and "--psekraac" in sys.argv:
+    make_psekraac_tables()
+
+
+def make_distancepair_tables():
+    """Probe DistancePair reduced alphabets: distance=0 single-AA probes
+    one-hot the reduced class of each AA; header strings give class names."""
+    import json as _json
+
+    ref = load_reference()
+    out = {}
+    with tempfile.TemporaryDirectory() as td:
+        fp = os.path.join(td, "probe.txt")
+        _write_fasta(fp, list(AA))
+        for cp in ("cp(20)", "cp(19)", "cp(14)", "cp(13)"):
+            obj = ref.iProtein(fp)
+            pd_ = getattr(obj, "_iProtein__default_para_dict")
+            pd_["DistancePair"] = {"distance": 0, "cp": cp}
+            obj.encodings = None
+            obj.get_descriptor("DistancePair")
+            cols = [str(c)[len("DP_"):] for c in obj.encodings.columns]
+            mat = obj.encodings.to_numpy(dtype=np.float64)
+            out[cp] = {"classes": cols, "groups": mat.argmax(axis=1).tolist()}
+    with open(os.path.join(RES, "distancepair.json"), "w") as f:
+        _json.dump(out, f)
+    print("  distancepair:", {k: len(v["classes"]) for k, v in out.items()})
+
+
+if __name__ == "__main__" and "--dp" in sys.argv:
+    make_distancepair_tables()
