@@ -1,38 +1,572 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an engine operator from SURVEY.md §2 (or a
+training-data-pipeline operator) run at sf_dir; ``oracle_sql()`` carries the
+DuckDB-equivalent ANSI SQL.  Floats are rounded to 6 dp on BOTH sides so
+the driver's value hash is stable across engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_AA = "ACDEFGHIKLMNPQRSTVWY"
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _r(c, nd=6):
+    return F.round(c, nd)
+
+
+# --------------------------------------------------------------------------
+# temporal / relational operators (north_rule core)
+# --------------------------------------------------------------------------
+
+
+def q_asof_join(spark, sf_dir):
+    """Point-in-time join: for every click, the latest purchase value of the
+    same user at or before the click."""
+    from ifeatureomega_cli_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.col("user_id"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), "ts", "value"
+    )
+    out = asof_join(clicks, purchases, on="user_id", ts="ts",
+                    value_cols=["value"])
+    return out.select(
+        "event_id", "user_id", "ts", "matched_ts",
+        _r(F.col("value")).alias("purchase_value"),
+    )
+
+
+def q_ffill(spark, sf_dir):
+    """Forward-fill the last purchase value onto every event of the user."""
+    from ifeatureomega_cli_spark.operators.fill import ffill
+
+    ev = _events(spark, sf_dir).withColumn(
+        "pv", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    out = ffill(ev, ["pv"], on="user_id", ts="ts")
+    return out.select("event_id", "user_id", "ts", _r(F.col("pv")).alias("filled_value"))
+
+
+def q_backfill(spark, sf_dir):
+    """Backward-fill the next purchase value onto every event of the user."""
+    from ifeatureomega_cli_spark.operators.fill import backfill
+
+    ev = _events(spark, sf_dir).withColumn(
+        "pv", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    out = backfill(ev, ["pv"], on="user_id", ts="ts")
+    return out.select("event_id", "user_id", "ts", _r(F.col("pv")).alias("bfilled_value"))
+
+
+def q_lag_lead(spark, sf_dir):
+    """Per-user lag/lead of event value ordered by ts."""
+    from ifeatureomega_cli_spark.operators.lag_lead import lag_lead
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = lag_lead(ev, ["value"], [1, -1], on="user_id", ts="ts")
+    return out.select(
+        "event_id", "user_id",
+        _r(F.col("value")).alias("value_r"),
+        _r(F.col("value_lag1")).alias("prev_value"),
+        _r(F.col("value_lead1")).alias("next_value"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """30-minute-gap sessionization of user event streams."""
+    from ifeatureomega_cli_spark.operators.sessionize import sessionize
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    out = sessionize(ev, gap_seconds=1800, on="user_id", ts="ts")
+    return out.select(
+        "event_id", "user_id", F.col("session_index").cast("long").alias("session_index")
+    )
+
+
+def q_session_stats(spark, sf_dir):
+    """Per-session aggregates (start/end/n/sum of value)."""
+    from ifeatureomega_cli_spark.operators.sessionize import session_stats
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = session_stats(ev, gap_seconds=1800, on="user_id", ts="ts", value="value")
+    return out.select(
+        "user_id", F.col("session_index").cast("long").alias("session_index"),
+        "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        _r(F.col("sum_value")).alias("sum_value"),
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 events by value within each event type."""
+    from ifeatureomega_cli_spark.operators.topk import top_k_per_group
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = top_k_per_group(ev, ["event_type"], "value", 3,
+                          descending=True, tie_breakers=["event_id"])
+    return out.select(
+        "event_type", "event_id", _r(F.col("value")).alias("value_r"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary over lineitem."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity")).alias("sum_qty"),
+            _r(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _r(F.avg("l_quantity")).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out
+
+
+def q_top_customers(spark, sf_dir):
+    """Revenue per customer (orders join), top-10 with deterministic ties."""
+    from ifeatureomega_cli_spark.operators.topk import top_k_per_group
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    rev = (
+        orders.groupBy("o_custkey").agg(_r(F.sum("o_totalprice")).alias("revenue"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_custkey").cast("long").alias("custkey"), "c_name", "revenue")
+    )
+    out = top_k_per_group(rev.withColumn("g", F.lit(1)), ["g"], "revenue", 10,
+                          descending=True, tie_breakers=["custkey"])
+    return out.select("custkey", "c_name", "revenue", F.col("rk").cast("int").alias("rk"))
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    from ifeatureomega_cli_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select(
+        "digest", F.col("keeper_id").cast("long").alias("keeper_id"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+    )
+
+
+def q_dedup_norm(spark, sf_dir):
+    from ifeatureomega_cli_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), normalize=True).select(
+        "digest", F.col("keeper_id").cast("long").alias("keeper_id"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    from ifeatureomega_cli_spark.operators.textstats import text_quality
+
+    out = text_quality(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        _r(F.col("mean_word_len")).alias("mean_word_len"),
+        _r(F.col("alpha_ratio")).alias("alpha_ratio"),
+        _r(F.col("space_ratio")).alias("space_ratio"),
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+    )
+
+
+def q_token_count(spark, sf_dir):
+    from ifeatureomega_cli_spark.operators.textstats import token_count
+
+    out = token_count(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_tokens_est").cast("long").alias("n_tokens_est"),
+    )
+
+
+def q_langid(spark, sf_dir):
+    from ifeatureomega_cli_spark.operators.textstats import language_id
+
+    out = language_id(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "lang_pred",
+        _r(F.col("score_en")).alias("score_en"),
+        _r(F.col("score_de")).alias("score_de"),
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from ifeatureomega_cli_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_n=3, threshold=0.2)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        _r(F.col("jaccard")).alias("jaccard"),
+    )
+
+
+def q_embedding_topk(spark, sf_dir):
+    from ifeatureomega_cli_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=10)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _r(F.col("cosine"), 5).alias("cosine_r"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+def q_char_unigram(spark, sf_dir):
+    """Descriptor path on text: protein-alphabet char composition (AAC
+    semantics) in long format so DuckDB can oracle it."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from ifeatureomega_cli_spark.functions.extract import extract
+    from ifeatureomega_cli_spark.tokenize import tokenize_protein
+
+    docs = _docs(spark, sf_dir)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _tok(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ids = tokenize_protein(t.upper())
+            out.append(ids[ids < 20].astype(np.int32).tolist())
+        return pd.Series(out)
+
+    toks = docs.select("doc_id", _tok(F.col("text")).alias("tokens")).withColumn(
+        "n_tok", F.size("tokens")
+    ).filter(F.col("n_tok") > 0)
+    feat = extract(toks, "protein:AAC")
+    aa_arr = F.array(*[F.lit(c) for c in _AA])
+    out = feat.select(
+        "doc_id", F.posexplode(F.col("features")).alias("pos", "freq")
+    ).filter(F.col("freq") > 0).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        aa_arr[F.col("pos")].alias("token"),
+        _r(F.col("freq")).alias("freq"),
+    )
+    return out
+
+
+def q_minhash_dedup(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (no SQL oracle — rows-only check)."""
+    from ifeatureomega_cli_spark.operators.dedup import minhash_dedup
+
+    out = minhash_dedup(_docs(spark, sf_dir), threshold=0.5)
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        _r(F.col("est_jaccard")).alias("est_jaccard"),
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only check)."""
+    from ifeatureomega_cli_spark.operators.dedup import simhash_dup_pairs
+
+    out = simhash_dup_pairs(_docs(spark, sf_dir), max_hamming=8)
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprints (rows-only: xxhash64 ≠ DuckDB hash)."""
+    from ifeatureomega_cli_spark.operators.textstats import fingerprint
+
+    out = fingerprint(_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "fingerprint",
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbours (rows-only; recall vs brute force
+    is asserted in tests/test_similarity.py)."""
+    from ifeatureomega_cli_spark.operators.similarity import (
+        ivf_assign, ivf_topk, train_ivf_centroids)
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(emb, n_cells=16, sample=1024)
+    corpus = ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(corpus, queries, cents, k=10, n_probe=4)
+    return out.select(
+        F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
+        _r(F.col("cosine"), 5).alias("cosine_r"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: descriptor extraction over sf0.001 documents-as-sequences —
+    tokenize text, run the AAC kernel, return (doc_id, n_tok, features)."""
+    return q_char_unigram(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "asof_join": q_asof_join,
+        "ffill": q_ffill,
+        "backfill": q_backfill,
+        "lag_lead": q_lag_lead,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "topk_per_group": q_topk_per_group,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "dedup_exact": q_dedup_exact,
+        "dedup_norm": q_dedup_norm,
+        "text_quality": q_text_quality,
+        "token_count": q_token_count,
+        "langid": q_langid,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "char_unigram": q_char_unigram,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "fingerprint": q_fingerprint,
+        "ivf_topk": q_ivf_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    aa_list = ",".join(f"'{c}'" for c in _AA)
+    return {
+        "asof_join": """
+            SELECT l.event_id, l.user_id, l.ts, r.ts AS matched_ts,
+                   ROUND(r.value, 6) AS purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type='purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "ffill": """
+            SELECT event_id, user_id, ts,
+                   ROUND(LAST_VALUE(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_value
+            FROM events
+        """,
+        "backfill": """
+            SELECT event_id, user_id, ts,
+                   ROUND(FIRST_VALUE(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS bfilled_value
+            FROM events
+        """,
+        "lag_lead": """
+            SELECT event_id, user_id, ROUND(value, 6) AS value_r,
+                   ROUND(LAG(value) OVER w, 6) AS prev_value,
+                   ROUND(LEAD(value) OVER w, 6) AS next_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "sessionize": """
+            SELECT event_id, user_id,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+                     AS session_index
+            FROM (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                            OR epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events)
+        """,
+        "session_stats": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts, value,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_index
+              FROM flagged)
+            SELECT user_id, CAST(session_index AS BIGINT) AS session_index,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+            FROM sess GROUP BY user_id, session_index
+        """,
+        "topk_per_group": """
+            SELECT event_type, event_id, ROUND(value, 6) AS value_r, CAST(rk AS INTEGER) AS rk
+            FROM (
+              SELECT event_type, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id ASC) AS rk
+              FROM events)
+            WHERE rk <= 3
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT custkey, c_name, revenue, CAST(rk AS INTEGER) AS rk
+            FROM (
+              SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name, revenue,
+                     ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey ASC) AS rk
+              FROM (
+                SELECT o_custkey, ROUND(SUM(o_totalprice), 6) AS revenue
+                FROM orders GROUP BY o_custkey) r
+              JOIN customer ON o_custkey = c_custkey)
+            WHERE rk <= 10
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS digest, CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_norm": """
+            SELECT md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS digest,
+                   CAST(MIN(doc_id) AS BIGINT) AS keeper_id, COUNT(*) AS n_copies
+            FROM documents
+            GROUP BY md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+                   ROUND(length(text)::DOUBLE / GREATEST(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS mean_word_len,
+                   ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / GREATEST(length(text), 1), 6) AS alpha_ratio,
+                   ROUND(length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE / GREATEST(length(text), 1), 6) AS space_ratio,
+                   CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_distinct_words
+            FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est
+            FROM documents
+        """,
+        "langid": """
+            WITH w AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words FROM documents
+            ), s AS (
+              SELECT doc_id,
+                len(list_filter(words, x -> x IN ('the','and','of','to','in','is','that','for','with','on')))::DOUBLE
+                  / GREATEST(len(words), 1) AS score_en,
+                len(list_filter(words, x -> x IN ('der','die','und','das','ist','nicht','mit','ein','von','zu')))::DOUBLE
+                  / GREATEST(len(words), 1) AS score_de,
+                len(list_filter(words, x -> x IN ('le','la','et','les','des','est','pas','pour','que','une')))::DOUBLE
+                  / GREATEST(len(words), 1) AS score_fr,
+                len(list_filter(words, x -> x IN ('el','la','de','que','los','por','con','una','del','las')))::DOUBLE
+                  / GREATEST(len(words), 1) AS score_es
+              FROM w)
+            SELECT doc_id,
+                   CASE WHEN GREATEST(score_en, score_de, score_fr, score_es) <= 0 THEN 'und'
+                        WHEN score_en = GREATEST(score_en, score_de, score_fr, score_es) THEN 'en'
+                        WHEN score_de = GREATEST(score_en, score_de, score_fr, score_es) THEN 'de'
+                        WHEN score_fr = GREATEST(score_en, score_de, score_fr, score_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred,
+                   ROUND(score_en, 6) AS score_en, ROUND(score_de, 6) AS score_de
+            FROM s
+        """,
+        "ngram_jaccard": """
+            WITH w AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words FROM documents
+            ), pos AS (
+              SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i FROM w
+            ), sh AS (
+              SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+              FROM pos
+            ), keep AS (
+              SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+            ), sh2 AS (
+              SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+                   ROUND(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+        """,
+        "embedding_topk": """
+            SELECT query_id, vec_id, cosine_r, CAST(rk AS INTEGER) AS rk
+            FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 5) AS cosine_r,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                                c.vec_id ASC) AS rk
+              FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+              CROSS JOIN embeddings c)
+            WHERE rk <= 10
+        """,
+        "char_unigram": f"""
+            WITH chars AS (
+              SELECT doc_id, upper(substr(text, i, 1)) AS c
+              FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+                    FROM documents)
+            ), filt AS (
+              SELECT doc_id, c FROM chars WHERE c IN ({aa_list})
+            ), cnt AS (
+              SELECT doc_id, c AS token, COUNT(*) AS n FROM filt GROUP BY doc_id, c
+            ), tot AS (
+              SELECT doc_id, SUM(n) AS t FROM cnt GROUP BY doc_id)
+            SELECT CAST(cnt.doc_id AS BIGINT) AS doc_id, token,
+                   ROUND(n / t, 6) AS freq
+            FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+        """,
+    }

@@ -67,7 +67,8 @@ def asof_join(
     m = F.col("__m")
     if tolerance_seconds is not None:
         within = m.isNotNull() & (
-            F.col(ts).cast("double") - m["__rts"].cast("double") <= float(tolerance_seconds)
+            F.col(ts).cast("timestamp").cast("double")
+            - m["__rts"].cast("timestamp").cast("double") <= float(tolerance_seconds)
         )
         m = F.when(within, F.col("__m"))
 

@@ -1,0 +1,341 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame pipelines designed for the 100 TB case:
+
+* exact: one hash-shuffle on the digest — the minimum possible work;
+* minhash LSH: shingle → minhash signature (one Arrow-vectorized UDF) →
+  band buckets → bucket join restricted to same-bucket candidates (no n²);
+* simhash: 64-bit signature, banded for candidate generation;
+* n-gram Jaccard: shingle explode + self-join on shingle with per-pair
+  intersection counts (only docs sharing ≥1 shingle ever meet);
+* embedding cosine: random-hyperplane LSH buckets then in-bucket verify.
+
+Every candidate-pair generator keys its shuffle on the bucket id, so skewed
+buckets (stop-shingle floods) are capped via `max_bucket_size`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_hash64(s: str) -> int:
+    """Deterministic 64-bit string hash (Python's hash() is per-process
+    randomized — useless across executors)."""
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                          "big", signed=False) & 0x7FFFFFFFFFFFFFFF
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """One row per distinct content: (digest, keeper id, dup count).
+
+    Single shuffle keyed on the digest; map-side partial agg applies."""
+    key = F.lower(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", "")) if normalize \
+        else F.col(text_col)
+    return (
+        df.select(F.md5(key).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def duplicate_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """Rows that would be dropped by exact dedup (id != keeper)."""
+    groups = exact_dedup(df, text_col, id_col, normalize)
+    key = F.lower(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", "")) if normalize \
+        else F.col(text_col)
+    with_digest = df.select(F.col(id_col), F.md5(key).alias("digest"))
+    return (
+        with_digest.join(groups, "digest")
+        .filter(F.col(id_col) != F.col("keeper_id"))
+        .select(id_col, "keeper_id")
+    )
+
+
+def _shingle_col(text_col: str, n: int):
+    """Word n-gram shingles as an array column — built-ins only (JVM-side)."""
+    words = F.split(F.lower(F.col(text_col)), "\\s+")
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                words,
+                lambda w, i: F.when(
+                    i <= F.size(words) - n,
+                    F.concat_ws(" ", F.slice(words, i + 1, n)),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>) — universal-hash minhash over word shingles.
+
+    One Arrow batch computes signatures for ~2048 docs at once."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(shingles: pd.Series) -> pd.Series:
+        out = []
+        for sh in shingles:
+            if sh is None or len(sh) == 0:
+                out.append([_MERSENNE] * n_hashes)
+                continue
+            base = np.fromiter(
+                (_stable_hash64(s) for s in sh), dtype=np.int64, count=len(sh)
+            )
+            sig = ((a[None, :] * (base[:, None] % _MERSENNE) + b[None, :])
+                   % _MERSENNE).min(axis=0)
+            out.append(sig.tolist())
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col), _sig(_shingle_col(text_col, shingle_n)).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Candidate pairs from banded minhash signatures.
+
+    Buckets bigger than `max_bucket_size` are dropped (stop-shingle floods —
+    the skew guard that keeps the bucket join from exploding at scale)."""
+    n_hashes = 64  # rows per band inferred from signature length at runtime
+    rows = (
+        sigs.select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(bands - 1)),
+                        lambda bnd: F.slice(
+                            F.col("sig"),
+                            bnd * (F.size(F.col("sig")) / bands).cast("int") + 1,
+                            (F.size(F.col("sig")) / bands).cast("int"),
+                        ),
+                    ),
+                    lambda arr: F.xxhash64(F.concat_ws(",", F.transform(arr, lambda v: v.cast("string")))),
+                )
+            ).alias("band", "bucket"),
+        )
+    )
+    counts = rows.groupBy("band", "bucket").count().filter(
+        F.col("count") <= max_bucket_size
+    )
+    rows = rows.join(F.broadcast(counts.select("band", "bucket")), ["band", "bucket"])
+    left = rows.alias("l")
+    right = rows.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col(f"l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs with estimated Jaccard ≥ threshold.
+
+    sig agreement fraction estimates Jaccard; verification stays on the
+    signatures (cheap) — swap in ngram_jaccard_pairs for exact verify."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, seed)
+    cands = minhash_lsh_candidates(sigs, id_col, bands)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    joined = (
+        cands.join(a, cands.id_a == F.col(f"a.{id_col}"))
+        .join(b, cands.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a", "id_b",
+            (
+                F.size(F.filter(
+                    F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                    lambda m: m,
+                )) / F.size(F.col("a.sig"))
+            ).alias("est_jaccard"),
+        )
+    )
+    return joined.filter(F.col("est_jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Exact word-shingle Jaccard for all pairs sharing ≥1 shingle.
+
+    |A∩B| via self-join on shingle (shuffle keyed on shingle; shingles more
+    frequent than `max_shingle_freq` dropped as stop-shingles), |A∪B| =
+    |A|+|B|−|A∩B|."""
+    sh = df.select(
+        F.col(id_col), F.explode(_shingle_col(text_col, shingle_n)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
+    sh = sh.join(F.broadcast(freq.select("shingle")), "shingle")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """64-bit SimHash over word shingles (weighted bit-vote), one UDF pass."""
+
+    @pandas_udf(LongType())
+    def _sim(shingles: pd.Series) -> pd.Series:
+        out = np.zeros(len(shingles), dtype=np.int64)
+        for i, sh in enumerate(shingles):
+            if sh is None or len(sh) == 0:
+                continue
+            hs = np.fromiter((_stable_hash64(s) for s in sh), dtype=np.int64,
+                             count=len(sh))
+            bits = ((hs[:, None] >> np.arange(64)[None, :]) & 1) * 2 - 1
+            out[i] = int(
+                ((bits.sum(axis=0) > 0).astype(np.uint64)
+                 << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+                .astype(np.int64)
+            )
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _sim(_shingle_col(text_col, shingle_n)).alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, shingle_n: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4 × 16-bit keys —
+    any pair within Hamming ≤ 3 shares at least one exact band — then
+    verify Hamming distance in-bucket."""
+    sigs = simhash_signatures(df, text_col, id_col, shingle_n)
+    banded = sigs.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ])).alias("band", "key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold.
+
+    Random-hyperplane LSH (n_planes signs → one bucket key) prunes to
+    same-bucket candidates; exact cosine verifies.  For recall-critical use,
+    union several plane sets (seed+i)."""
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+
+    @pandas_udf(LongType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (m @ planes.T) > 0
+        keys = (signs.astype(np.int64) << np.arange(n_planes)[None, :]).sum(axis=1)
+        return pd.Series(keys)
+
+    with_b = df.select(F.col(id_col), F.col(vec_col), _bucket(F.col(vec_col)).alias("bucket"))
+    a, b = with_b.alias("a"), with_b.alias("b")
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (dot / (norm(F.col(f"a.{vec_col}")) * norm(F.col(f"b.{vec_col}")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -22,9 +22,11 @@ def sessionize(
     ``session_col`` string key ``{entity}#{index}``."""
     w = Window.partitionBy(on).orderBy(F.col(ts).asc())
     prev = F.lag(F.col(ts)).over(w)
+    # cast via TIMESTAMP → double epoch; works for both NTZ and LTZ inputs
+    # (gap is a difference, so the session-timezone offset cancels)
+    ep = lambda c: c.cast("timestamp").cast("double")
     new_sess = F.when(
-        prev.isNull()
-        | (F.col(ts).cast("double") - prev.cast("double") > float(gap_seconds)),
+        prev.isNull() | (ep(F.col(ts)) - ep(prev) > float(gap_seconds)),
         1,
     ).otherwise(0)
     run = Window.partitionBy(on).orderBy(F.col(ts).asc()).rowsBetween(

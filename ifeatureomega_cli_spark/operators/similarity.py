@@ -1,0 +1,133 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set, one
+pass over the corpus, per-group top-k window.  Scale path: IVF — partition
+the corpus into `n_cells` Voronoi cells around seeded centroids (one
+pandas-UDF assign pass), search only the `n_probe` closest cells per query.
+All corpus-side work stays distributed; only centroids and queries are
+broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import IntegerType
+
+from ifeatureomega_cli_spark.operators.topk import top_k_per_group
+
+
+def _cosine_expr(a, b):
+    # compute in float64 regardless of storage type (array<float> parquet)
+    a = F.transform(a, lambda x: x.cast("double"))
+    b = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus scan, window top-k.
+
+    JVM-side throughout (F.aggregate/zip_with — no Python in the hot path)."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        _cosine_expr(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+    )
+    return top_k_per_group(scored, [query_id_col], "cosine", k,
+                           descending=True, tie_breakers=[id_col])
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 32,
+    sample: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Mini k-means on a seeded driver sample → (n_cells, dim) centroids."""
+    rows = (
+        corpus.select(vec_col).sample(False, 1.0, seed).limit(sample).collect()
+    )
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[c] = v / (np.linalg.norm(v) + 1e-12)
+    return C
+
+
+def ivf_assign(
+    corpus: DataFrame, centroids: np.ndarray, vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Attach nearest-centroid cell id (one Arrow pass; write this out
+    partitioned by cell for repeated querying)."""
+    C = centroids
+
+    @pandas_udf(IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+        return pd.Series((m @ C.T).argmax(axis=1).astype(np.int32))
+
+    return corpus.withColumn(cell_col, _assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus_with_cells: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_probe: int = 4,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """ANN top-k probing only the n_probe nearest cells per query.
+
+    The (query → probe cells) map is tiny and broadcast; the join prunes the
+    corpus scan to matching cells (partition pruning if written by cell)."""
+    C = centroids
+
+    @pandas_udf("array<int>")
+    def _probes(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+        order = np.argsort(-(m @ C.T), axis=1)[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec"),
+        F.explode(_probes(F.col(vec_col))).alias(cell_col),
+    )
+    scored = corpus_with_cells.join(F.broadcast(q), cell_col).select(
+        F.col(query_id_col), F.col(id_col),
+        _cosine_expr(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+    )
+    return top_k_per_group(scored, [query_id_col], "cosine", k,
+                           descending=True, tie_breakers=[id_col])
