@@ -1,0 +1,104 @@
+"""FASTA ingest parity vs reference-pinned tokens; analysis + sinks smoke."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ifeatureomega_cli_spark.sources.fasta import (
+    attach_labels, length_stats, read_fasta)
+
+from tests.conftest import FIXDIR
+
+
+def test_read_fasta_matches_reference_tokens(spark):
+    """Ingesting the reference's own peptide example must reproduce the
+    pinned tokenized table exactly (ids, labels, purposes, token arrays)."""
+    df = read_fasta(spark, "/root/reference/data_examples/peptide_sequences.txt",
+                    seq_type="protein").toPandas().set_index("doc_id")
+    ref = pd.read_parquet(os.path.join(FIXDIR, "peptide_tokens.parquet")).set_index("doc_id")
+    assert sorted(df.index) == sorted(ref.index)
+    for d in ref.index:
+        assert np.array_equal(np.asarray(df.loc[d, "tokens"]),
+                              np.asarray(ref.loc[d, "tokens"])), d
+        assert df.loc[d, "label"] == ref.loc[d, "label"]
+        assert df.loc[d, "purpose"] == ref.loc[d, "purpose"]
+
+
+def test_read_fasta_dna_sniff(spark):
+    df = read_fasta(spark, "/root/reference/data_examples/DNA_sequences.txt")
+    ref = pd.read_parquet(os.path.join(FIXDIR, "dna_tokens.parquet")).set_index("doc_id")
+    got = df.toPandas().set_index("doc_id")
+    assert len(got) == len(ref)
+    for d in list(ref.index)[:20]:
+        assert np.array_equal(np.asarray(got.loc[d, "tokens"]),
+                              np.asarray(ref.loc[d, "tokens"])), d
+
+
+def test_length_stats(spark):
+    df = read_fasta(spark, "/root/reference/data_examples/peptide_sequences.txt",
+                    seq_type="protein")
+    st = length_stats(df)
+    assert st["is_equal"] and st["minimum_length"] == 31 == st["maximum_length"]
+
+
+def test_attach_labels(spark):
+    df = read_fasta(spark, "/root/reference/data_examples/peptide_sequences.txt",
+                    seq_type="protein")
+    labels = df.select("doc_id").withColumn("label", F.lit("1"))
+    out = attach_labels(df, labels)
+    assert out.filter(F.col("label") == "1").count() == df.count()
+
+
+def test_analysis_ops(spark):
+    from ifeatureomega_cli_spark.analysis import kmeans, minmax, pca, zscore
+    from ifeatureomega_cli_spark.functions.extract import extract
+
+    sdf = spark.read.parquet(os.path.join(FIXDIR, "peptide_tokens.parquet"))
+    feat = extract(sdf, "protein:AAC").select("doc_id", "features")
+    km = kmeans(feat, 3)
+    assert km.select("cluster").distinct().count() <= 3
+    p = pca(feat, 4)
+    assert len(p.select("pca_features").head()[0]) == 4
+    z = zscore(feat)
+    arr = np.array(z.select("scaled_features").toPandas()["scaled_features"].tolist())
+    assert abs(arr.mean(axis=0)).max() < 1e-6
+    mm = minmax(feat)
+    arr2 = np.array(mm.select("scaled_features").toPandas()["scaled_features"].tolist())
+    assert arr2.min() >= -1e-9 and arr2.max() <= 1 + 1e-9
+
+
+def test_sinks(spark, tmp_path):
+    from ifeatureomega_cli_spark.functions.extract import extract
+    from ifeatureomega_cli_spark.sinks import write_arff, write_csv, write_svm
+
+    sdf = spark.read.parquet(os.path.join(FIXDIR, "peptide_tokens.parquet"))
+    feat = extract(sdf, "protein:AAC").select("doc_id", "label", "features")
+    write_csv(feat, str(tmp_path / "csv"))
+    write_svm(feat, str(tmp_path / "svm"))
+    write_arff(feat, str(tmp_path / "arff"))
+    csv = spark.read.option("header", True).csv(str(tmp_path / "csv"))
+    assert csv.count() == 300 and len(csv.columns) == 22
+    svm_line = spark.read.text(str(tmp_path / "svm")).head()[0]
+    assert ":" in svm_line
+    arff = [r[0] for r in spark.read.text(str(tmp_path / "arff")).collect()]
+    assert any(line.startswith("@relation") for line in arff)
+    assert sum(1 for line in arff if line and not line.startswith("@")) == 300
+
+
+def test_multimodal_stub(spark):
+    from ifeatureomega_cli_spark.operators.multimodal import (
+        extract_media_features, synthesize_media)
+
+    media = synthesize_media(spark, n=32)
+    out = extract_media_features(media, out_dim=8).toPandas()
+    assert len(out) == 32
+    assert all(len(f) == 8 for f in out["feature"])
+    # deterministic: same payload → same digest/feature
+    out2 = extract_media_features(synthesize_media(spark, n=32), out_dim=8).toPandas()
+    assert (out.sort_values("media_id")["digest"].to_numpy()
+            == out2.sort_values("media_id")["digest"].to_numpy()).all()
