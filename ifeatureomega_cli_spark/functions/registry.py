@@ -843,20 +843,20 @@ def _mk_ctdt(cfg, L):
         rs = r.strip(PGAP)
         pos = np.arange(len(rs.flat)) - np.repeat(rs.offsets[:-1], rs.lengths)
         rl = np.repeat(rs.lengths, rs.lengths)
-        ok = pos + 1 < rl
-        idx = np.nonzero(ok)[0]
+        idx = np.nonzero(pos + 1 < rl)[0]
         rid = rs.row_ids()[idx]
         npairs = np.maximum(rs.lengths - 1, 1).astype(np.float64)
         blocks = []
         for p in range(13):
             g = groups[p][rs.flat]
-            a, b = g[idx], g[idx + 1]
-            tr1221 = ((a == 0) & (b == 1)) | ((a == 1) & (b == 0))
-            tr1331 = ((a == 0) & (b == 2)) | ((a == 2) & (b == 0))
-            tr2332 = ((a == 1) & (b == 2)) | ((a == 2) & (b == 1))
+            # one segmented bincount over the 9 ordered pair classes,
+            # transitions read off the (n, 3, 3) count cube
+            cls = g[idx] * 3 + g[idx + 1]
+            c = np.bincount(rid * 9 + cls, minlength=rs.n * 9).reshape(rs.n, 3, 3)
             out = np.stack([
-                np.bincount(rid, weights=tr.astype(np.float64), minlength=rs.n) / npairs
-                for tr in (tr1221, tr1331, tr2332)
+                (c[:, 0, 1] + c[:, 1, 0]) / npairs,
+                (c[:, 0, 2] + c[:, 2, 0]) / npairs,
+                (c[:, 1, 2] + c[:, 2, 1]) / npairs,
             ], axis=1)
             blocks.append(out)
         return np.concatenate(blocks, axis=1)

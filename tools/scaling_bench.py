@@ -1,0 +1,185 @@
+"""Two-parallelism scaling benchmark — the sandbox proxy for the N → 4N
+executor criterion (BASELINE.md).
+
+Protocol: the same job at local[N] and local[4N] in fresh JVMs, measured at
+steady state (first run warms python workers / JIT / page cache; the second
+run is reported).  Primary pair N=4 → 4N=16; the 8 → 32 pair is also
+reported together with the machine's own pure-CPU scaling ceiling at that
+pair (this VM's 32 hardware threads deliver only ~3.2× the throughput of 8
+— HT + shared memory bandwidth — so 0.80 is the physical ceiling there and
+ceiling-relative efficiency is the honest number).
+
+Workloads:
+  A descriptors — fused 10-descriptor Arrow/numpy extract (compute-heavy,
+    small-output archetypes: composition, CTD, autocorrelation, pseudo-
+    composition) over a 400k-row synthetic token table, written to noop;
+  B temporal — sessionize + point-in-time as-of join over a ~19M-row
+    revision table (shuffle/sort bound).
+
+Usage:
+  python tools/scaling_bench.py --run --cpus 8       # one measurement (JSON)
+  python tools/scaling_bench.py                      # full protocol → BENCH/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, ".cache")
+
+N_DOCS_A = int(os.environ.get("SCALE_BENCH_DOCS", "400000"))
+N_DOCS_B = int(os.environ.get("SCALE_BENCH_REV_DOCS", "150000"))
+AMPLIFY_B = int(os.environ.get("SCALE_BENCH_AMPLIFY", "12"))
+
+DESCS = ["protein:AAC", "protein:CTDT", "protein:CTDD", "protein:Moran",
+         "protein:Geary", "protein:NMBroto", "protein:QSOrder",
+         "protein:PAAC", "protein:APAAC", "protein:SOCNumber"]
+
+
+def _prepare(spark):
+    from ifeatureomega_cli_spark.data.synth import (
+        feature_requests, sequence_revisions, sequences)
+
+    seq_path = os.path.join(CACHE, f"scale_seqs_{N_DOCS_A}")
+    if not os.path.isdir(seq_path):
+        sequences(spark, N_DOCS_A, partitions=64).write.mode("overwrite").parquet(seq_path)
+    rev_path = os.path.join(CACHE, f"scale_revs_{N_DOCS_B}")
+    if not os.path.isdir(rev_path):
+        sequence_revisions(spark, N_DOCS_B, partitions=64).write.mode(
+            "overwrite").parquet(rev_path)
+    req_path = os.path.join(CACHE, f"scale_reqs_{N_DOCS_B}")
+    if not os.path.isdir(req_path):
+        feature_requests(spark, N_DOCS_B, partitions=64).write.mode(
+            "overwrite").parquet(req_path)
+    return seq_path, rev_path, req_path
+
+
+def _amplified(df, times: int):
+    from pyspark.sql import functions as F
+
+    out = df
+    for i in range(1, times):
+        out = out.unionByName(
+            df.withColumn("doc_id", F.concat(F.col("doc_id"), F.lit(f"#{i}")))
+        )
+    return out
+
+
+def run_one(cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from ifeatureomega_cli_spark.functions.extract import extract_many
+    from ifeatureomega_cli_spark.operators.asof import asof_join
+    from ifeatureomega_cli_spark.operators.sessionize import session_stats
+    from ifeatureomega_cli_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=64,
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "4m",
+                                  "spark.sql.files.openCostInBytes": "1m"})
+    spark.sparkContext.setLogLevel("ERROR")
+    seq_path, rev_path, req_path = _prepare(spark)
+
+    # -- A: descriptor extraction (steady state: 2 runs, report 2nd) ----
+    seqs = spark.read.parquet(seq_path)
+    out_cols = [d.split(":")[1].replace(" ", "_") for d in DESCS]
+    t_desc = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = extract_many(seqs, DESCS)
+        out.select("doc_id", *out_cols).write.mode("overwrite").format("noop").save()
+        t_desc = time.perf_counter() - t0
+
+    # -- B: temporal (sessionize + as-of) ------------------------------
+    revs = _amplified(
+        spark.read.parquet(rev_path).select("doc_id", "ts", "n_tok"), AMPLIFY_B
+    ).repartition(64).cache()
+    reqs = _amplified(spark.read.parquet(req_path), AMPLIFY_B).repartition(64).cache()
+    n_rev = revs.count()
+    n_req = reqs.count()
+    t_temporal = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        session_stats(revs, 3600, on="doc_id", ts="ts", value="n_tok").count()
+        asof_join(reqs, revs, on="doc_id", ts="ts", value_cols=["n_tok"]).count()
+        t_temporal = time.perf_counter() - t0
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "desc_seconds": round(t_desc, 3),
+        "desc_vectors": N_DOCS_A * len(DESCS),
+        "desc_vectors_per_sec": round(N_DOCS_A * len(DESCS) / t_desc, 1),
+        "temporal_seconds": round(t_temporal, 3),
+        "temporal_rows": n_rev + n_req,
+        "temporal_rows_per_sec": round((n_rev + n_req) / t_temporal, 1),
+    }
+
+
+def _cpu_ceiling(n: int, n4: int) -> float:
+    """Pure-CPU throughput ratio (4N procs vs N procs) on this machine."""
+    from multiprocessing import Pool
+
+    def burn(_):
+        x = 0
+        for i in range(6_000_000):
+            x += i * i
+        return 0
+
+    rates = {}
+    for np_ in (n, n4):
+        with Pool(np_) as p:
+            p.map(burn, range(np_))
+            t0 = time.perf_counter()
+            p.map(burn, range(np_ * 3))
+            rates[np_] = np_ * 3 / (time.perf_counter() - t0)
+    return rates[n4] / rates[n] / 4
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run", action="store_true")
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+    if args.run:
+        print(json.dumps(run_one(args.cpus)))
+        return
+
+    results = {}
+    for cpus in (4, 16, 8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run", "--cpus", str(cpus)],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        print(results[cpus])
+
+    def eff(a, b, key):
+        return round((results[a][key] / results[b][key]) / 4, 3)
+
+    report = {
+        "runs": {str(k): v for k, v in results.items()},
+        "pair_4_to_16": {
+            "eff_descriptors": eff(4, 16, "desc_seconds"),
+            "eff_temporal": eff(4, 16, "temporal_seconds"),
+        },
+        "pair_8_to_32": {
+            "eff_descriptors": eff(8, 32, "desc_seconds"),
+            "eff_temporal": eff(8, 32, "temporal_seconds"),
+            "machine_pure_cpu_ceiling": round(_cpu_ceiling(8, 32), 3),
+        },
+    }
+    print(json.dumps(report))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
