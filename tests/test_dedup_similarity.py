@@ -1,0 +1,106 @@
+"""Recall tests for the dedup / similarity operators on planted duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """120 base docs + 30 near-duplicates (small word edits) + 10 exact."""
+    rng = np.random.RandomState(7)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+             "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+             "oscar", "papa", "quebec", "romeo", "sierra", "tango"]
+    rows = []
+    texts = []
+    for i in range(120):
+        words = [vocab[rng.randint(len(vocab))] for _ in range(60)]
+        texts.append(words)
+        rows.append((i, " ".join(words)))
+    for j in range(30):  # near-dup: mutate 3 of 60 words
+        base = texts[j][:]
+        for _ in range(3):
+            base[rng.randint(60)] = vocab[rng.randint(len(vocab))]
+        rows.append((1000 + j, " ".join(base)))
+    for j in range(10):  # exact dup
+        rows.append((2000 + j, " ".join(texts[j])))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_finds_planted(spark, planted_docs):
+    from ifeatureomega_cli_spark.operators.dedup import duplicate_docs
+
+    dups = duplicate_docs(planted_docs).toPandas()
+    assert set(dups["doc_id"]) == {2000 + j for j in range(10)}
+    assert (dups["keeper_id"] < 120).all()
+
+
+def test_minhash_recall(spark, planted_docs):
+    from ifeatureomega_cli_spark.operators.dedup import minhash_dedup
+
+    pairs = minhash_dedup(planted_docs, threshold=0.5).toPandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    expected = {(j, 1000 + j) for j in range(30)}
+    recall = len(found & expected) / len(expected)
+    assert recall >= 0.8, f"minhash recall {recall}"
+    exact = {(j, 2000 + j) for j in range(10)}
+    assert len(found & exact) == 10
+
+
+def test_ngram_jaccard_exact_values(spark, planted_docs):
+    from ifeatureomega_cli_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(planted_docs, shingle_n=3, threshold=0.4).toPandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    exact = {(j, 2000 + j) for j in range(10)}
+    assert exact <= found
+    ex = pairs[(pairs["id_a"] < 120) & (pairs["id_b"] >= 2000)]
+    assert np.allclose(ex["jaccard"], 1.0)
+
+
+def test_simhash_finds_exact_dups(spark, planted_docs):
+    from ifeatureomega_cli_spark.operators.dedup import simhash_dup_pairs
+
+    pairs = simhash_dup_pairs(planted_docs, max_hamming=3).toPandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    exact = {(j, 2000 + j) for j in range(10)}
+    assert exact <= found
+    assert (pairs[pairs["id_b"] >= 2000]["hamming"] == 0).all()
+
+
+def test_embedding_dup_pairs(spark):
+    from ifeatureomega_cli_spark.operators.dedup import embedding_dup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(50, 16))
+    rows = [(i, base[i].tolist()) for i in range(50)]
+    # planted near-dups: tiny perturbations
+    for j in range(10):
+        rows.append((100 + j, (base[j] + rng.normal(scale=0.01, size=16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_dup_pairs(df, threshold=0.99, n_planes=8).toPandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    expected = {(j, 100 + j) for j in range(10)}
+    recall = len(found & expected) / 10
+    assert recall >= 0.7, f"embedding LSH recall {recall}"
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from ifeatureomega_cli_spark.operators.similarity import (
+        brute_force_topk, ivf_assign, ivf_topk, train_ivf_centroids)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, k=10).toPandas()
+    cents = train_ivf_centroids(emb, n_cells=8)
+    ann = ivf_topk(ivf_assign(emb, cents), queries, cents, k=10, n_probe=3).toPandas()
+    recalls = []
+    for q in range(10):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(ann[ann["query_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, f"IVF mean recall {np.mean(recalls)}"
