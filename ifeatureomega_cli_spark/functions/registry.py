@@ -685,12 +685,16 @@ def _register_autocorr(name: str, kind: str, prop_src, header_fn, ref: str):
         nlag = cfg["nlag"]
         table = prop_src(props)  # (P, 21)
 
+        need = {"broto": ("raw",), "ac": ("cen",),
+                "moran": ("cen", "ssq"), "geary": ("diffsq", "ssq")}[kind]
+
         def kern(r: Ragged):
             rs = r.strip(PGAP)
+            ws = K.LagWorkspace(rs, nlag)
             blocks = []
             for p in range(table.shape[0]):
                 x = table[p][rs.flat]
-                st = K.lag_stats(x, rs, nlag)
+                st = ws.stats(x, need)
                 if kind == "broto":
                     v = st["raw"]
                 elif kind == "ac":

@@ -36,7 +36,7 @@ CACHE = os.path.join(REPO, ".cache")
 
 N_DOCS_A = int(os.environ.get("SCALE_BENCH_DOCS", "400000"))
 N_DOCS_B = int(os.environ.get("SCALE_BENCH_REV_DOCS", "150000"))
-AMPLIFY_B = int(os.environ.get("SCALE_BENCH_AMPLIFY", "12"))
+AMPLIFY_B = int(os.environ.get("SCALE_BENCH_AMPLIFY", "24"))
 
 DESCS = ["protein:AAC", "protein:CTDT", "protein:CTDD", "protein:Moran",
          "protein:Geary", "protein:NMBroto", "protein:QSOrder",
@@ -122,16 +122,18 @@ def run_one(cpus: int) -> dict:
     }
 
 
+def _burn(_):
+    x = 0
+    for i in range(6_000_000):
+        x += i * i
+    return 0
+
+
 def _cpu_ceiling(n: int, n4: int) -> float:
     """Pure-CPU throughput ratio (4N procs vs N procs) on this machine."""
     from multiprocessing import Pool
 
-    def burn(_):
-        x = 0
-        for i in range(6_000_000):
-            x += i * i
-        return 0
-
+    burn = _burn
     rates = {}
     for np_ in (n, n4):
         with Pool(np_) as p:
