@@ -1,0 +1,69 @@
+"""Façade API parity + non-default parameter variants vs the reference."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import FIXDIR
+
+VAR_DIR = os.path.join(FIXDIR, "golden_params")
+
+# (descriptor, params) variants pinned by tools/make_golden_params.py
+VARIANTS = [
+    ("CKSAAP type 1", {"kspace": 5}),
+    ("EAAC", {"sliding_window": 3}),
+    ("PAAC", {"lambdaValue": 5, "weight": 0.1}),
+    ("QSOrder", {"nlag": 5, "weight": 0.1}),
+    ("KSCTriad", {"kspace": 1}),
+    ("PseKRAAC type 2", {"PseKRAAC_model": "lambda-correlation", "lambdaValue": 2,
+                         "k-tuple": 2, "RAAC_clust": 8}),
+    ("PseKRAAC type 5", {"PseKRAAC_model": "g-gap", "g-gap": 1, "k-tuple": 3,
+                         "RAAC_clust": 15}),
+    ("DistancePair", {"distance": 2, "cp": "cp(14)"}),
+    ("NMBroto", {"nlag": 5, "aaindex": "ANDN920101;ARGP820101"}),
+]
+
+
+def _slug(desc, params):
+    flat = "_".join(f"{k}{v}" for k, v in sorted(params.items()))
+    return f"pv__{desc}__{flat}".replace(" ", "_").replace("(", "").replace(")", "")
+
+
+@pytest.mark.parametrize("desc,params", VARIANTS,
+                         ids=[v[0] + str(i) for i, v in enumerate(VARIANTS)])
+def test_param_variant_matches_reference(spark, desc, params):
+    gpath = os.path.join(VAR_DIR, _slug(desc, params) + ".parquet")
+    if not os.path.exists(gpath):
+        pytest.skip("variant golden missing — run tools/make_golden_params.py")
+    from ifeatureomega_cli_spark.api import ProteinDataset
+
+    ds = ProteinDataset(spark, os.path.join(FIXDIR, "peptide_tokens.parquet"))
+    out = ds.get_descriptor(desc, params).select("doc_id", "features").toPandas()
+    gold = pd.read_parquet(gpath)
+    got = np.array(out.set_index("doc_id").loc[gold["doc_id"]]["features"].tolist())
+    exp = np.array(gold["features"].tolist())
+    assert got.shape == exp.shape, (got.shape, exp.shape)
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+    # names arity must match values
+    assert len(ds.feature_names(desc, params)) == got.shape[1]
+
+
+def test_facade_workflow(spark, tmp_path):
+    """The reference's documented workflow, Spark-side."""
+    from ifeatureomega_cli_spark.api import ProteinDataset
+
+    p = ProteinDataset(spark, "/root/reference/data_examples/peptide_sequences.txt")
+    assert p.import_parameters("/root/reference/parameters/Protein_parameters_setting.json")
+    df = p.get_descriptor("AAC")
+    mat = p.to_pandas_matrix(df, "AAC")
+    assert mat.shape == (300, 20) and mat.columns[0] == "AAC_A"
+    gold = pd.read_parquet(os.path.join(FIXDIR, "golden", "protein__AAC.parquet"))
+    exp = np.array(gold["features"].tolist())
+    assert np.allclose(mat.loc[gold["doc_id"]].to_numpy(), exp)
+    p.to_csv(df, str(tmp_path / "enc"), name="AAC")
+    types = p.display_feature_types()
+    assert "AAC" in types and len(types) > 60

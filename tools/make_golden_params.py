@@ -1,0 +1,66 @@
+"""Pin golden fixtures for NON-default parameter variants (protein).
+
+Exercises the parameter-dependent code paths (kspace, windows, lambda,
+PseKRAAC models, DistancePair reduced alphabets) that the default-param
+goldens cannot.  Variant list mirrors tests/test_api_params.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.reference_loader import load_reference  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "tests", "fixtures", "golden_params")
+
+VARIANTS = [
+    ("CKSAAP type 1", {"kspace": 5}),
+    ("EAAC", {"sliding_window": 3}),
+    ("PAAC", {"lambdaValue": 5, "weight": 0.1}),
+    ("QSOrder", {"nlag": 5, "weight": 0.1}),
+    ("KSCTriad", {"kspace": 1}),
+    ("PseKRAAC type 2", {"PseKRAAC_model": "lambda-correlation", "lambdaValue": 2,
+                         "k-tuple": 2, "RAAC_clust": 8}),
+    ("PseKRAAC type 5", {"PseKRAAC_model": "g-gap", "g-gap": 1, "k-tuple": 3,
+                         "RAAC_clust": 15}),
+    ("DistancePair", {"distance": 2, "cp": "cp(14)"}),
+    ("NMBroto", {"nlag": 5, "aaindex": "ANDN920101;ARGP820101"}),
+]
+
+
+def _slug(desc, params):
+    flat = "_".join(f"{k}{v}" for k, v in sorted(params.items()))
+    return f"pv__{desc}__{flat}".replace(" ", "_").replace("(", "").replace(")", "")
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    ref = load_reference()
+    for desc, params in VARIANTS:
+        obj = ref.iProtein("/root/reference/data_examples/peptide_sequences.txt")
+        obj.import_parameters("/root/reference/parameters/Protein_parameters_setting.json")
+        pd_ = getattr(obj, "_iProtein__default_para_dict")
+        pd_.setdefault(desc, {})
+        pd_[desc] = {**pd_[desc], **params}
+        obj.encodings = None
+        obj.error_msg = ""
+        obj.get_descriptor(desc)
+        if obj.encodings is None:
+            print(f"  SKIP {desc} {params}: {obj.error_msg}")
+            continue
+        enc = obj.encodings
+        feat = enc.to_numpy(dtype=np.float64)
+        pd.DataFrame({"doc_id": enc.index.astype(str),
+                      "features": list(map(list, feat))}).to_parquet(
+            os.path.join(OUT, _slug(desc, params) + ".parquet"), index=False)
+        print(f"  wrote {desc} {params} shape={enc.shape}")
+
+
+if __name__ == "__main__":
+    main()
