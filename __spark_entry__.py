@@ -295,7 +295,10 @@ def q_minhash_dedup(spark, sf_dir):
     """MinHash-LSH near-dup pairs (no SQL oracle — rows-only check)."""
     from ifeatureomega_cli_spark.operators.dedup import minhash_dedup
 
-    out = minhash_dedup(_docs(spark, sf_dir), threshold=0.5)
+    # bands=8 (8 rows/band) suits the 0.8 near-dup regime; the synthetic
+    # corpus has ~0.5 pairwise jaccard everywhere, which would flood 16-band
+    # candidate generation (LSH S-curve)
+    out = minhash_dedup(_docs(spark, sf_dir), threshold=0.8, bands=8)
     return out.select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"),
         _r(F.col("est_jaccard")).alias("est_jaccard"),
@@ -526,7 +529,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
               FROM pos
             ), keep AS (
-              SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+              SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 200
             ), sh2 AS (
               SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
             ), sizes AS (

@@ -119,19 +119,27 @@ def minhash_signatures(
 
     @pandas_udf(ArrayType(LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
+        # batch-vectorized: hash every shingle of every doc in one C pass
+        # (pandas hash_array is deterministic for a fixed hash_key), then
+        # one (S, n_hashes) modular transform + segmented min per doc
+        all_sh: list[str] = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
             sh = _py_shingles(t or "", shingle_n)
-            if not sh:
-                out.append([_MERSENNE] * n_hashes)
-                continue
-            base = np.fromiter(
-                (_stable_hash64(s) for s in sh), dtype=np.int64, count=len(sh)
-            )
-            sig = ((a[None, :] * (base[:, None] % _MERSENNE) + b[None, :])
-                   % _MERSENNE).min(axis=0)
-            out.append(sig.tolist())
-        return pd.Series(out)
+            counts[i] = len(sh)
+            all_sh.extend(sh)
+        if not all_sh:
+            return pd.Series([[_MERSENNE] * n_hashes] * len(texts))
+        base = (pd.util.hash_array(np.array(all_sh, dtype=object))
+                .view(np.int64) & 0x7FFFFFFFFFFFFFFF) % _MERSENNE
+        sigm = (a[None, :] * base[:, None] + b[None, :]) % _MERSENNE
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        out = np.full((len(texts), n_hashes), _MERSENNE, dtype=np.int64)
+        nz = counts > 0
+        red = np.minimum.reduceat(sigm, offsets[:-1][nz], axis=0)
+        # reduceat with repeated indices needs the nz filter above
+        out[nz] = red[: nz.sum()] if red.shape[0] == nz.sum() else red
+        return pd.Series(list(out))
 
     return _parallelize(df).select(
         F.col(id_col), _sig(F.col(text_col)).alias("sig")
@@ -227,7 +235,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int = 1000,
+    max_shingle_freq: int = 200,
 ) -> DataFrame:
     """Exact word-shingle Jaccard for all pairs sharing ≥1 shingle.
 
@@ -274,19 +282,24 @@ def simhash_signatures(
 
     @pandas_udf(LongType())
     def _sim(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
+        all_sh: list[str] = []
+        counts = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             sh = _py_shingles(t or "", shingle_n)
-            if not sh:
-                continue
-            hs = np.fromiter((_stable_hash64(s) for s in sh), dtype=np.int64,
-                             count=len(sh))
-            bits = ((hs[:, None] >> np.arange(64)[None, :]) & 1) * 2 - 1
-            out[i] = int(
-                ((bits.sum(axis=0) > 0).astype(np.uint64)
-                 << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
-                .astype(np.int64)
-            )
+            counts[i] = len(sh)
+            all_sh.extend(sh)
+        out = np.zeros(len(texts), dtype=np.int64)
+        if not all_sh:
+            return pd.Series(out)
+        hs = pd.util.hash_array(np.array(all_sh, dtype=object)).view(np.int64)
+        bits = ((hs[:, None] >> np.arange(64)[None, :]) & 1) * 2 - 1
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        nz = counts > 0
+        votes = np.add.reduceat(bits, offsets[:-1][nz], axis=0)
+        packed = ((votes > 0).astype(np.uint64)
+                  << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64).astype(np.int64)
+        out[nz] = packed
         return pd.Series(out)
 
     return _parallelize(df).select(F.col(id_col), _sim(F.col(text_col)).alias("simhash"))

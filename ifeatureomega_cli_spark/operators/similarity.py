@@ -31,6 +31,11 @@ def _cosine_expr(a, b):
     return dot / (na * nb)
 
 
+def _norm_expr(c):
+    c = F.transform(c, lambda x: x.cast("double"))
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -41,14 +46,25 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × corpus scan, window top-k.
 
-    JVM-side throughout (F.aggregate/zip_with — no Python in the hot path)."""
+    JVM-side throughout (F.aggregate/zip_with — no Python in the hot path);
+    norms are precomputed per side so the pair loop is one dot product."""
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col), F.col(vec_col).alias("__qvec"),
+        _norm_expr(F.col(vec_col)).alias("__qnorm"),
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+    c = corpus.withColumn("__cnorm", _norm_expr(F.col(vec_col)))
+    dot = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("__qvec"), lambda x: x.cast("double")),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        _cosine_expr(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+        (dot / (F.col("__qnorm") * F.col("__cnorm"))).alias("cosine"),
     )
     return top_k_per_group(scored, [query_id_col], "cosine", k,
                            descending=True, tie_breakers=[id_col])

@@ -68,7 +68,8 @@ def test_simhash_finds_exact_dups(spark, planted_docs):
     found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     exact = {(j, 2000 + j) for j in range(10)}
     assert exact <= found
-    assert (pairs[pairs["id_b"] >= 2000]["hamming"] == 0).all()
+    base_vs_exact = pairs[(pairs["id_a"] < 120) & (pairs["id_b"] >= 2000)]
+    assert (base_vs_exact["hamming"] == 0).all()
 
 
 def test_embedding_dup_pairs(spark):
