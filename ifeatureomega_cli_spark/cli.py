@@ -1,0 +1,131 @@
+"""CLI entry point — runnable via ``spark-submit --py-files ifos.zip cli.py``
+or ``python -m ifeatureomega_cli_spark.cli`` locally.
+
+Subcommands:
+  extract   tokenized parquet (or FASTA) → features parquet
+  asof      point-in-time join of a requests table onto a revisions table
+  sessions  sessionize an event table
+  checkpoint-extract   extract with bucketed checkpoint/resume + lineage
+
+Examples:
+  spark-submit --py-files dist/ifeatureomega_cli_spark.zip \\
+      dist/cli.py extract --input s3://bucket/tokens --descriptor protein:AAC \\
+      --output s3://bucket/features
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark(args):
+    from ifeatureomega_cli_spark.session import get_spark
+
+    return get_spark(app_name=f"ifos-{args.cmd}",
+                     master=args.master) if args.master else get_spark(
+        app_name=f"ifos-{args.cmd}")
+
+
+def cmd_extract(args) -> int:
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    if args.fasta:
+        from ifeatureomega_cli_spark.sources.fasta import read_fasta
+
+        df = read_fasta(spark, args.input)
+    else:
+        df = spark.read.parquet(args.input)
+    from ifeatureomega_cli_spark.functions.extract import extract
+
+    params = json.loads(args.params) if args.params else None
+    t0 = time.time()
+    out = extract(df, args.descriptor, params)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"rows": n, "seconds": round(time.time() - t0, 2),
+                      "descriptor": args.descriptor, "output": args.output}))
+    return 0
+
+
+def cmd_checkpoint_extract(args) -> int:
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    from ifeatureomega_cli_spark.functions.extract import extract
+    from ifeatureomega_cli_spark.plans.checkpoint import CheckpointedRun, emit_metrics
+
+    run = CheckpointedRun(spark, args.output, n_buckets=args.buckets)
+    metrics = run.run(df, lambda part: extract(part, args.descriptor))
+    emit_metrics(args.output + "/metrics.jsonl", metrics)
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_asof(args) -> int:
+    spark = _spark(args)
+    from ifeatureomega_cli_spark.operators.asof import asof_join
+
+    left = spark.read.parquet(args.left)
+    right = spark.read.parquet(args.right)
+    out = asof_join(left, right, on=args.on, ts=args.ts)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    return 0
+
+
+def cmd_sessions(args) -> int:
+    spark = _spark(args)
+    from ifeatureomega_cli_spark.operators.sessionize import session_stats
+
+    ev = spark.read.parquet(args.input)
+    out = session_stats(ev, args.gap, on=args.on, ts=args.ts)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"sessions": spark.read.parquet(args.output).count()}))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="ifeatureomega-cli-spark")
+    ap.add_argument("--master", default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("extract")
+    p.add_argument("--input", required=True)
+    p.add_argument("--descriptor", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--params", default=None, help="JSON dict of parameters")
+    p.add_argument("--fasta", action="store_true")
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("checkpoint-extract")
+    p.add_argument("--input", required=True)
+    p.add_argument("--descriptor", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--buckets", type=int, default=16)
+    p.set_defaults(fn=cmd_checkpoint_extract)
+
+    p = sub.add_parser("asof")
+    p.add_argument("--left", required=True)
+    p.add_argument("--right", required=True)
+    p.add_argument("--on", default="doc_id")
+    p.add_argument("--ts", default="ts")
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_asof)
+
+    p = sub.add_parser("sessions")
+    p.add_argument("--input", required=True)
+    p.add_argument("--gap", type=float, default=1800.0)
+    p.add_argument("--on", default="user_id")
+    p.add_argument("--ts", default="ts")
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_sessions)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

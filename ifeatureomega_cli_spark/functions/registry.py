@@ -665,7 +665,7 @@ def _aaindex_pickle_props(prop_names: list[str]) -> np.ndarray:
     import numpy as _np
 
     z = LK._npz("phyche_AAindex.npz")["values"]
-    names = _json.load(open(_os.path.join(LK.RES, "phyche_AAindex_names.json")))
+    names = LK._json("phyche_AAindex_names.json")
     alt = AA_ALT
     perm = [alt.index(c) for c in AA]
     idx = [names.index(p) for p in prop_names]
@@ -977,20 +977,9 @@ register(DescriptorSpec(
 
 def _dist_matrices():
     """(schneider, grantham) 20×20 squared-distance matrices in canonical
-    token order, parsed from resources/ data files."""
-    import numpy as _np
-
-    def parse(fname, order):
-        path = _os.path.join(LK.RES, fname)
-        with open(path) as f:
-            f.readline()
-            rows = [[float(x) for x in line.split()[1:]] for line in f if line.strip()]
-        m = _np.array(rows)
-        perm = [order.index(c) for c in AA]
-        return m[perm][:, perm]
-
-    sw = parse("Schneider-Wrede.txt", "ACDEFGHIKLMNPQRSTVWY")
-    gm = parse("Grantham.txt", AA_ALT)
+    token order, parsed from packaged data files."""
+    sw = LK.matrix_file("Schneider-Wrede.txt", "ACDEFGHIKLMNPQRSTVWY")
+    gm = LK.matrix_file("Grantham.txt", AA_ALT)
     return sw, gm
 
 
@@ -1067,17 +1056,9 @@ register(DescriptorSpec(
 def _paac_props(n_props: int | None = None):
     """PAAC.txt property rows z-normalized (population std over the 20 AAs),
     permuted to canonical token order.  Returns (names, (P, 20))."""
-    path = _os.path.join(LK.RES, "PAAC.txt")
-    with open(path) as f:
-        header = f.readline().rstrip("\n").split("\t")[1:]
-        names, rows = [], []
-        for line in f:
-            if not line.strip():
-                continue
-            parts = line.rstrip("\n").split("\t")
-            names.append(parts[0])
-            rows.append([float(x) for x in parts[1:]])
-    v = np.array(rows)
+    header, names, v = LK.paac_table()
+    names = list(names)
+    v = v.copy()
     if n_props is not None:
         v = v[:n_props]
         names = names[:n_props]
@@ -1200,7 +1181,7 @@ register(DescriptorSpec(
 def _phyche(fname: str, prop_names: list[str] | None = None, znorm: bool = False):
     """Property matrix (P, 4^k) from a pickled-phyche npz resource."""
     z = LK._npz(f"phyche_{fname}.npz")["values"]
-    names = _json.load(open(_os.path.join(LK.RES, f"phyche_{fname}_names.json")))
+    names = LK._json(f"phyche_{fname}_names.json")
     if prop_names is None:
         idx = list(range(len(names)))
         sel = names
@@ -1876,12 +1857,16 @@ def _register_rna_autocorr(name: str, kind: str, ref: str):
         dna_cfg = {"Di-DNA-Phychem": cfg["Di-RNA-Phychem"], "nlag": nlag}
         kern_dna = None
 
+        need = {"broto": ("raw",), "moran": ("cen", "headssq"),
+                "geary": ("diffsq", "headssq")}[kind]
+
         def kern(r: Ragged):
             rs = r.strip(DGAP)
+            ids, r2 = K.gram_view(rs, 4, 2)
+            ws = K.LagWorkspace(r2, nlag)
             blocks = []
             for p in range(v.shape[0]):
-                x, r2 = _gram_prop_series(rs, 2, v[p])
-                st = K.lag_stats(x, r2, nlag)
+                st = ws.stats(v[p][ids], need)
                 Nl = st["lengths"][:, None]
                 d = np.arange(1, nlag + 1)[None, :]
                 if kind == "broto":
@@ -1995,7 +1980,7 @@ _register_rna_pse("PseKNC", False, "iFeatureOmegaCLI.py:8716-8745",
 
 
 def _dp_table(cp: str):
-    d = _json.load(open(_os.path.join(LK.RES, "distancepair.json")))[cp]
+    d = LK._json("distancepair.json")[cp]
     classes = d["classes"]
     gmap = np.full(21, len(classes), dtype=np.int64)
     gmap[:20] = d["groups"]
@@ -2046,7 +2031,7 @@ register(DescriptorSpec(
 
 
 def _psekraac_meta(t: str, clust: int):
-    d = _json.load(open(_os.path.join(LK.RES, "psekraac.json")))[f"{t}|{clust}"]
+    d = LK._json("psekraac.json")[f"{t}|{clust}"]
     gmap = np.full(21, len(d["gnames"]), dtype=np.int64)
     gmap[:20] = d["groups"]
     return d["ttype"], d["gnames"], gmap
