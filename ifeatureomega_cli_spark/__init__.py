@@ -16,17 +16,22 @@ From-scratch engine with the descriptor capabilities of iFeatureOmega-CLI
 """
 
 from ifeatureomega_cli_spark.session import get_spark
-from ifeatureomega_cli_spark.functions.extract import extract, feature_names
+from ifeatureomega_cli_spark.functions.extract import extract, extract_many, feature_names
 from ifeatureomega_cli_spark.functions.registry import DESCRIPTORS, descriptor_names
 from ifeatureomega_cli_spark.operators.asof import asof_join
 from ifeatureomega_cli_spark.operators.fill import backfill, ffill
 from ifeatureomega_cli_spark.operators.lag_lead import lag_lead
 from ifeatureomega_cli_spark.operators.sessionize import sessionize
 from ifeatureomega_cli_spark.operators.topk import top_k_per_group
+from ifeatureomega_cli_spark.api import DNADataset, ProteinDataset, RNADataset
 
 __all__ = [
     "get_spark",
     "extract",
+    "extract_many",
+    "ProteinDataset",
+    "DNADataset",
+    "RNADataset",
     "feature_names",
     "DESCRIPTORS",
     "descriptor_names",
