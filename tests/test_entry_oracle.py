@@ -13,7 +13,7 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
