@@ -127,23 +127,13 @@ def kspaced_pair_counts(
 
     Output layout: [gap0 pairs(vocab²), gap1 pairs, ...]; type 1 divides each
     gap block by its own valid-pair count, type 2 leaves raw counts.
-    Row-position structure is computed once and shared across all gaps.
     """
-    n, dim = r.n, vocab * vocab
-    pos = np.arange(len(r.flat)) - np.repeat(r.offsets[:-1], r.lengths)
-    rl = np.repeat(r.lengths, r.lengths)
-    rid = r.row_ids()
     blocks = []
     for g in range(kspace + 1):
-        idx = np.nonzero(pos + g + 2 <= rl)[0]
-        a, b = r.flat[idx], r.flat[idx + g + 1]
-        ok = (a < vocab) & (b < vocab)
-        c = np.bincount(
-            rid[idx[ok]] * dim + a[ok] * vocab + b[ok], minlength=n * dim
-        ).reshape(n, dim).astype(np.float64)
+        b = kgram_counts(r, vocab, 2, normalize=False, gap=g)
         if normalize:
-            c = _safe_div(c, c.sum(axis=1, keepdims=True))
-        blocks.append(c)
+            b = _safe_div(b, b.sum(axis=1, keepdims=True))
+        blocks.append(b)
     return np.concatenate(blocks, axis=1)
 
 
