@@ -38,6 +38,12 @@ def _r(c, nd=6):
     return F.round(c, nd)
 
 
+def _tss(c):
+    """Timestamp → canonical microsecond ISO string (Spark ns vs DuckDB µs
+    pandas dtypes stringify differently; strings hash identically)."""
+    return F.date_format(c.cast("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
 # --------------------------------------------------------------------------
 # temporal / relational operators (north_rule core)
 # --------------------------------------------------------------------------
@@ -58,7 +64,8 @@ def q_asof_join(spark, sf_dir):
     out = asof_join(clicks, purchases, on="user_id", ts="ts",
                     value_cols=["value"])
     return out.select(
-        "event_id", "user_id", "ts", "matched_ts",
+        "event_id", "user_id", _tss(F.col("ts")).alias("ts"),
+        _tss(F.col("matched_ts")).alias("matched_ts"),
         _r(F.col("value")).alias("purchase_value"),
     )
 
@@ -71,7 +78,8 @@ def q_ffill(spark, sf_dir):
         "pv", F.when(F.col("event_type") == "purchase", F.col("value"))
     )
     out = ffill(ev, ["pv"], on="user_id", ts="ts")
-    return out.select("event_id", "user_id", "ts", _r(F.col("pv")).alias("filled_value"))
+    return out.select("event_id", "user_id", _tss(F.col("ts")).alias("ts"),
+                      _r(F.col("pv")).alias("filled_value"))
 
 
 def q_backfill(spark, sf_dir):
@@ -82,7 +90,8 @@ def q_backfill(spark, sf_dir):
         "pv", F.when(F.col("event_type") == "purchase", F.col("value"))
     )
     out = backfill(ev, ["pv"], on="user_id", ts="ts")
-    return out.select("event_id", "user_id", "ts", _r(F.col("pv")).alias("bfilled_value"))
+    return out.select("event_id", "user_id", _tss(F.col("ts")).alias("ts"),
+                      _r(F.col("pv")).alias("bfilled_value"))
 
 
 def q_lag_lead(spark, sf_dir):
@@ -118,7 +127,8 @@ def q_session_stats(spark, sf_dir):
     out = session_stats(ev, gap_seconds=1800, on="user_id", ts="ts", value="value")
     return out.select(
         "user_id", F.col("session_index").cast("long").alias("session_index"),
-        "session_start", "session_end",
+        _tss(F.col("session_start")).alias("session_start"),
+        _tss(F.col("session_end")).alias("session_end"),
         F.col("n_events").cast("long").alias("n_events"),
         _r(F.col("sum_value")).alias("sum_value"),
     )
@@ -134,6 +144,35 @@ def q_topk_per_group(spark, sf_dir):
     return out.select(
         "event_type", "event_id", _r(F.col("value")).alias("value_r"),
         F.col("rk").cast("int").alias("rk"),
+    )
+
+
+def q_rolling_agg(spark, sf_dir):
+    """1-hour trailing rolling stats of event value per user (RANGE frame)."""
+    from ifeatureomega_cli_spark.operators.rolling import rolling_agg
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = rolling_agg(ev, "value", 3600, on="user_id", ts="ts",
+                      aggs=("mean", "sum", "count"))
+    return out.select(
+        "event_id", "user_id",
+        _r(F.col("value_roll_mean")).alias("roll_mean"),
+        _r(F.col("value_roll_sum")).alias("roll_sum"),
+        F.col("value_roll_count").cast("long").alias("roll_count"),
+    )
+
+
+def q_hourly_rollup(spark, sf_dir):
+    """Per-user hourly rollup (time-bucketed continuous aggregate)."""
+    from ifeatureomega_cli_spark.operators.rolling import time_bucket_rollup
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = time_bucket_rollup(ev, "value", "1 hour", on="user_id", ts="ts")
+    return out.select(
+        "user_id", _tss(F.col("bucket_start")).alias("bucket_start"),
+        F.col("n_events").cast("long").alias("n_events"),
+        _r(F.col("sum_value")).alias("sum_value"),
+        _r(F.col("avg_value")).alias("avg_value"),
     )
 
 
@@ -361,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "topk_per_group": q_topk_per_group,
+        "rolling_agg": q_rolling_agg,
+        "hourly_rollup": q_hourly_rollup,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "dedup_exact": q_dedup_exact,
@@ -382,21 +423,25 @@ def oracle_sql() -> dict[str, str]:
     aa_list = ",".join(f"'{c}'" for c in _AA)
     return {
         "asof_join": """
-            SELECT l.event_id, l.user_id, l.ts, r.ts AS matched_ts,
+            SELECT l.event_id, l.user_id,
+                   strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS matched_ts,
                    ROUND(r.value, 6) AS purchase_value
             FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') l
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type='purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "ffill": """
-            SELECT event_id, user_id, ts,
+            SELECT event_id, user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
                    ROUND(LAST_VALUE(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_value
             FROM events
         """,
         "backfill": """
-            SELECT event_id, user_id, ts,
+            SELECT event_id, user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
                    ROUND(FIRST_VALUE(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS bfilled_value
@@ -435,9 +480,27 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_index
               FROM flagged)
             SELECT user_id, CAST(session_index AS BIGINT) AS session_index,
-                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
                    COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
             FROM sess GROUP BY user_id, session_index
+        """,
+        "rolling_agg": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER w, 6) AS roll_mean,
+                   ROUND(SUM(value) OVER w, 6) AS roll_sum,
+                   COUNT(*) OVER w AS roll_count
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """,
+        "hourly_rollup": """
+            SELECT user_id,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS bucket_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
         """,
         "topk_per_group": """
             SELECT event_type, event_id, ROUND(value, 6) AS value_r, CAST(rk AS INTEGER) AS rk
