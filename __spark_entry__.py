@@ -330,6 +330,18 @@ def q_char_unigram(spark, sf_dir):
     return out
 
 
+def q_embedding_dup_exact(spark, sf_dir):
+    """All embedding pairs with cosine ≥ 0.2 (exact; DuckDB oracle)."""
+    from ifeatureomega_cli_spark.operators.dedup import embedding_dup_pairs_exact
+
+    out = embedding_dup_pairs_exact(_emb(spark, sf_dir), threshold=0.2)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        _r(F.col("cosine"), 5).alias("cosine_r"),
+    )
+
+
 def q_minhash_dedup(spark, sf_dir):
     """MinHash-LSH near-dup pairs (no SQL oracle — rows-only check)."""
     from ifeatureomega_cli_spark.operators.dedup import minhash_dedup
@@ -411,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
+        "embedding_dup_exact": q_embedding_dup_exact,
         "char_unigram": q_char_unigram,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -607,6 +620,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+        """,
+        "embedding_dup_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 5) AS cosine_r
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.2
         """,
         "embedding_topk": """
             SELECT query_id, vec_id, cosine_r, CAST(rk AS INTEGER) AS rk

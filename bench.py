@@ -81,9 +81,11 @@ def main() -> None:
     qs = entry.queries()
     bench_queries = [
         "asof_join", "ffill", "lag_lead", "sessionize", "session_stats",
-        "topk_per_group", "pricing_summary", "top_customers", "dedup_exact",
+        "topk_per_group", "rolling_agg", "hourly_rollup",
+        "pricing_summary", "top_customers", "dedup_exact",
         "text_quality", "token_count", "langid", "ngram_jaccard",
-        "embedding_topk", "minhash_dedup", "simhash_pairs", "fingerprint",
+        "embedding_topk", "embedding_dup_exact", "minhash_dedup",
+        "simhash_pairs", "fingerprint",
         "char_unigram",
     ]
     for name in bench_queries:

@@ -335,6 +335,49 @@ def simhash_dup_pairs(
     )
 
 
+def embedding_dup_pairs_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """ALL pairs with cosine ≥ threshold — exact, via Arrow-blocked matmul.
+
+    The (normalized) corpus matrix is broadcast into the UDF closure; each
+    Arrow batch computes its block of the similarity matrix in one numpy
+    matmul.  O(n²) work but O(n·d) memory per task — the right exact
+    baseline to verify LSH recall against (and small enough to oracle).
+    For corpora where n² is not affordable, use embedding_dup_pairs (LSH).
+    """
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    M = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-300)
+
+    schema = StructType([
+        StructField("id_a", LongType()), StructField("id_b", LongType()),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-300)
+            qid = pdf[id_col].to_numpy()
+            sims = q @ M.T
+            out_a, out_b, out_c = [], [], []
+            for i in range(len(qid)):
+                hit = np.nonzero((sims[i] >= threshold) & (ids > qid[i]))[0]
+                out_a.extend([qid[i]] * len(hit))
+                out_b.extend(ids[hit].tolist())
+                out_c.extend(sims[i, hit].tolist())
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
