@@ -67,3 +67,32 @@ def test_facade_workflow(spark, tmp_path):
     p.to_csv(df, str(tmp_path / "enc"), name="AAC")
     types = p.display_feature_types()
     assert "AAC" in types and len(types) > 60
+
+
+DNA_VARIANTS = [
+    ("Kmer type 1", {"kmer": 2}),
+    ("CKSNAP type 1", {"kspace": 2}),
+    ("Mismatch", {"kmer": 2, "mismatch": 1}),
+    ("RCKmer type 1", {"kmer": 4}),
+    ("PseKNC", {"kmer": 2, "lambdaValue": 3, "weight": 0.1,
+                "Di-DNA-Phychem": "Twist;Tilt;Roll;Shift;Slide;Rise"}),
+    ("DAC", {"nlag": 5, "Di-DNA-Phychem": "Twist;Roll"}),
+    ("ENAC", {"sliding_window": 4}),
+]
+
+
+@pytest.mark.parametrize("desc,params", DNA_VARIANTS,
+                         ids=[v[0] + str(i) for i, v in enumerate(DNA_VARIANTS)])
+def test_dna_param_variant_matches_reference(spark, desc, params):
+    gpath = os.path.join(VAR_DIR, "dna_" + _slug(desc, params) + ".parquet")
+    if not os.path.exists(gpath):
+        pytest.skip("variant golden missing — run tools/make_golden_params.py")
+    from ifeatureomega_cli_spark.api import DNADataset
+
+    ds = DNADataset(spark, os.path.join(FIXDIR, "dna_tokens.parquet"))
+    out = ds.get_descriptor(desc, params).select("doc_id", "features").toPandas()
+    gold = pd.read_parquet(gpath)
+    got = np.array(out.set_index("doc_id").loc[gold["doc_id"]]["features"].tolist())
+    exp = np.array(gold["features"].tolist())
+    assert got.shape == exp.shape, (got.shape, exp.shape)
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)

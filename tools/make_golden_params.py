@@ -19,6 +19,17 @@ from tools.reference_loader import load_reference  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "tests", "fixtures", "golden_params")
 
+DNA_VARIANTS = [
+    ("Kmer type 1", {"kmer": 2}),
+    ("CKSNAP type 1", {"kspace": 2}),
+    ("Mismatch", {"kmer": 2, "mismatch": 1}),
+    ("RCKmer type 1", {"kmer": 4}),
+    ("PseKNC", {"kmer": 2, "lambdaValue": 3, "weight": 0.1,
+                "Di-DNA-Phychem": "Twist;Tilt;Roll;Shift;Slide;Rise"}),
+    ("DAC", {"nlag": 5, "Di-DNA-Phychem": "Twist;Roll"}),
+    ("ENAC", {"sliding_window": 4}),
+]
+
 VARIANTS = [
     ("CKSAAP type 1", {"kspace": 5}),
     ("EAAC", {"sliding_window": 3}),
@@ -42,6 +53,28 @@ def _slug(desc, params):
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     ref = load_reference()
+    for desc, params in DNA_VARIANTS:
+        obj = ref.iDNA("/root/reference/data_examples/DNA_sequences.txt")
+        obj.import_parameters("/root/reference/parameters/DNA_parameters_setting.json")
+        for i, row in enumerate(obj.fasta_list):
+            row[2] = str(i % 2)
+            row[3] = "training" if i % 5 != 4 else "testing"
+        pd_ = getattr(obj, "_iDNA__default_para_dict")
+        pd_.setdefault(desc, {})
+        pd_[desc] = {**pd_[desc], **params}
+        obj.encodings = None
+        obj.error_msg = ""
+        obj.get_descriptor(desc)
+        if obj.encodings is None:
+            print(f"  SKIP dna {desc} {params}: {obj.error_msg}")
+            continue
+        enc = obj.encodings
+        feat = enc.to_numpy(dtype=np.float64)
+        pd.DataFrame({"doc_id": enc.index.astype(str),
+                      "features": list(map(list, feat))}).to_parquet(
+            os.path.join(OUT, "dna_" + _slug(desc, params) + ".parquet"), index=False)
+        print(f"  wrote dna {desc} {params} shape={enc.shape}")
+
     for desc, params in VARIANTS:
         obj = ref.iProtein("/root/reference/data_examples/peptide_sequences.txt")
         obj.import_parameters("/root/reference/parameters/Protein_parameters_setting.json")
