@@ -12,7 +12,7 @@ Archetype map (SURVEY.md §2.0):
   A1 k-gram composition  -> kgram_counts / kspaced_pair_counts
   A2 positional lookup   -> positional_lookup (equal-length)
   A3 sliding window      -> sliding_window_comp (equal-length)
-  A4 lag autocorrelation -> lag_products / property mapping helpers
+  A4 lag autocorrelation -> lag_stats / LagWorkspace
   A6 reduced alphabet    -> apply a remap array before A1
   A7 cumulative stats    -> cumulative_frequency etc.
 """
@@ -189,25 +189,6 @@ def property_series(r: Ragged, props: np.ndarray) -> np.ndarray:
     reference's semantics need (often the 'A' row or 0)."""
     return props[np.minimum(r.flat, props.shape[0] - 1)]
 
-
-def lag_products(x: np.ndarray, r: Ragged, nlag: int, mode: str = "broto") -> np.ndarray:
-    """A4: per-row lagged statistics of a property series.
-
-    x: (len(flat),) property values aligned with r.flat.
-    mode='broto':  out[d-1] = Σ_j x[j]·x[j+d] / (N-d)
-    Returns (n, nlag).
-    """
-    out = np.zeros((r.n, nlag), dtype=np.float64)
-    pos = np.arange(len(x)) - np.repeat(r.offsets[:-1], r.lengths)
-    rid = r.row_ids()
-    rl = np.repeat(r.lengths, r.lengths)
-    for d in range(1, nlag + 1):
-        ok = pos + d < rl
-        prod = x[: len(x)][ok] * np.take(x, np.nonzero(ok)[0] + d)
-        s = np.bincount(rid[ok], weights=prod, minlength=r.n)
-        denom = np.maximum(r.lengths - d, 1).astype(np.float64)
-        out[:, d - 1] = s / denom
-    return out
 
 
 def cumulative_frequency(r: Ragged) -> np.ndarray:

@@ -1143,13 +1143,11 @@ def _mk_asdc_factory(vocab: int, gap_id: int, seq_type: str):
             oh = np.zeros((len(rs.flat), vocab))
             oh[np.arange(len(rs.flat)), rs.flat] = 1.0
             csum = np.cumsum(oh, axis=0)
-            row_tot = np.add.reduceat(oh, rs.offsets[:-1], axis=0) if n else oh
-            # total per row up to end: cumulative at row end
+            # csum is a GLOBAL cumulative; row-end minus current position
+            # cancels everything before the row, leaving counts strictly
+            # after position j within its row
             ends = csum[np.maximum(rs.offsets[1:] - 1, 0)]
-            starts_prev = np.where(
-                (rs.offsets[:-1] > 0)[:, None],
-                csum[np.maximum(rs.offsets[:-1] - 1, 0)], 0.0)
-            suffix = ends[rid] - csum + 0.0  # counts after each position j
+            suffix = ends[rid] - csum
             np.add.at(C, (rid, rs.flat), suffix)
             C = C.reshape(n, vocab * vocab)
             tot = C.sum(axis=1, keepdims=True)
@@ -1322,9 +1320,6 @@ register(DescriptorSpec(
     "RCKmer type 2", "dna", lambda cfg, L: _rc_canonical(cfg["kmer"])[1],
     _mk_rckmer(False), defaults={"kmer": 3}, ref="iFeatureOmegaCLI.py:4478-4577",
 ))
-
-_EIIP_VALS = None
-
 
 def _mk_pseeiip(cfg, L):
     eiip = LK.a2_table("dna", "EIIP", 1)[:4, 0]  # per-NT EIIP from probe
@@ -1852,11 +1847,6 @@ def _register_rna_autocorr(name: str, kind: str, ref: str):
     def mk_kernel(cfg, L):
         sel, v = _phyche("dirnaPhyche", cfg["Di-RNA-Phychem"].split(";"), znorm=True)
         nlag = cfg["nlag"]
-        base = DESCRIPTORS[f"dna:{name}"]
-        # reuse the DNA kernel logic by temporarily mapping cfg keys
-        dna_cfg = {"Di-DNA-Phychem": cfg["Di-RNA-Phychem"], "nlag": nlag}
-        kern_dna = None
-
         need = {"broto": ("raw",), "moran": ("cen", "headssq"),
                 "geary": ("diffsq", "headssq")}[kind]
 
