@@ -1,0 +1,57 @@
+"""CLI entry + table-source shim + remaining analysis wrappers."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from tests.conftest import FIXDIR
+
+
+def test_load_write_table_parquet(spark, tmp_path):
+    from ifeatureomega_cli_spark.sources.tables import load_table, write_table
+
+    df = load_table(spark, os.path.join(FIXDIR, "peptide_tokens.parquet"))
+    assert df.count() == 300
+    out = str(tmp_path / "tbl")
+    write_table(df.select("doc_id", "n_tok"), out, mode="overwrite")
+    assert load_table(spark, out).count() == 300
+    write_table(df.select("doc_id", "n_tok", "source"), str(tmp_path / "p"),
+                mode="overwrite", partition_by=["source"])
+    assert load_table(spark, str(tmp_path / "p")).count() == 300
+
+
+def test_cli_extract_and_asof(spark, tmp_path, capsys):
+    from ifeatureomega_cli_spark import cli
+
+    rc = cli.main([
+        "extract", "--input", os.path.join(FIXDIR, "peptide_tokens.parquet"),
+        "--descriptor", "protein:GAAC", "--output", str(tmp_path / "f"),
+    ])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] == 300
+    feats = spark.read.parquet(str(tmp_path / "f"))
+    assert len(feats.select("features").head()[0]) == 5
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.filter("event_type = 'click'").select("event_id", "user_id", "ts").write.parquet(str(tmp_path / "l"))
+    ev.filter("event_type = 'purchase'").select("user_id", "ts", "value").write.parquet(str(tmp_path / "r"))
+    rc = cli.main(["asof", "--left", str(tmp_path / "l"), "--right", str(tmp_path / "r"),
+                   "--on", "user_id", "--output", str(tmp_path / "j")])
+    assert rc == 0
+    assert spark.read.parquet(str(tmp_path / "j")).count() == 210
+
+
+def test_gmm_and_bisecting(spark):
+    from ifeatureomega_cli_spark.analysis import gaussian_mixture, minibatch_kmeans
+    from ifeatureomega_cli_spark.functions.extract import extract
+
+    sdf = spark.read.parquet(os.path.join(FIXDIR, "peptide_tokens.parquet")).limit(80)
+    feat = extract(sdf, "protein:GAAC").select("doc_id", "features")
+    g = gaussian_mixture(feat, 2)
+    assert g.select("cluster").distinct().count() <= 2
+    b = minibatch_kmeans(feat, 3)
+    assert b.select("cluster").distinct().count() <= 3
