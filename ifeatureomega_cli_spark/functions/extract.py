@@ -13,6 +13,7 @@ agg run map-side-combined (it reduces to one long per partition).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -91,3 +92,53 @@ def extract_many(
             name.split(":", 1)[-1].replace(" ", "_")
         ))
     return df.select(*cols)
+
+
+def fused_udf(names: list[str], params: dict[str, dict] | None = None,
+              length: int = 0):
+    """ONE Arrow UDF computing several descriptors per batch: the Ragged
+    batch structure is built once and shared, and the output crosses the
+    Python→JVM boundary as a single concatenated array column (one Arrow
+    child array instead of one per descriptor)."""
+    kerns = [get_spec(n).kernel((params or {}).get(n), length) for n in names]
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _udf(tokens: pd.Series) -> pd.Series:
+        r = Ragged.from_arrays(tokens.to_numpy())
+        out = np.concatenate([k(r) for k in kerns], axis=1)
+        return pd.Series(list(out))
+
+    return _udf
+
+
+def extract_fused(
+    df: DataFrame,
+    names: list[str],
+    params: dict[str, dict] | None = None,
+    tokens_col: str = "tokens",
+    out_col: str = "features",
+    length: int | None = None,
+) -> DataFrame:
+    """Fused multi-descriptor extraction → one `out_col array<double>`.
+
+    Use `fused_slices(names, ...)` to recover per-descriptor sub-vectors
+    (JVM-side `slice`, no extra Python pass)."""
+    L = length or 0
+    if not L and any(get_spec(n).equal_length for n in names):
+        L = _discover_length(df, "n_tok")
+    udf = fused_udf(names, params, L)
+    return df.withColumn(out_col, udf(F.col(tokens_col)))
+
+
+def fused_slices(names: list[str], params: dict[str, dict] | None = None,
+                 length: int = 0, out_col: str = "features") -> list[Column]:
+    """Column expressions slicing a fused vector back into per-descriptor
+    arrays, aliased by descriptor name."""
+    cols = []
+    start = 1
+    for n in names:
+        dim = len(get_spec(n).names((params or {}).get(n), length))
+        cols.append(F.slice(F.col(out_col), start, dim).alias(
+            n.split(":", 1)[-1].replace(" ", "_")))
+        start += dim
+    return cols

@@ -96,3 +96,17 @@ def test_dna_param_variant_matches_reference(spark, desc, params):
     exp = np.array(gold["features"].tolist())
     assert got.shape == exp.shape, (got.shape, exp.shape)
     assert np.allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
+def test_extract_fused_equals_separate(spark):
+    from ifeatureomega_cli_spark.functions.extract import (
+        extract_fused, extract_many, fused_slices)
+
+    names = ["protein:AAC", "protein:GAAC", "protein:CTDT"]
+    sdf = spark.read.parquet(os.path.join(FIXDIR, "peptide_tokens.parquet")).limit(50)
+    a = extract_many(sdf, names).select("doc_id", "AAC", "GAAC", "CTDT")\
+        .toPandas().set_index("doc_id")
+    b = extract_fused(sdf, names).select("doc_id", *fused_slices(names))\
+        .toPandas().set_index("doc_id").loc[a.index]
+    for c in ("AAC", "GAAC", "CTDT"):
+        assert np.allclose(np.array(a[c].tolist()), np.array(b[c].tolist()))
