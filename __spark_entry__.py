@@ -342,6 +342,39 @@ def q_embedding_dup_exact(spark, sf_dir):
     )
 
 
+def q_char_bigram(spark, sf_dir):
+    """Descriptor path #2: DPC (dipeptide-composition semantics) over
+    protein-alphabet chars of documents.text, long format for DuckDB."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from ifeatureomega_cli_spark.functions.extract import extract
+    from ifeatureomega_cli_spark.tokenize import tokenize_protein
+
+    docs = _docs(spark, sf_dir)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _tok(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ids = tokenize_protein(t.upper())
+            out.append(ids[ids < 20].astype(np.int32).tolist())
+        return pd.Series(out)
+
+    toks = docs.select("doc_id", _tok(F.col("text")).alias("tokens")).withColumn(
+        "n_tok", F.size("tokens")
+    ).filter(F.col("n_tok") >= 2)
+    feat = extract(toks, "protein:DPC type 1")
+    aa_arr = F.array(*[F.lit(a + b) for a in _AA for b in _AA])
+    return feat.select(
+        "doc_id", F.posexplode(F.col("features")).alias("pos", "freq")
+    ).filter(F.col("freq") > 0).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        aa_arr[F.col("pos")].alias("bigram"),
+        _r(F.col("freq")).alias("freq"),
+    )
+
+
 def q_minhash_dedup(spark, sf_dir):
     """MinHash-LSH near-dup pairs (no SQL oracle — rows-only check)."""
     from ifeatureomega_cli_spark.operators.dedup import minhash_dedup
@@ -425,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_dup_exact": q_embedding_dup_exact,
         "char_unigram": q_char_unigram,
+        "char_bigram": q_char_bigram,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "fingerprint": q_fingerprint,
@@ -435,6 +469,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     aa_list = ",".join(f"'{c}'" for c in _AA)
     return {
+        "char_bigram": f"""
+            WITH cleaned AS (
+              SELECT doc_id,
+                     regexp_replace(upper(text), '[^{_AA}]', '', 'g') AS s
+              FROM documents
+            ), ok AS (
+              SELECT doc_id, s FROM cleaned WHERE length(s) >= 2
+            ), pos AS (
+              SELECT doc_id, s, unnest(generate_series(1, length(s) - 1)) AS i FROM ok
+            ), bi AS (
+              SELECT doc_id, substr(s, i, 2) AS bigram, length(s) AS L FROM pos
+            ), cnt AS (
+              SELECT doc_id, bigram, COUNT(*) AS n, ANY_VALUE(L) AS L
+              FROM bi GROUP BY doc_id, bigram)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, bigram,
+                   ROUND(n::DOUBLE / (L - 1), 6) AS freq
+            FROM cnt
+        """,
         "asof_join": """
             SELECT l.event_id, l.user_id,
                    strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,

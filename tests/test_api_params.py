@@ -110,3 +110,30 @@ def test_extract_fused_equals_separate(spark):
         .toPandas().set_index("doc_id").loc[a.index]
     for c in ("AAC", "GAAC", "CTDT"):
         assert np.allclose(np.array(a[c].tolist()), np.array(b[c].tolist()))
+
+
+RNA_VARIANTS = [
+    ("Kmer type 1", {"kmer": 4}),
+    ("PseDNC", {"lambdaValue": 2, "weight": 0.1,
+                "Di-RNA-Phychem": "Rise (RNA);Roll (RNA)"}),
+    ("SCPseDNC", {"lambdaValue": 2, "weight": 0.05,
+                  "Di-RNA-Phychem": "Rise (RNA);Roll (RNA);Shift (RNA)"}),
+    ("NMBroto", {"nlag": 4, "Di-RNA-Phychem": "Rise (RNA);Roll (RNA)"}),
+]
+
+
+@pytest.mark.parametrize("desc,params", RNA_VARIANTS,
+                         ids=[v[0] + str(i) for i, v in enumerate(RNA_VARIANTS)])
+def test_rna_param_variant_matches_reference(spark, desc, params):
+    gpath = os.path.join(VAR_DIR, "rna_" + _slug(desc, params) + ".parquet")
+    if not os.path.exists(gpath):
+        pytest.skip("variant golden missing — run tools/make_golden_params.py")
+    from ifeatureomega_cli_spark.api import RNADataset
+
+    ds = RNADataset(spark, os.path.join(FIXDIR, "rna_tokens.parquet"))
+    out = ds.get_descriptor(desc, params).select("doc_id", "features").toPandas()
+    gold = pd.read_parquet(gpath)
+    got = np.array(out.set_index("doc_id").loc[gold["doc_id"]]["features"].tolist())
+    exp = np.array(gold["features"].tolist())
+    assert got.shape == exp.shape, (got.shape, exp.shape)
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)

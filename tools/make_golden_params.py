@@ -50,9 +50,42 @@ def _slug(desc, params):
     return f"pv__{desc}__{flat}".replace(" ", "_").replace("(", "").replace(")", "")
 
 
+RNA_VARIANTS = [
+    ("Kmer type 1", {"kmer": 4}),
+    ("PseDNC", {"lambdaValue": 2, "weight": 0.1,
+                "Di-RNA-Phychem": "Rise (RNA);Roll (RNA)"}),
+    ("SCPseDNC", {"lambdaValue": 2, "weight": 0.05,
+                  "Di-RNA-Phychem": "Rise (RNA);Roll (RNA);Shift (RNA)"}),
+    ("NMBroto", {"nlag": 4,
+                 "Di-RNA-Phychem": "Rise (RNA);Roll (RNA)"}),
+]
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     ref = load_reference()
+    for desc, params in RNA_VARIANTS:
+        obj = ref.iRNA("/root/reference/data_examples/RNA_sequences.txt")
+        obj.import_parameters("/root/reference/parameters/RNA_parameters_setting.json")
+        for i, row in enumerate(obj.fasta_list):
+            row[0] = f"{row[0]}#r{i}"
+            row[2] = str(i % 2)
+            row[3] = "training" if i % 5 != 4 else "testing"
+        pd_ = getattr(obj, "_iRNA__default_para_dict")
+        pd_.setdefault(desc, {})
+        pd_[desc] = {**pd_[desc], **params}
+        obj.encodings = None
+        obj.error_msg = ""
+        obj.get_descriptor(desc)
+        if obj.encodings is None:
+            print(f"  SKIP rna {desc} {params}: {obj.error_msg}")
+            continue
+        enc = obj.encodings
+        feat = enc.to_numpy(dtype=np.float64)
+        pd.DataFrame({"doc_id": enc.index.astype(str),
+                      "features": list(map(list, feat))}).to_parquet(
+            os.path.join(OUT, "rna_" + _slug(desc, params) + ".parquet"), index=False)
+        print(f"  wrote rna {desc} {params} shape={enc.shape}")
     for desc, params in DNA_VARIANTS:
         obj = ref.iDNA("/root/reference/data_examples/DNA_sequences.txt")
         obj.import_parameters("/root/reference/parameters/DNA_parameters_setting.json")
