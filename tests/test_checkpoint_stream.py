@@ -89,3 +89,33 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     b = batch.sort_values(["user_id", "session_start"]).reset_index(drop=True)
     assert (g["n_events"].to_numpy() == b["n_events"].to_numpy()).all()
     assert np.allclose(g["sum_value"].to_numpy(), b["sum_value"].to_numpy())
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates across micro-batches are
+    dropped; keepers match the batch dedup."""
+    import pandas as pd
+    from ifeatureomega_cli_spark.operators.dedup import exact_dedup
+    from ifeatureomega_cli_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    rows1 = [(i, f"text number {i % 20}") for i in range(40)]      # dups inside
+    rows2 = [(100 + i, f"text number {i % 25}") for i in range(50)]  # dups across
+    in_dir = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows1, "doc_id long, text string").write.parquet(in_dir)
+    spark.createDataFrame(rows2, "doc_id long, text string").write.mode(
+        "append").parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    out = streaming_exact_dedup(stream)
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_out").toPandas()
+
+    batch = exact_dedup(
+        spark.read.parquet(in_dir)).toPandas()
+    # one keeper per distinct digest; 25 distinct texts overall
+    assert len(got) == len(batch) == 25
+    assert set(got["digest"]) == set(batch["digest"])
