@@ -411,6 +411,63 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def _doc_seq_table(spark, sf_dir, L=40):
+    """Equal-length tokenized table derived from documents.text (first L
+    protein-alphabet chars), with synthetic labels/purpose for the
+    cross-sample descriptors."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from ifeatureomega_cli_spark.tokenize import tokenize_protein
+
+    docs = _docs(spark, sf_dir)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _tok(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ids = tokenize_protein(t.upper())
+            ids = ids[ids < 20][:L]
+            out.append(ids.astype(np.int32).tolist() if len(ids) == L else None)
+        return pd.Series(out)
+
+    return (
+        docs.select("doc_id", _tok(F.col("text")).alias("tokens"))
+        .filter(F.col("tokens").isNotNull())
+        .withColumn("n_tok", F.size("tokens"))
+        .withColumn("label", (F.col("doc_id") % 2).cast("string"))
+        .withColumn("purpose", F.when(F.col("doc_id") % 5 != 4,
+                                      "training").otherwise("testing"))
+    )
+
+
+def q_knn_vote(spark, sf_dir):
+    """Cross-sample KNN top-k label-vote features (rows-only check; the
+    exact semantics are golden-pinned in tests/test_crosssample.py)."""
+    from ifeatureomega_cli_spark.operators.crosssample import knn_features
+
+    seqs = _doc_seq_table(spark, sf_dir)
+    out = knn_features(seqs, "protein")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _r(F.element_at("features", 1)).alias("top1_vote"),
+        _r(F.element_at("features", -1)).alias("last_vote"),
+    )
+
+
+def q_pstnp_scores(spark, sf_dir):
+    """Cross-sample PSTNP positional propensity (rows-only check)."""
+    from ifeatureomega_cli_spark.operators.crosssample import pstnp
+
+    seqs = _doc_seq_table(spark, sf_dir)
+    out = pstnp(seqs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _r(F.element_at("features", 1)).alias("pos1"),
+        _r(F.element_at("features", -1)).alias("pos_last"),
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate nearest neighbours (rows-only; recall vs brute force
     is asserted in tests/test_similarity.py)."""
@@ -463,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "fingerprint": q_fingerprint,
         "ivf_topk": q_ivf_topk,
+        "knn_vote": q_knn_vote,
+        "pstnp_scores": q_pstnp_scores,
     }
 
 
