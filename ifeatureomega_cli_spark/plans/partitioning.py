@@ -28,8 +28,12 @@ def bucket_by(df: DataFrame, key: str = "doc_id", n_buckets: int = 64,
 
 def salt(df: DataFrame, key: str, n_salts: int = 16,
          salt_col: str = "salt") -> DataFrame:
-    """Random-ish but deterministic salt derived from the full row key —
-    use for skewed groupBy: groupBy(key, salt) → partial → groupBy(key)."""
+    """Per-row salt spreading a hot key over n_salts subkeys.
+
+    NOT deterministic across runs (uses the physical row id) — safe for
+    algebraic aggregations (each row still counted exactly once in its
+    final successful task) but do not use it as a join/write key; use
+    bucket_by for stable keys."""
     return df.withColumn(
         salt_col,
         F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()),
