@@ -890,11 +890,12 @@ def _mk_ctdd(cfg, L):
         col = 0
         for p in range(13):
             g = groups[p][rs.flat]
+            # one fused bincount gives all three groups' per-row counts
+            cnt3 = np.bincount(rid_all * 3 + g, minlength=n * 3).reshape(n, 3)
             for grp in range(3):
-                sel = g == grp
-                rid = rid_all[sel]
-                ppos = pos1[sel]
-                cnt = np.bincount(rid, minlength=n)  # members per row
+                idxm = np.nonzero(g == grp)[0]
+                ppos = pos1[idxm]
+                cnt = cnt3[:, grp]
                 starts = np.concatenate(([0], np.cumsum(cnt)))
                 # cutoffs (ref Count1 :1939-1958): 1st, floor(q·cnt) (min 1), last
                 for qi, q in enumerate((None, 0.25, 0.50, 0.75, 1.0)):
