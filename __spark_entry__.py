@@ -375,6 +375,45 @@ def q_char_bigram(spark, sf_dir):
     )
 
 
+def q_char_group_comp(spark, sf_dir):
+    """Descriptor path #3: GAAC (reduced-alphabet composition, archetype A6)
+    over protein-alphabet chars of documents.text, long format."""
+    from ifeatureomega_cli_spark.functions.extract import extract
+
+    toks = _doc_char_tokens(spark, sf_dir)
+    feat = extract(toks, "protein:GAAC")
+    keys = F.array(*[F.lit(k) for k in
+                     ("alphatic", "aromatic", "postivecharge",
+                      "negativecharge", "uncharge")])
+    return feat.select(
+        "doc_id", F.posexplode(F.col("features")).alias("pos", "freq")
+    ).filter(F.col("freq") > 0).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        keys[F.col("pos")].alias("grp"),
+        _r(F.col("freq")).alias("freq"),
+    )
+
+
+def _doc_char_tokens(spark, sf_dir):
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from ifeatureomega_cli_spark.tokenize import tokenize_protein
+
+    docs = _docs(spark, sf_dir)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _tok(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ids = tokenize_protein(t.upper())
+            out.append(ids[ids < 20].astype(np.int32).tolist())
+        return pd.Series(out)
+
+    return docs.select("doc_id", _tok(F.col("text")).alias("tokens")).withColumn(
+        "n_tok", F.size("tokens")).filter(F.col("n_tok") > 0)
+
+
 def q_minhash_dedup(spark, sf_dir):
     """MinHash-LSH near-dup pairs (no SQL oracle — rows-only check)."""
     from ifeatureomega_cli_spark.operators.dedup import minhash_dedup
@@ -516,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_exact": q_embedding_dup_exact,
         "char_unigram": q_char_unigram,
         "char_bigram": q_char_bigram,
+        "char_group_comp": q_char_group_comp,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "fingerprint": q_fingerprint,
@@ -545,6 +585,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id, bigram,
                    ROUND(n::DOUBLE / (L - 1), 6) AS freq
             FROM cnt
+        """,
+        "char_group_comp": f"""
+            WITH chars AS (
+              SELECT doc_id, upper(substr(text, i, 1)) AS c
+              FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+                    FROM documents)
+            ), filt AS (
+              SELECT doc_id, CASE WHEN c IN ('G','A','V','L','M','I') THEN 'alphatic' WHEN c IN ('F','Y','W') THEN 'aromatic' WHEN c IN ('K','R','H') THEN 'postivecharge' WHEN c IN ('D','E') THEN 'negativecharge' WHEN c IN ('S','T','C','P','N','Q') THEN 'uncharge'
+                     END AS grp
+              FROM chars WHERE c IN ({aa_list})
+            ), cnt AS (
+              SELECT doc_id, grp, COUNT(*) AS n FROM filt GROUP BY doc_id, grp
+            ), tot AS (
+              SELECT doc_id, SUM(n) AS t FROM cnt GROUP BY doc_id)
+            SELECT CAST(cnt.doc_id AS BIGINT) AS doc_id, grp,
+                   ROUND(n / t, 6) AS freq
+            FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
         """,
         "asof_join": """
             SELECT l.event_id, l.user_id,
