@@ -127,13 +127,27 @@ def kspaced_pair_counts(
 
     Output layout: [gap0 pairs(vocab²), gap1 pairs, ...]; type 1 divides each
     gap block by its own valid-pair count, type 2 leaves raw counts.
+    Position structure is computed once; the validity filter is skipped
+    when the batch is pre-stripped (all ids < vocab), the common case.
     """
+    n, dim = r.n, vocab * vocab
+    pos = np.arange(len(r.flat)) - np.repeat(r.offsets[:-1], r.lengths)
+    rl = np.repeat(r.lengths, r.lengths)
+    rid = r.row_ids()
+    fast = len(r.flat) == 0 or r.flat.max() < vocab
     blocks = []
     for g in range(kspace + 1):
-        b = kgram_counts(r, vocab, 2, normalize=False, gap=g)
+        idx = np.nonzero(pos + g + 2 <= rl)[0]
+        a, b = r.flat[idx], r.flat[idx + g + 1]
+        w = rid[idx]
+        if not fast:
+            ok = (a < vocab) & (b < vocab)
+            a, b, w = a[ok], b[ok], w[ok]
+        c = np.bincount(w * dim + a * vocab + b,
+                        minlength=n * dim).reshape(n, dim).astype(np.float64)
         if normalize:
-            b = _safe_div(b, b.sum(axis=1, keepdims=True))
-        blocks.append(b)
+            c = _safe_div(c, c.sum(axis=1, keepdims=True))
+        blocks.append(c)
     return np.concatenate(blocks, axis=1)
 
 
