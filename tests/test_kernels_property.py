@@ -112,3 +112,41 @@ def test_lag_workspace_matches_naive(series, nlag):
             assert abs(st_out["cen"][i, d - 1] - cen) < 1e-9
             assert abs(st_out["diffsq"][i, d - 1] - diffsq) < 1e-9
             assert abs(st_out["headssq"][i, d - 1] - headssq) < 1e-9
+
+
+eq_batches = st.integers(2, 20).flatmap(
+    lambda L: st.lists(st.lists(st.integers(0, 20), min_size=L, max_size=L),
+                       min_size=1, max_size=8))
+
+
+@settings(max_examples=40, deadline=None)
+@given(eq_batches)
+def test_positional_lookup_matches_naive(rows):
+    from ifeatureomega_cli_spark.functions.kernels import positional_lookup
+
+    rng = np.random.RandomState(0)
+    table = rng.rand(21, 4)
+    r = _ragged(rows)
+    got = positional_lookup(r, table)
+    for i, row in enumerate(rows):
+        exp = np.concatenate([table[min(t, 20)] for t in row])
+        assert np.allclose(got[i], exp)
+
+
+@settings(max_examples=40, deadline=None)
+@given(eq_batches, st.integers(1, 5))
+def test_sliding_window_comp_matches_naive(rows, w):
+    from ifeatureomega_cli_spark.functions.kernels import sliding_window_comp
+
+    L = len(rows[0])
+    if w > L:
+        return
+    r = _ragged(rows)
+    got = sliding_window_comp(r, 20, w, denom="window")
+    for i, row in enumerate(rows):
+        exp = []
+        for j in range(L - w + 1):
+            win = row[j: j + w]
+            for a in range(20):
+                exp.append(win.count(a) / w)  # gap (20) counted in denom only
+        assert np.allclose(got[i], exp), (i, row, w)
