@@ -14,7 +14,12 @@ from ifeatureomega_cli_spark.sources.fasta import (
 
 from tests.conftest import FIXDIR
 
+REF = "/root/reference/data_examples"
+pytestmark_ref = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference examples not present")
 
+
+@pytestmark_ref
 def test_read_fasta_matches_reference_tokens(spark):
     """Ingesting the reference's own peptide example must reproduce the
     pinned tokenized table exactly (ids, labels, purposes, token arrays)."""
@@ -29,6 +34,7 @@ def test_read_fasta_matches_reference_tokens(spark):
         assert df.loc[d, "purpose"] == ref.loc[d, "purpose"]
 
 
+@pytestmark_ref
 def test_read_fasta_dna_sniff(spark):
     df = read_fasta(spark, "/root/reference/data_examples/DNA_sequences.txt")
     ref = pd.read_parquet(os.path.join(FIXDIR, "dna_tokens.parquet")).set_index("doc_id")
@@ -39,6 +45,7 @@ def test_read_fasta_dna_sniff(spark):
                               np.asarray(ref.loc[d, "tokens"])), d
 
 
+@pytestmark_ref
 def test_length_stats(spark):
     df = read_fasta(spark, "/root/reference/data_examples/peptide_sequences.txt",
                     seq_type="protein")
@@ -46,6 +53,7 @@ def test_length_stats(spark):
     assert st["is_equal"] and st["minimum_length"] == 31 == st["maximum_length"]
 
 
+@pytestmark_ref
 def test_attach_labels(spark):
     df = read_fasta(spark, "/root/reference/data_examples/peptide_sequences.txt",
                     seq_type="protein")
