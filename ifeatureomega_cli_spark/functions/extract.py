@@ -82,12 +82,11 @@ def extract_many(
     """Fuse several descriptors in one pass — one UDF per descriptor but a
     single scan/stage; output columns named after each descriptor."""
     cols: list[Column] = [F.col(c) for c in df.columns]
+    L = length or 0
+    if not L and any(get_spec(n).equal_length for n in names):
+        L = _discover_length(df, "n_tok")  # ONE agg job shared by all
     for name in names:
         p = (params or {}).get(name)
-        spec = get_spec(name)
-        L = length or 0
-        if spec.equal_length and not L:
-            L = _discover_length(df, "n_tok")
         cols.append(descriptor_udf(name, p, L)(F.col(tokens_col)).alias(
             name.split(":", 1)[-1].replace(" ", "_")
         ))

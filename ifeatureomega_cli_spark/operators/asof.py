@@ -127,7 +127,6 @@ def asof_join_skew(
 
     # 1-2. carry seeds: last right payload per (entity, bucket), then the
     # carry for bucket b = last payload among buckets < b (ffill shifted)
-    wb = Window.partitionBy(on, "__b").orderBy(F.col(ts).asc())
     seeds = (
         r.withColumn("__rn", F.row_number().over(
             Window.partitionBy(on, "__b").orderBy(F.col(ts).desc())))

@@ -156,7 +156,6 @@ def minhash_lsh_candidates(
 
     Buckets bigger than `max_bucket_size` are dropped (stop-shingle floods —
     the skew guard that keeps the bucket join from exploding at scale)."""
-    n_hashes = 64  # rows per band inferred from signature length at runtime
     rows = (
         sigs.select(
             id_col,
@@ -175,10 +174,14 @@ def minhash_lsh_candidates(
             ).alias("band", "bucket"),
         )
     )
-    counts = rows.groupBy("band", "bucket").count().filter(
-        F.col("count") <= max_bucket_size
+    # drop oversized buckets (stop-shingle floods).  Only the OVER-limit set
+    # is guaranteed small, so broadcast that side as an anti join — the
+    # kept-buckets table grows with the corpus and must never be broadcast.
+    oversized = rows.groupBy("band", "bucket").count().filter(
+        F.col("count") > max_bucket_size
     )
-    rows = rows.join(F.broadcast(counts.select("band", "bucket")), ["band", "bucket"])
+    rows = rows.join(F.broadcast(oversized.select("band", "bucket")),
+                     ["band", "bucket"], "left_anti")
     left = rows.alias("l")
     right = rows.alias("r")
     return (
@@ -251,9 +254,14 @@ def ngram_jaccard_pairs(
     sh = _parallelize(df).select(
         F.col(id_col), F.explode(_sh(F.col(text_col))).alias("shingle")
     )
+    # stop-shingles (the OVER-limit set) are the small side — broadcast them
+    # as an anti join; the surviving vocabulary grows with the corpus.
+    stop = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_freq)
+    sh = sh.join(F.broadcast(stop.select("shingle")), "shingle", "left_anti")
+    # |A| counted on the SURVIVING shingles (stop-shingles excluded from
+    # numerator and denominator alike — keeps jaccard ≤ 1 and matches the
+    # documented oracle semantics)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
-    sh = sh.join(F.broadcast(freq.select("shingle")), "shingle")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

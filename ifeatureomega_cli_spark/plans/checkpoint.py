@@ -71,7 +71,6 @@ class CheckpointedRun:
         bucketed = bucket_by(source, self.key, self.n_buckets)
         total_rows = 0
         t_all = time.time()
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         for w in range(0, len(pending), max(1, len(pending) // self.waves or 1)):
             wave = pending[w: w + max(1, len(pending) // self.waves or 1)]
             if not wave:
@@ -83,7 +82,12 @@ class CheckpointedRun:
                 out = out.join(
                     bucketed.select(self.key, "bucket").distinct(), self.key
                 )
-            out.write.mode("overwrite").partitionBy("bucket").parquet(self.data_dir)
+            # per-write dynamic overwrite (only the wave's bucket partitions
+            # are replaced) — set on the writer, NOT the shared session conf,
+            # so unrelated writes in the session keep their own semantics
+            (out.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("bucket").parquet(self.data_dir))
             per_bucket = {
                 r["bucket"]: r["n"]
                 for r in self.spark.read.parquet(self.data_dir)

@@ -30,13 +30,17 @@ def salt(df: DataFrame, key: str, n_salts: int = 16,
          salt_col: str = "salt") -> DataFrame:
     """Per-row salt spreading a hot key over n_salts subkeys.
 
-    NOT deterministic across runs (uses the physical row id) — safe for
-    algebraic aggregations (each row still counted exactly once in its
-    final successful task) but do not use it as a join/write key; use
-    bucket_by for stable keys."""
+    The salt is derived from the FULL row content (xxhash64 over every
+    column), so it is deterministic under task retry: a re-computed map
+    task assigns each row the same salt, which keeps salted partial
+    aggregations exactly-once under partial stage retry (a row-id-based
+    salt would re-deal rows on recompute and double/under-count against
+    surviving reducer outputs).  Identical rows land on the same salt —
+    fine for aggregation (they belong to the same key anyway), and the
+    spread over distinct rows is what kills the hot-key skew."""
     return df.withColumn(
         salt_col,
-        F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()),
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
                F.lit(n_salts)).cast("int"),
     )
 

@@ -27,15 +27,27 @@ _STATE_SCHEMA = StructType([StructField("seen", LongType())])
 
 def _dedup_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     seen = state.get[0] if state.exists else 0
-    out = []
+    if seen:
+        # already emitted in a previous micro-batch — drain and drop
+        for _ in pdfs:
+            pass
+        state.update((seen,))
+        return
+    # a digest group may span several pandas chunks within one micro-batch:
+    # scan ALL chunks for the global min doc_id before emitting, so the
+    # keeper matches batch exact_dedup's min(doc_id) semantics exactly.
+    best: pd.DataFrame | None = None
     for pdf in pdfs:
-        pdf = pdf.sort_values("doc_id")
-        if seen == 0 and len(pdf) > 0:
-            out.append(pdf.iloc[[0]][["doc_id", "digest"]])
-            seen = 1
-    state.update((seen,))
-    if out:
-        yield pd.concat(out)
+        if len(pdf) == 0:
+            continue
+        cand = pdf.loc[[pdf["doc_id"].idxmin()], ["doc_id", "digest"]]
+        if best is None or cand["doc_id"].iloc[0] < best["doc_id"].iloc[0]:
+            best = cand
+    if best is not None:
+        state.update((1,))
+        yield best
+    else:
+        state.update((seen,))
 
 
 def streaming_exact_dedup(docs: DataFrame, text_col: str = "text",
