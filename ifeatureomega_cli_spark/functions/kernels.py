@@ -350,3 +350,82 @@ class LagWorkspace:
                 out["headssq"][:, d - 1] = np.bincount(
                     w, weights=xc[idx] * xc[idx], minlength=n)
         return out
+
+
+def subsequence_profile(r: Ragged, vocab: int, k: int, delta: float) -> np.ndarray:
+    """Gap-weighted subsequence profile (ref Subsequence :4415-4474).
+
+    out[i, g] = Σ over index combos i1<…<ik of row i whose tokens spell gram
+    g of w(span), where span = ik−i1+1 and w = 1 if span == k (contiguous)
+    else delta**span.
+
+    Computed as a positional DP over weighted prefix-carry states — one pass
+    over positions, O(L · vocab^k) batch-vectorized work — instead of the
+    reference's O(C(L, k)) itertools.combinations enumeration.
+
+    Carry state C_p[g'] after position j = Σ over valid length-p combos with
+    last index ≤ j of delta^(j − i1 + 1); it decays by delta per position and
+    extends by one token at matches.  Contiguous combos accumulate delta^k in
+    the DP and are topped up to weight 1 via the plain k-gram counts.
+
+    Combos containing a token ≥ vocab replicate the reference bug
+    (`vector[0, None] += score` broadcasts the score to EVERY feature,
+    :4443-4447): their total weight — an alphabet-collapsed twin DP minus the
+    valid DP — is added to all columns.
+    """
+    n = r.n
+    dim = vocab ** k
+    if n == 0:
+        return np.zeros((0, dim))
+    L = int(r.lengths.max()) if len(r.lengths) else 0
+    if L < k:
+        return np.zeros((n, dim))
+    # padded (n, L) matrix; sentinel `vocab` = gap/unknown token, and a
+    # real-position mask distinguishes padding (no position at all)
+    M = np.full((n, L), vocab, dtype=np.int64)
+    rows = r.row_ids()
+    cols = np.arange(len(r.flat)) - np.repeat(r.offsets[:-1], r.lengths)
+    M[rows, cols] = np.minimum(r.flat, vocab)
+    pos_real = np.arange(L)[None, :] < r.lengths[:, None]
+
+    A = np.zeros((n, dim))          # Σ_j S_k(j): delta-weighted valid combos
+    a_tot = np.zeros(n)             # same, over ALL combos (gap included)
+    row_idx = np.arange(n)
+    if k >= 2:
+        C = [np.zeros((n, vocab ** p)) for p in range(1, k)]
+        c = [np.zeros(n) for _ in range(1, k)]
+        for j in range(L):
+            t = M[:, j]
+            real = pos_real[:, j]
+            if not real.any():
+                break
+            tok_valid = real & (t < vocab)
+            tc = np.where(tok_valid, t, 0)
+            decay = np.where(real, delta, 1.0)
+            # extensions use carries as of j-1: update levels top-down so
+            # each level reads the not-yet-updated level below it
+            extA = delta * C[k - 2]
+            extA[~tok_valid] = 0.0
+            idx = np.arange(vocab ** (k - 1))[None, :] * vocab + tc[:, None]
+            A[row_idx[:, None], idx] += extA     # (row, col) pairs unique
+            a_tot += np.where(real, delta * c[k - 2], 0.0)
+            for p in range(k - 1, 1, -1):
+                ext = delta * C[p - 2]
+                ext[~tok_valid] = 0.0
+                idxp = np.arange(vocab ** (p - 1))[None, :] * vocab + tc[:, None]
+                C[p - 1] *= decay[:, None]
+                C[p - 1][row_idx[:, None], idxp] += ext
+                c[p - 1] = np.where(real, delta * (c[p - 1] + c[p - 2]), c[p - 1])
+            C[0] *= decay[:, None]
+            C[0][row_idx, tc] += np.where(tok_valid, delta, 0.0)
+            c[0] = np.where(real, delta * c[0] + delta, c[0])
+    # contiguous top-up: DP counted contiguous combos at delta^k, the
+    # reference scores them 1.  For k == 1 every combo is contiguous and the
+    # DP was skipped entirely, so the top-up carries the full weight.
+    contig_valid = kgram_counts(r, vocab, k, normalize=False)
+    n_contig_all = np.maximum(r.lengths - k + 1, 0).astype(np.float64)
+    topup = 1.0 if k == 1 else 1.0 - delta ** k
+    out = A + contig_valid * topup
+    w_gap = (a_tot - A.sum(axis=1)) + (
+        n_contig_all - contig_valid.sum(axis=1)) * topup
+    return out + w_gap[:, None]

@@ -1237,24 +1237,11 @@ def _mk_subsequence(cfg, L):
                 bad |= r.flat[idx + j] >= 4
             gapcnt = np.bincount(r.row_ids()[idx[bad]], minlength=r.n).astype(np.float64)
             return c + gapcnt[:, None]
-        m = r.to_matrix() if np.all(r.lengths == r.lengths[0]) else None
-        out = np.zeros((r.n, dim))
-        for i in range(r.n):  # slow general path (documented; δ>0 is rare)
-            seq = r.flat[r.offsets[i]: r.offsets[i + 1]]
-            n = len(seq)
-            # state[prefix_len][gram_prefix] = Σ δ^{t-i1+1-...} partial weights
-            import itertools as _it
-
-            for combo in _it.combinations(range(n), k):
-                toks = seq[list(combo)]
-                if (toks >= 4).any():
-                    continue
-                g = 0
-                for t in toks:
-                    g = g * 4 + int(t)
-                span = combo[-1] - combo[0] + 1
-                out[i, g] += 1.0 if span == k else delta**span
-        return out
+        # general δ: batch-vectorized positional DP over weighted prefix
+        # carries — O(L·4^k) per row, replaces the combinatorial
+        # itertools.combinations enumeration of the reference (:4438-4447);
+        # replicates the gap-kmer broadcast bug for δ>0 too
+        return K.subsequence_profile(r, 4, k, delta)
 
     return kern
 

@@ -80,6 +80,10 @@ DNA_VARIANTS = [
                 "Di-DNA-Phychem": "Twist;Tilt;Roll;Shift;Slide;Rise"}),
     ("DAC", {"nlag": 5, "Di-DNA-Phychem": "Twist;Roll"}),
     ("ENAC", {"sliding_window": 4}),
+    # δ>0 exercises the positional-DP path (the default δ=0 takes the
+    # bincount fast path); δ=1 makes every skip weight 1 — worst case
+    ("Subsequence", {"kmer": 3, "delta": 0.5}),
+    ("Subsequence", {"kmer": 2, "delta": 1.0}),
 ]
 
 

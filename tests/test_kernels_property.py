@@ -150,3 +150,49 @@ def test_sliding_window_comp_matches_naive(rows, w):
             for a in range(20):
                 exp.append(win.count(a) / w)  # gap (20) counted in denom only
         assert np.allclose(got[i], exp), (i, row, w)
+
+
+class TestSubsequenceDP:
+    """Positional-DP subsequence profile vs brute-force enumeration."""
+
+    @staticmethod
+    def _brute(seq, vocab, k, delta):
+        import itertools
+        v = np.zeros(vocab ** k)
+        for combo in itertools.combinations(range(len(seq)), k):
+            toks = [seq[i] for i in combo]
+            span = combo[-1] - combo[0] + 1
+            score = 1.0 if span == k else delta ** span
+            if any(t >= vocab for t in toks):
+                v += score  # ref gap-kmer broadcast bug (:4443-4447)
+            else:
+                g = 0
+                for t in toks:
+                    g = g * vocab + t
+                v[g] += score
+        return v
+
+    def test_matches_bruteforce_randomized(self):
+        from ifeatureomega_cli_spark.functions.kernels import (
+            Ragged, subsequence_profile)
+        rng = np.random.RandomState(7)
+        for trial in range(25):
+            k = int(rng.choice([1, 2, 3, 4]))
+            delta = float(rng.choice([0.0, 0.25, 0.5, 1.0]))
+            seqs = [rng.randint(0, 5, size=rng.randint(k, 16)).tolist()
+                    for _ in range(rng.randint(1, 5))]
+            r = Ragged.from_arrays([np.array(s) for s in seqs])
+            got = subsequence_profile(r, 4, k, delta)
+            want = np.stack([self._brute(s, 4, k, delta) for s in seqs])
+            assert np.allclose(got, want, rtol=1e-9, atol=1e-12), (k, delta)
+
+    def test_long_sequence_batch_under_1s(self):
+        import time
+        from ifeatureomega_cli_spark.functions.kernels import (
+            Ragged, subsequence_profile)
+        rng = np.random.RandomState(0)
+        r = Ragged.from_arrays([rng.randint(0, 4, size=1000) for _ in range(256)])
+        t0 = time.time()
+        out = subsequence_profile(r, 4, 3, 0.5)
+        assert time.time() - t0 < 1.0
+        assert out.shape == (256, 64) and np.isfinite(out).all()

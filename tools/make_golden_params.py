@@ -28,6 +28,8 @@ DNA_VARIANTS = [
                 "Di-DNA-Phychem": "Twist;Tilt;Roll;Shift;Slide;Rise"}),
     ("DAC", {"nlag": 5, "Di-DNA-Phychem": "Twist;Roll"}),
     ("ENAC", {"sliding_window": 4}),
+    ("Subsequence", {"kmer": 3, "delta": 0.5}),
+    ("Subsequence", {"kmer": 2, "delta": 1.0}),
 ]
 
 VARIANTS = [
