@@ -348,42 +348,54 @@ def embedding_dup_pairs_exact(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    block_size: int = 4096,
+    n_rows: int | None = None,
 ) -> DataFrame:
-    """ALL pairs with cosine ≥ threshold — exact, via Arrow-blocked matmul.
+    """ALL pairs with cosine ≥ threshold — exact, fully distributed.
 
-    The (normalized) corpus matrix is broadcast into the UDF closure; each
-    Arrow batch computes its block of the similarity matrix in one numpy
-    matmul.  O(n²) work but O(n·d) memory per task — the right exact
-    baseline to verify LSH recall against (and small enough to oracle).
-    For corpora where n² is not affordable, use embedding_dup_pairs (LSH).
+    Blocked matrix product with NO driver collect and NO corpus broadcast:
+    the corpus is hash-grouped twice — into "chunk" groups and "block"
+    groups of ~block_size rows each (collect_list packs a group into one
+    bounded struct array ≈ block_size·d·8 B) — and the chunk×block cross
+    join gives every group pair its own task, where one float64 numpy
+    matmul scores the (chunk, block) tile of the similarity matrix.
+
+    Memory per task is O(block_size·d); total shuffle is O(n²·d/block_size)
+    — the tiling classic.  Each unordered pair (a<b) is emitted exactly
+    once: by the tile whose chunk holds a and whose block holds b.
+    O(n²) WORK is inherent to exact all-pairs — this is the oracle-able
+    exact baseline; use embedding_dup_pairs (LSH) when n² is unaffordable.
     """
-    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+    import math
 
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    M = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-300)
-
-    schema = StructType([
-        StructField("id_a", LongType()), StructField("id_b", LongType()),
-        StructField("cosine", DoubleType()),
-    ])
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    n = n_rows if n_rows is not None else base.count()
+    nb = max(1, math.ceil(n / block_size))
+    packed = F.collect_list(F.struct(F.col("__id"), F.col("__v")))
+    # two independent hash groupings so the tiling is balanced even when
+    # ids are clustered; seeds differ to decorrelate chunk and block sides
+    chunks = (base.groupBy(F.pmod(F.xxhash64("__id", F.lit(1)), F.lit(nb))
+                   .alias("__chk")).agg(packed.alias("__crows")))
+    blocks = (base.groupBy(F.pmod(F.xxhash64("__id", F.lit(2)), F.lit(nb))
+                   .alias("__blk")).agg(packed.alias("__brows")))
 
     def gen(batches):
         for pdf in batches:
-            q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-300)
-            qid = pdf[id_col].to_numpy()
-            sims = q @ M.T
-            out_a, out_b, out_c = [], [], []
-            for i in range(len(qid)):
-                hit = np.nonzero((sims[i] >= threshold) & (ids > qid[i]))[0]
-                out_a.extend([qid[i]] * len(hit))
-                out_b.extend(ids[hit].tolist())
-                out_c.extend(sims[i, hit].tolist())
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+            for crows, brows in zip(pdf["__crows"], pdf["__brows"]):
+                cid = np.array([r["__id"] for r in crows], dtype=np.int64)
+                bid = np.array([r["__id"] for r in brows], dtype=np.int64)
+                Cm = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in crows])
+                Bm = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in brows])
+                Cm = Cm / (np.linalg.norm(Cm, axis=1, keepdims=True) + 1e-300)
+                Bm = Bm / (np.linalg.norm(Bm, axis=1, keepdims=True) + 1e-300)
+                sims = Cm @ Bm.T
+                hit = (sims >= threshold) & (cid[:, None] < bid[None, :])
+                ai, bi = np.nonzero(hit)
+                yield pd.DataFrame({"id_a": cid[ai], "id_b": bid[bi],
+                                    "cosine": sims[ai, bi]})
 
-    return df.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+    return chunks.crossJoin(blocks).mapInPandas(
+        gen, schema="id_a long, id_b long, cosine double")
 
 
 def embedding_dup_pairs(

@@ -12,28 +12,12 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import IntegerType
 
 from ifeatureomega_cli_spark.operators.topk import top_k_per_group
-
-
-def _cosine_expr(a, b):
-    # compute in float64 regardless of storage type (array<float> parquet)
-    a = F.transform(a, lambda x: x.cast("double"))
-    b = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
-                      lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
-
-
-def _norm_expr(c):
-    c = F.transform(c, lambda x: x.cast("double"))
-    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
 def brute_force_topk(
@@ -130,23 +114,38 @@ def ivf_topk(
     """ANN top-k probing only the n_probe nearest cells per query.
 
     The (query → probe cells) map is tiny and broadcast; the join prunes the
-    corpus scan to matching cells (partition pruning if written by cell)."""
+    corpus scan to matching cells (partition pruning if written by cell).
+    Candidate verification runs in the same Arrow matmul pattern as
+    brute_force_topk — the query matrix rides in the UDF closure and each
+    corpus batch is scored by one vectorized float64 gather+dot (interpreted
+    higher-order zip_with/aggregate expressions measured ~100× slower)."""
     C = centroids
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    Q = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-300)
+    probe_cells = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
 
-    @pandas_udf("array<int>")
-    def _probes(vecs: pd.Series) -> pd.Series:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
-        order = np.argsort(-(m @ C.T), axis=1)[:, :n_probe]
-        return pd.Series([row.astype(np.int32).tolist() for row in order])
+    spark = corpus_with_cells.sparkSession
+    probe_df = spark.createDataFrame(
+        [(int(q), int(c)) for q, row in zip(qids, probe_cells) for c in row],
+        f"{query_id_col} long, {cell_col} int",
+    )
+    cand = corpus_with_cells.join(F.broadcast(probe_df), cell_col).select(
+        query_id_col, id_col, vec_col
+    )
+    qindex = {int(q): i for i, q in enumerate(qids)}
 
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec"),
-        F.explode(_probes(F.col(vec_col))).alias(cell_col),
-    )
-    scored = corpus_with_cells.join(F.broadcast(q), cell_col).select(
-        F.col(query_id_col), F.col(id_col),
-        _cosine_expr(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
-    )
+    def gen(batches):
+        for pdf in batches:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-300)
+            qi = pdf[query_id_col].map(qindex).to_numpy(dtype=np.int64)
+            cos = np.einsum("ij,ij->i", m, Q[qi])
+            yield pd.DataFrame({query_id_col: pdf[query_id_col],
+                                id_col: pdf[id_col], "cosine": cos})
+
+    scored = cand.mapInPandas(
+        gen, schema=f"{query_id_col} long, {id_col} long, cosine double")
     return top_k_per_group(scored, [query_id_col], "cosine", k,
                            descending=True, tie_breakers=[id_col])

@@ -105,3 +105,42 @@ def test_ivf_recall_vs_brute_force(spark):
         a = set(ann[ann["query_id"] == q]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.6, f"IVF mean recall {np.mean(recalls)}"
+
+
+def test_embedding_dup_exact_blocked_equivalence(spark):
+    """The tiled chunk×block path must emit exactly the single-tile result —
+    every unordered pair once, float64 cosines bit-identical."""
+    from ifeatureomega_cli_spark.operators.dedup import embedding_dup_pairs_exact
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    one = (embedding_dup_pairs_exact(emb, threshold=0.2, block_size=10**9)
+           .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    tiled = (embedding_dup_pairs_exact(emb, threshold=0.2, block_size=37)
+             .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert len(one) == len(tiled) and len(one) > 0
+    assert one[["id_a", "id_b"]].equals(tiled[["id_a", "id_b"]])
+    assert np.allclose(one["cosine"], tiled["cosine"], rtol=1e-12)
+    # no duplicate pair emissions across tiles
+    assert not tiled.duplicated(["id_a", "id_b"]).any()
+
+
+def test_embedding_dup_exact_no_driver_materialization(spark, monkeypatch):
+    """The exact path must never pull rows to the driver (the round-1
+    version collected the whole corpus).  Guard: any DataFrame.collect /
+    toPandas during plan construction raises."""
+    from pyspark.sql import DataFrame
+
+    from ifeatureomega_cli_spark.operators.dedup import embedding_dup_pairs_exact
+
+    rng = np.random.RandomState(0)
+    rows = [(i, rng.normal(size=64).tolist()) for i in range(2000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver-side materialization in exact dedup")
+
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    out = embedding_dup_pairs_exact(df, threshold=0.999, block_size=512)
+    monkeypatch.undo()
+    assert out.count() >= 0
