@@ -10,9 +10,10 @@ then one Arrow-vectorized UDF with leave-one-out correction for training
 rows (ref iFeatureOmegaCLI.py:6194-6269).
 
 KNN = top-k vote over BLOSUM62 (protein, :3735-3846) / identity (DNA/RNA,
-:6353-6448) similarity to the training set.  The training matrix is
-broadcast into the UDF (it must be small); at cluster scale you would LSH-
-bucket candidates first — see operators/similarity.py for that machinery.
+:6353-6448) similarity to the training set.  Two exact paths: a broadcast
+kernel for training sets that fit a task closure, and a tiled
+chunk×block all-pairs twin (knn_features_distributed) that never collects
+the training table — knn_features auto-dispatches on training size.
 """
 
 from __future__ import annotations
@@ -184,12 +185,20 @@ def knn_features(
     purpose_col: str = "purpose",
     id_col: str = "doc_id",
     out_col: str = "features",
+    max_broadcast_train: int = 100_000,
 ) -> DataFrame:
-    """Top-k label-vote features vs the training set (broadcast join).
+    """Top-k label-vote features vs the training set.
 
-    The training matrix is collected and shipped inside the UDF closure
-    (Spark broadcasts it with the task); queries stream through in Arrow
-    batches, distances computed as L gather-adds of (batch × n_train)."""
+    Small training sets (≤ max_broadcast_train rows) take the broadcast
+    kernel: the training matrix ships inside the UDF closure, queries stream
+    through in Arrow batches, distances computed as L gather-adds of
+    (batch × n_train).  Bigger training sets dispatch to
+    knn_features_distributed — the tiled all-pairs twin that never
+    materializes the training table on the driver."""
+    if (df.filter(F.col(purpose_col) == "training").count()
+            > max_broadcast_train):
+        return knn_features_distributed(
+            df, seq_type, tokens_col, label_col, purpose_col, id_col, out_col)
     train_pd = (
         df.filter(F.col(purpose_col) == "training")
         .select(id_col, tokens_col, label_col)
@@ -238,3 +247,110 @@ def knn_feature_names(n_train: int, labels: list[int]) -> list[str]:
         for f in _TOPK_FRACS
         for l in labels
     ]
+
+
+def knn_features_distributed(
+    df: DataFrame,
+    seq_type: str = "protein",
+    tokens_col: str = "tokens",
+    label_col: str = "label",
+    purpose_col: str = "purpose",
+    id_col: str = "doc_id",
+    out_col: str = "features",
+    chunk_size: int = 512,
+    block_size: int = 2048,
+) -> DataFrame:
+    """Exact KNN label-vote features with NO driver-side training collect.
+
+    The broadcast path (knn_features) ships the whole training matrix in the
+    UDF closure — fine while it fits, fatal beyond.  This twin tiles the
+    inherent O(n_query · n_train) work instead: queries and training rows
+    are hash-packed into bounded struct groups (collect_list), the
+    chunk×block cross join gives every tile its own task, each tile scores
+    its (chunk, block) distance sub-matrix with the same vectorized
+    gather-add kernel, and emits only narrow (query, label, dist) pair rows.
+    A rank window + conditional aggregation then reproduces the reference's
+    cumulative top-k label votes (ref iFeatureOmegaCLI.py:3735-3846 protein,
+    :6353-6448 DNA/RNA) exactly — distances are computed in the same
+    summation order as the broadcast kernel, so results are bit-identical.
+
+    Only two scalar aggregates touch the driver: the training count and the
+    label set.  The rank window sorts n_train pair rows per query — the
+    unavoidable cost of EXACT votes at k up to 30% of the training set; for
+    approximate candidate pruning at extreme scale, pre-filter the pair
+    stream with the LSH machinery in operators/dedup.py.
+    """
+    from pyspark.sql import Window
+
+    train = df.filter(F.col(purpose_col) == "training")
+    per_label = train.groupBy(label_col).count().collect()
+    label_set = sorted(int(r[0]) for r in per_label)
+    n_train = int(sum(r["count"] for r in per_label))
+    if n_train == 0:
+        raise ValueError("knn_features_distributed: no training rows")
+    topk = sorted({math.ceil(n_train * f) for f in _TOPK_FRACS})
+    k_list = [math.ceil(n_train * f) for f in _TOPK_FRACS]
+    B = _blosum_norm() if seq_type == "protein" else _identity_norm()
+
+    q_packed = F.collect_list(F.struct(
+        F.col(id_col).cast("string").alias("id"), F.col(tokens_col).alias("t")))
+    t_packed = F.collect_list(F.struct(
+        F.col(id_col).cast("string").alias("id"), F.col(tokens_col).alias("t"),
+        F.col(label_col).cast("int").alias("lab")))
+    n_chunks = 64  # fixed fan-out; chunk size self-balances with data size
+    chunks = (df.groupBy(F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(1)),
+                                F.lit(n_chunks)).alias("__chk"))
+              .agg(q_packed.alias("__q")))
+    blocks = (train.groupBy(F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(2)),
+                                   F.lit(n_chunks)).alias("__blk"))
+              .agg(t_packed.alias("__t")))
+
+    def gen(batches):
+        for pdf in batches:
+            for qrows, trows in zip(pdf["__q"], pdf["__t"]):
+                qn = np.array([r["id"] for r in qrows])
+                Qm = np.stack([np.asarray(r["t"]) for r in qrows])
+                tn = np.array([r["id"] for r in trows])
+                Tm = np.stack([np.asarray(r["t"]) for r in trows])
+                tl = np.array([r["lab"] for r in trows], dtype=np.int64)
+                L = Tm.shape[1]
+                sim = np.zeros((len(qn), len(tn)))
+                for i in range(L):  # same summation order as knn_features
+                    sim += B[Qm[:, i][:, None], Tm[None, :, i]]
+                dist = 1.0 - sim / L
+                keep = qn[:, None] != tn[None, :]  # self-exclusion by name
+                qi, ti = np.nonzero(keep)
+                yield pd.DataFrame({"qid": qn[qi], "lab": tl[ti],
+                                    "dist": dist[qi, ti]})
+
+    pairs = chunks.crossJoin(blocks).mapInPandas(
+        gen, schema="qid string, lab int, dist double")
+
+    w = Window.partitionBy("qid").orderBy("dist", "lab")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = pairs.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_cand", F.count(F.lit(1)).over(Window.partitionBy("qid")))
+    for lab in label_set:
+        ranked = ranked.withColumn(
+            f"csum_{lab}",
+            F.sum((F.col("lab") == lab).cast("double")).over(cum))
+    # rows at the vote ranks (clamped to n_cand when a query has fewer
+    # candidates than k — matching the broadcast kernel, whose masked
+    # inf-distance self column contributes zero votes past the real ones)
+    at_ranks = ranked.filter(
+        F.col("rk").isin([int(k) for k in topk]) | (F.col("rk") == F.col("n_cand"))
+    )
+    feat_cols = [
+        (F.first(
+            F.when(F.col("rk") == F.least(F.lit(int(k)), F.col("n_cand")),
+                   F.col(f"csum_{lab}")), ignorenulls=True) / float(k)
+         ).alias(f"f_{ki}_{lab}")
+        for ki, k in enumerate(k_list) for lab in label_set
+    ]
+    feats = at_ranks.groupBy("qid").agg(*feat_cols).select(
+        "qid", F.array(*[F.col(f"f_{ki}_{lab}")
+                         for ki in range(len(k_list))
+                         for lab in label_set]).alias(out_col))
+    return (df.withColumn("__qid_str", F.col(id_col).cast("string"))
+            .join(feats, F.col("__qid_str") == F.col("qid"), "left")
+            .drop("qid", "__qid_str"))

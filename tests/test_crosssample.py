@@ -52,3 +52,48 @@ def test_knn_dna(spark):
 def test_knn_rna(spark):
     _check(spark, "rna_tokens.parquet", "rna__KNN",
            lambda df: knn_features(df, "dna"))
+
+
+def test_knn_distributed_matches_goldens(spark):
+    """The tiled no-broadcast KNN twin must hit the same reference goldens
+    as the broadcast kernel (bit-identical distance summation order)."""
+    from ifeatureomega_cli_spark.operators.crosssample import (
+        knn_features_distributed)
+
+    _check(spark, "peptide_tokens.parquet", "protein__KNN",
+           lambda df: knn_features_distributed(df, "protein"))
+    _check(spark, "dna_tokens.parquet", "dna__KNN",
+           lambda df: knn_features_distributed(df, "dna"))
+
+
+def test_knn_distributed_training_50x_query_no_broadcast(spark, monkeypatch):
+    """Training 50× the query batch, with driver-side materialization of the
+    training table forbidden (collect/toPandas raise during construction)."""
+    from pyspark.sql import DataFrame
+
+    from ifeatureomega_cli_spark.operators.crosssample import (
+        knn_features, knn_features_distributed)
+
+    rng = np.random.RandomState(11)
+    L = 12
+    rows = []
+    for i in range(2040):
+        purpose = "training" if i >= 40 else "testing"  # 2000 train, 40 query
+        rows.append((f"s{i}", rng.randint(0, 20, size=L).tolist(),
+                     str(i % 2), purpose))
+    sdf = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, label string, purpose string")
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver-side materialization in distributed KNN")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    out = knn_features_distributed(sdf, "protein")
+    monkeypatch.undo()
+    got = out.select("doc_id", "features").toPandas().set_index("doc_id")
+    want = (knn_features(sdf, "protein").select("doc_id", "features")
+            .toPandas().set_index("doc_id"))
+    g = np.array(got.loc[want.index]["features"].tolist())
+    w = np.array(want["features"].tolist())
+    assert g.shape == w.shape
+    assert np.allclose(g, w, rtol=1e-9, atol=1e-12)
