@@ -507,6 +507,45 @@ def q_pstnp_scores(spark, sf_dir):
     )
 
 
+def q_impute_mean(spark, sf_dir):
+    """NaN→column-mean imputation (iAnalysis fill_ndarray parity): plant
+    NaNs deterministically in the embedding matrix, impute distributed,
+    emit long format for the DuckDB oracle."""
+    from ifeatureomega_cli_spark.analysis import impute_mean
+
+    emb = _emb(spark, sf_dir)
+    feats = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when((F.col("vec_id") + i) % 17 == 0,
+                                F.lit(float("nan"))).otherwise(x.cast("double")),
+        ).alias("features"),
+    )
+    out = impute_mean(feats)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.posexplode(F.col("features")).alias("pos", "val"),
+    ).select(
+        "vec_id", F.col("pos").cast("int").alias("pos"),
+        _r(F.col("val")).alias("val"),
+    )
+
+
+def q_dbscan_embeddings(spark, sf_dir):
+    """Density clustering over the embeddings table (rows-only check;
+    ARI-vs-planted-truth is pinned in tests/test_analysis_extras.py)."""
+    from ifeatureomega_cli_spark.analysis import dbscan
+
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("features"))
+    out = dbscan(emb, eps=2.0, min_samples=5, max_rows=2048)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate nearest neighbours (rows-only; recall vs brute force
     is asserted in tests/test_similarity.py)."""
@@ -562,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "knn_vote": q_knn_vote,
         "pstnp_scores": q_pstnp_scores,
+        "impute_mean": q_impute_mean,
+        "dbscan_embeddings": q_dbscan_embeddings,
     }
 
 
@@ -807,6 +848,22 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
               CROSS JOIN embeddings c)
             WHERE rk <= 10
+        """,
+        "impute_mean": """
+            WITH pos AS (
+              SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i, embedding
+              FROM embeddings
+            ), vals AS (
+              SELECT vec_id, i - 1 AS p,
+                     CASE WHEN (vec_id + (i - 1)) % 17 = 0 THEN NULL
+                          ELSE embedding[i]::DOUBLE END AS v
+              FROM pos
+            ), means AS (
+              SELECT p, AVG(v) AS m FROM vals WHERE v IS NOT NULL GROUP BY p)
+            SELECT CAST(vals.vec_id AS BIGINT) AS vec_id,
+                   CAST(vals.p AS INTEGER) AS pos,
+                   ROUND(COALESCE(v, m), 6) AS val
+            FROM vals JOIN means USING (p)
         """,
         "char_unigram": f"""
             WITH chars AS (

@@ -1,19 +1,35 @@
-"""Analysis operators — pyspark.ml equivalents of the reference's iAnalysis
-(ref iFeatureOmegaCLI.py:9951-10310): clustering, dimensionality reduction,
+"""Analysis operators — the reference's iAnalysis surface
+(ref iFeatureOmegaCLI.py:9951-10382): clustering, dimensionality reduction,
 feature normalization over a features-array DataFrame.
 
-The reference runs sklearn on a driver-local matrix; here everything is a
-distributed ml Pipeline over the `features array<double>` column produced
-by `extract`.
+Two execution tiers, both honest about scale:
+
+* **Distributed** (kmeans, BisectingKMeans, GaussianMixture, PCA, ZScore,
+  MinMax, impute_mean, LDA transform) — pyspark.ml / aggregation pipelines
+  over the full table; linear scans, scale-safe.
+* **Sample-fit + distributed assign** (agglomerative, spectral, hcluster,
+  DBSCAN, affinity propagation, mean shift, MCL, t-SNE) — these algorithms
+  are inherently O(n²)–O(n³) driver-matrix computations in the reference
+  (sklearn/scipy on the whole frame, :10053-10163); here the model is fit
+  on a seeded hash-ordered sample capped at `max_rows`, then every row is
+  assigned distributively by nearest fitted point in one Arrow pass.  The
+  approximation is documented per function; sklearn/scipy are not available
+  in this environment, so the kernels live in functions/np_cluster.py.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.ml.clustering import BisectingKMeans, GaussianMixture, KMeans
 from pyspark.ml.feature import PCA, MinMaxScaler, StandardScaler
 from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+from ifeatureomega_cli_spark.functions import np_cluster as NC
 
 
 def _with_vec(df: DataFrame, features_col: str) -> DataFrame:
@@ -71,3 +87,286 @@ def minmax(df: DataFrame, features_col: str = "features") -> DataFrame:
     return (model.transform(v)
             .withColumn("scaled_features", vector_to_array("__scaled"))
             .drop("__vec", "__scaled"))
+
+
+# ---------------------------------------------------------------------------
+# distributed feature-matrix statistics: imputation + reference MinMax
+# ---------------------------------------------------------------------------
+
+
+def _column_stats(df: DataFrame, features_col: str) -> dict:
+    """One distributed pass → per-dimension {mean, min, max, std} ignoring
+    NaN (partial (sum, sumsq, count, min, max) per partition, reduced on the
+    driver — result is one small vector set, the map-side-combine classic)."""
+
+    def partial(batches):
+        s = ss = cnt = mn = mx = None
+        for pdf in batches:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[features_col]])
+            ok = ~np.isnan(m)
+            z = np.where(ok, m, 0.0)
+            s_ = z.sum(axis=0); ss_ = (z * z).sum(axis=0); c_ = ok.sum(axis=0)
+            mn_ = np.where(ok, m, np.inf).min(axis=0)
+            mx_ = np.where(ok, m, -np.inf).max(axis=0)
+            if s is None:
+                s, ss, cnt, mn, mx = s_, ss_, c_, mn_, mx_
+            else:
+                s += s_; ss += ss_; cnt += c_
+                mn = np.minimum(mn, mn_); mx = np.maximum(mx, mx_)
+        if s is None:
+            return
+        yield pd.DataFrame({"s": [s.tolist()], "ss": [ss.tolist()],
+                            "cnt": [cnt.tolist()], "mn": [mn.tolist()],
+                            "mx": [mx.tolist()]})
+
+    parts = df.select(features_col).mapInPandas(
+        partial, schema="s array<double>, ss array<double>, "
+                        "cnt array<double>, mn array<double>, mx array<double>"
+    ).collect()
+    s = ss = cnt = mn = mx = None
+    for r in parts:
+        if s is None:
+            s, ss, cnt = np.array(r["s"]), np.array(r["ss"]), np.array(r["cnt"])
+            mn, mx = np.array(r["mn"]), np.array(r["mx"])
+        else:
+            s += np.array(r["s"]); ss += np.array(r["ss"]); cnt += np.array(r["cnt"])
+            mn = np.minimum(mn, np.array(r["mn"]))
+            mx = np.maximum(mx, np.array(r["mx"]))
+    safe = np.maximum(cnt, 1.0)
+    mean = s / safe
+    var = np.maximum(ss / safe - mean * mean, 0.0)
+    return {"mean": mean, "std": np.sqrt(var), "min": mn, "max": mx,
+            "count": cnt}
+
+
+def impute_mean(df: DataFrame, features_col: str = "features",
+                out_col: str | None = None) -> DataFrame:
+    """Replace NaN/NULL entries with the column (dimension) mean — the
+    reference applies this via fill_ndarray (ref :10303-10310) so analysis
+    fits never see NaN.  Two linear passes: one stats aggregation, one
+    Arrow transform; nothing larger than a (dim,) vector leaves executors."""
+    stats = _column_stats(df, features_col)
+    means = stats["mean"]
+    out_col = out_col or features_col
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _fill(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bad = np.isnan(m)
+        if bad.any():
+            m[bad] = np.broadcast_to(means, m.shape)[bad]
+        return pd.Series(list(m))
+
+    return df.withColumn(out_col, _fill(F.col(features_col)))
+
+
+def minmax_ref(df: DataFrame, features_col: str = "features") -> DataFrame:
+    """Reference-faithful MinMax (ref :10285-10301): per-dimension
+    (x−min)/(max−min); constant dimensions produce NaN which the reference
+    then fills per SAMPLE with the row's own mean of surviving values
+    (fill_ndarray on the transposed matrix).  Distributed: one stats pass,
+    one Arrow transform."""
+    stats = _column_stats(df, features_col)
+    mn, mx = stats["min"], stats["max"]
+    span = mx - mn
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _mm(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = (m - mn[None, :]) / span[None, :]
+        bad = ~np.isfinite(out)
+        if bad.any():
+            good = np.where(bad, 0.0, out)
+            ngood = (~bad).sum(axis=1, keepdims=True)
+            rowmean = good.sum(axis=1, keepdims=True) / np.maximum(ngood, 1)
+            out = np.where(bad, np.broadcast_to(rowmean, out.shape), out)
+        return pd.Series(list(out))
+
+    return df.withColumn("scaled_features", _mm(F.col(features_col)))
+
+
+# ---------------------------------------------------------------------------
+# sample-fit clusterers (reference :10053-10163; sklearn-on-driver in the
+# reference, seeded-sample + distributed 1-NN assign here)
+# ---------------------------------------------------------------------------
+
+
+def _sample_matrix(df: DataFrame, features_col: str, id_col: str,
+                   max_rows: int, seed: int) -> np.ndarray:
+    """Deterministic pseudo-random sample: hash-order by id, take the first
+    max_rows (TakeOrdered — per-partition top-k, no full sort shuffle)."""
+    rows = (
+        df.select(id_col, features_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .sort("__h").limit(max_rows).select(features_col).collect()
+    )
+    return np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+
+
+def _assign_nearest(df: DataFrame, features_col: str, Xs: np.ndarray,
+                    labels: np.ndarray, out_col: str = "cluster") -> DataFrame:
+    """Label every row with its nearest fitted sample point's cluster —
+    one Arrow pass, the (max_rows × dim) sample rides in the closure."""
+    lab = labels.astype(np.int32)
+
+    @pandas_udf(IntegerType())
+    def _nn(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = ((m * m).sum(1)[:, None] + (Xs * Xs).sum(1)[None, :]
+              - 2.0 * (m @ Xs.T))
+        return pd.Series(lab[d2.argmin(axis=1)])
+
+    return df.withColumn(out_col, _nn(F.col(features_col)))
+
+
+def _sample_fit_assign(df, fitter, features_col, id_col, max_rows, seed):
+    Xs = _sample_matrix(df, features_col, id_col, max_rows, seed)
+    return _assign_nearest(df, features_col, Xs, fitter(Xs))
+
+
+def agglomerative(df: DataFrame, n_clusters: int = 2,
+                  features_col: str = "features", id_col: str = "doc_id",
+                  max_rows: int = 1024, seed: int = 42) -> DataFrame:
+    """ref :10053-10066 (sklearn AgglomerativeClustering, ward) —
+    ward linkage on a seeded sample, 1-NN assign beyond it."""
+    return _sample_fit_assign(
+        df, lambda X: NC.agglomerative(X, n_clusters),
+        features_col, id_col, max_rows, seed)
+
+
+def spectral(df: DataFrame, n_clusters: int = 2, gamma: float = 1.0,
+             features_col: str = "features", id_col: str = "doc_id",
+             max_rows: int = 2048, seed: int = 42) -> DataFrame:
+    """ref :10068-10081 (sklearn SpectralClustering defaults: RBF
+    affinity, normalized-Laplacian embedding, k-means assign)."""
+    return _sample_fit_assign(
+        df, lambda X: NC.spectral(X, n_clusters, gamma=gamma, seed=seed),
+        features_col, id_col, max_rows, seed)
+
+
+def hcluster(df: DataFrame, t: float = 1.0,
+             features_col: str = "features", id_col: str = "doc_id",
+             max_rows: int = 1024, seed: int = 42) -> DataFrame:
+    """ref :10098-10112 (scipy average linkage +
+    fcluster(t=1, 'inconsistent'); 1-based labels like fcluster)."""
+    return _sample_fit_assign(
+        df, lambda X: NC.hcluster(X, t=t),
+        features_col, id_col, max_rows, seed)
+
+
+def affinity_propagation(df: DataFrame,
+                         features_col: str = "features",
+                         id_col: str = "doc_id", max_rows: int = 1024,
+                         seed: int = 42) -> DataFrame:
+    """ref :10114-10128 (sklearn AffinityPropagation defaults)."""
+    return _sample_fit_assign(
+        df, lambda X: NC.affinity_propagation(X, seed=seed),
+        features_col, id_col, max_rows, seed)
+
+
+def meanshift(df: DataFrame, features_col: str = "features",
+              id_col: str = "doc_id", max_rows: int = 2048,
+              seed: int = 42) -> DataFrame:
+    """ref :10130-10146 (estimate_bandwidth + MeanShift bin seeding; the
+    reference falls back to all-zeros on failure — so do we)."""
+
+    def _fit(X):
+        try:
+            return NC.mean_shift(X)
+        except Exception:
+            return np.zeros(len(X), dtype=np.int64)
+
+    return _sample_fit_assign(df, _fit, features_col, id_col, max_rows, seed)
+
+
+def mcl(df: DataFrame, expand_factor: int = 2, inflate_factor: float = 2.0,
+        mult_factor: float = 2.0, max_loop: int = 1000,
+        features_col: str = "features", id_col: str = "doc_id",
+        max_rows: int = 1024, seed: int = 42) -> DataFrame:
+    """ref :10083-10096 + MarkvCluster :10312-10382 (Markov clustering on
+    the row-correlation graph)."""
+    return _sample_fit_assign(
+        df, lambda X: NC.mcl(X, expand_factor, inflate_factor, mult_factor,
+                             max_loop),
+        features_col, id_col, max_rows, seed)
+
+
+def dbscan(df: DataFrame, eps: float = 0.5, min_samples: int = 5,
+           features_col: str = "features", id_col: str = "doc_id",
+           max_rows: int = 4096, seed: int = 42) -> DataFrame:
+    """ref :10148-10161: StandardScaler on the matrix, then DBSCAN
+    defaults.  Standardization stats come from a distributed pass over the
+    FULL table (as the reference scales the full frame); the density fit
+    runs on the sample; every row is then assigned DBSCAN-predict style —
+    nearest CORE point within eps, else noise (-1)."""
+    stats = _column_stats(df, features_col)
+    mean, std = stats["mean"], np.where(stats["std"] == 0, 1.0, stats["std"])
+    Xs = _sample_matrix(df, features_col, id_col, max_rows, seed)
+    Xs = (Xs - mean[None, :]) / std[None, :]
+    labels, core = NC.dbscan(Xs, eps=eps, min_samples=min_samples)
+    core_pts = Xs[core & (labels >= 0)]
+    core_lab = labels[core & (labels >= 0)].astype(np.int32)
+
+    @pandas_udf(IntegerType())
+    def _nn(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = (m - mean[None, :]) / std[None, :]
+        if len(core_pts) == 0:
+            return pd.Series(np.full(len(m), -1, dtype=np.int32))
+        d2 = ((m * m).sum(1)[:, None] + (core_pts * core_pts).sum(1)[None, :]
+              - 2.0 * (m @ core_pts.T))
+        best = d2.argmin(axis=1)
+        lab = core_lab[best]
+        lab = np.where(d2[np.arange(len(m)), best] <= eps * eps, lab, -1)
+        return pd.Series(lab.astype(np.int32))
+
+    return df.withColumn("cluster", _nn(F.col(features_col)))
+
+
+# ---------------------------------------------------------------------------
+# dimensionality reduction extras
+# ---------------------------------------------------------------------------
+
+
+def tsne(df: DataFrame, n_components: int = 2, perplexity: float = 30.0,
+         features_col: str = "features", id_col: str = "doc_id",
+         max_rows: int = 1024, seed: int = 42) -> DataFrame:
+    """ref :10166-10181 (sklearn TSNE method='exact', learning_rate=100).
+    t-SNE has no out-of-sample transform (sklearn's has none either) — the
+    embedding is computed for the seeded sample and returned as
+    (id, tsne_features); rows outside the sample are absent by design."""
+    rows = (
+        df.select(id_col, features_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .sort("__h").limit(max_rows).select(id_col, features_col).collect()
+    )
+    ids = [r[0] for r in rows]
+    X = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    Y = NC.tsne(X, n_components=n_components, perplexity=perplexity, seed=seed)
+    id_type = df.select(id_col).schema[0].dataType.simpleString()
+    return df.sparkSession.createDataFrame(
+        [(i, y.tolist()) for i, y in zip(ids, Y)],
+        f"{id_col} {id_type}, tsne_features array<double>",
+    )
+
+
+def lda_reduce(df: DataFrame, n_components: int = 2,
+               features_col: str = "features", id_col: str = "doc_id",
+               max_rows: int = 4096, max_iter: int = 30,
+               seed: int = 42) -> DataFrame:
+    """ref :10198-10211 (sklearn LatentDirichletAllocation — the topic
+    model).  Variational fit on a seeded sample (topic-word lambda is all
+    that survives), then EVERY row is transformed distributively — per-doc
+    inference is embarrassingly parallel, one Arrow pass."""
+    Xs = _sample_matrix(df, features_col, id_col, max_rows, seed)
+    lam = NC.lda_fit(Xs, n_components=n_components, max_iter=max_iter,
+                     seed=seed)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _tr(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        theta = NC.lda_transform(m, lam)
+        return pd.Series(list(theta))
+
+    return df.withColumn("lda_features", _tr(F.col(features_col)))
