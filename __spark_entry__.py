@@ -298,36 +298,21 @@ def q_embedding_topk(spark, sf_dir):
 
 def q_char_unigram(spark, sf_dir):
     """Descriptor path on text: protein-alphabet char composition (AAC
-    semantics) in long format so DuckDB can oracle it."""
-    from pyspark.sql.pandas.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, IntegerType
+    semantics) in long format so DuckDB can oracle it.  Tokenize + kernel
+    fused into ONE Arrow pass (functions/text_descriptors.py); token-less
+    docs yield all-zero vectors that the freq>0 filter drops, identical to
+    the old pre-filter."""
+    from ifeatureomega_cli_spark.functions.text_descriptors import char_descriptor
 
-    from ifeatureomega_cli_spark.functions.extract import extract
-    from ifeatureomega_cli_spark.tokenize import tokenize_protein
-
-    docs = _docs(spark, sf_dir)
-
-    @pandas_udf(ArrayType(IntegerType()))
-    def _tok(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            ids = tokenize_protein(t.upper())
-            out.append(ids[ids < 20].astype(np.int32).tolist())
-        return pd.Series(out)
-
-    toks = docs.select("doc_id", _tok(F.col("text")).alias("tokens")).withColumn(
-        "n_tok", F.size("tokens")
-    ).filter(F.col("n_tok") > 0)
-    feat = extract(toks, "protein:AAC")
+    feat = char_descriptor(_docs(spark, sf_dir), "protein:AAC")
     aa_arr = F.array(*[F.lit(c) for c in _AA])
-    out = feat.select(
+    return feat.select(
         "doc_id", F.posexplode(F.col("features")).alias("pos", "freq")
     ).filter(F.col("freq") > 0).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         aa_arr[F.col("pos")].alias("token"),
         _r(F.col("freq")).alias("freq"),
     )
-    return out
 
 
 def q_embedding_dup_exact(spark, sf_dir):
@@ -344,27 +329,11 @@ def q_embedding_dup_exact(spark, sf_dir):
 
 def q_char_bigram(spark, sf_dir):
     """Descriptor path #2: DPC (dipeptide-composition semantics) over
-    protein-alphabet chars of documents.text, long format for DuckDB."""
-    from pyspark.sql.pandas.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, IntegerType
+    protein-alphabet chars of documents.text, long format for DuckDB.
+    Fused tokenize+kernel, one Arrow pass."""
+    from ifeatureomega_cli_spark.functions.text_descriptors import char_descriptor
 
-    from ifeatureomega_cli_spark.functions.extract import extract
-    from ifeatureomega_cli_spark.tokenize import tokenize_protein
-
-    docs = _docs(spark, sf_dir)
-
-    @pandas_udf(ArrayType(IntegerType()))
-    def _tok(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            ids = tokenize_protein(t.upper())
-            out.append(ids[ids < 20].astype(np.int32).tolist())
-        return pd.Series(out)
-
-    toks = docs.select("doc_id", _tok(F.col("text")).alias("tokens")).withColumn(
-        "n_tok", F.size("tokens")
-    ).filter(F.col("n_tok") >= 2)
-    feat = extract(toks, "protein:DPC type 1")
+    feat = char_descriptor(_docs(spark, sf_dir), "protein:DPC type 1")
     aa_arr = F.array(*[F.lit(a + b) for a in _AA for b in _AA])
     return feat.select(
         "doc_id", F.posexplode(F.col("features")).alias("pos", "freq")
@@ -377,11 +346,11 @@ def q_char_bigram(spark, sf_dir):
 
 def q_char_group_comp(spark, sf_dir):
     """Descriptor path #3: GAAC (reduced-alphabet composition, archetype A6)
-    over protein-alphabet chars of documents.text, long format."""
-    from ifeatureomega_cli_spark.functions.extract import extract
+    over protein-alphabet chars of documents.text, long format.  Fused
+    tokenize+kernel, one Arrow pass."""
+    from ifeatureomega_cli_spark.functions.text_descriptors import char_descriptor
 
-    toks = _doc_char_tokens(spark, sf_dir)
-    feat = extract(toks, "protein:GAAC")
+    feat = char_descriptor(_docs(spark, sf_dir), "protein:GAAC")
     keys = F.array(*[F.lit(k) for k in
                      ("alphatic", "aromatic", "postivecharge",
                       "negativecharge", "uncharge")])
@@ -392,26 +361,6 @@ def q_char_group_comp(spark, sf_dir):
         keys[F.col("pos")].alias("grp"),
         _r(F.col("freq")).alias("freq"),
     )
-
-
-def _doc_char_tokens(spark, sf_dir):
-    from pyspark.sql.pandas.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, IntegerType
-
-    from ifeatureomega_cli_spark.tokenize import tokenize_protein
-
-    docs = _docs(spark, sf_dir)
-
-    @pandas_udf(ArrayType(IntegerType()))
-    def _tok(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            ids = tokenize_protein(t.upper())
-            out.append(ids[ids < 20].astype(np.int32).tolist())
-        return pd.Series(out)
-
-    return docs.select("doc_id", _tok(F.col("text")).alias("tokens")).withColumn(
-        "n_tok", F.size("tokens")).filter(F.col("n_tok") > 0)
 
 
 def q_minhash_dedup(spark, sf_dir):

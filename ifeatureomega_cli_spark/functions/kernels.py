@@ -181,19 +181,31 @@ def sliding_window_comp(
     if perm is not None:
         m = perm[m]
     n, L = m.shape
-    # one-hot prefix sums: P[:, j, a] = count of a in m[:, :j]
-    oh = (m[..., None] == np.arange(vocab_out)).astype(np.int32)  # (n, L, V)
-    P = np.zeros((n, L + 1, vocab_out), dtype=np.int32)
-    np.cumsum(oh, axis=1, out=P[:, 1:, :])
-    W = P[:, window:, :] - P[:, :-window, :]  # (n, L-w+1, V) window counts
-    if denom == "window":
-        out = W.astype(np.float64) / float(window)
-    elif denom == "valid":
-        tot = W.sum(axis=2, keepdims=True).astype(np.float64)
-        out = _safe_div(W.astype(np.float64), tot)
-    else:
-        out = W.astype(np.float64)
-    return out.reshape(n, -1)
+    if n == 0 or L < window:
+        return np.zeros((n, 0))
+    out = np.empty((n, (L - window + 1) * vocab_out))
+    # the one-hot prefix cube is O(rows·L·V·8 B); bound the transient by
+    # processing row chunks (~64 MB of intermediates each) — long-token
+    # batches (8192 tokens × 2048 rows × V=20 ≈ 2.6 GB unchunked) stay flat
+    chunk = max(1, (64 << 20) // max(1, L * vocab_out * 8))
+    for lo in range(0, n, chunk):
+        mc = m[lo:lo + chunk]
+        nc = len(mc)
+        oh = (mc[..., None] == np.arange(vocab_out)).astype(np.int32)
+        P = np.zeros((nc, L + 1, vocab_out), dtype=np.int32)
+        np.cumsum(oh, axis=1, out=P[:, 1:, :])
+        del oh
+        W = P[:, window:, :] - P[:, :-window, :]   # (nc, L-w+1, V)
+        del P
+        if denom == "window":
+            res = W.astype(np.float64) / float(window)
+        elif denom == "valid":
+            tot = W.sum(axis=2, keepdims=True).astype(np.float64)
+            res = _safe_div(W.astype(np.float64), tot)
+        else:
+            res = W.astype(np.float64)
+        out[lo:lo + chunk] = res.reshape(nc, -1)
+    return out
 
 
 def property_series(r: Ragged, props: np.ndarray) -> np.ndarray:

@@ -31,3 +31,31 @@ def test_long_token_tail_extraction(spark):
     kern = get_spec("protein:CKSAAP type 1").kernel()
     exp = kern(Ragged.from_arrays(np.array([np.asarray(row["tokens"])], dtype=object)))[0]
     assert np.allclose(np.array(row["features"]), exp)
+
+
+def test_sliding_window_chunked_memory_and_parity():
+    """The A3 kernel must bound its transient one-hot cube: on a long-token
+    batch, peak allocation beyond the (unavoidable) output array stays under
+    256 MB, and chunked output equals the direct windowed computation."""
+    import tracemalloc
+
+    from ifeatureomega_cli_spark.functions.kernels import (
+        Ragged, sliding_window_comp)
+
+    rng = np.random.RandomState(0)
+    n, L, V, w = 512, 2048, 20, 5
+    r = Ragged.from_arrays([rng.randint(0, V, size=L) for _ in range(n)])
+    tracemalloc.start()
+    out = sliding_window_comp(r, V, w, denom="window")
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    output_bytes = out.nbytes
+    assert peak - output_bytes < 256 << 20, (peak, output_bytes)
+    # parity vs a direct (unchunked) windowed count on a row sample
+    m = r.to_matrix()
+    for i in (0, 17, n - 1):
+        direct = np.stack([
+            np.bincount(m[i, j:j + w], minlength=V) / w
+            for j in range(L - w + 1)
+        ]).reshape(-1)
+        assert np.allclose(out[i], direct)
