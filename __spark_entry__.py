@@ -307,7 +307,7 @@ def q_char_unigram(spark, sf_dir):
     feat = char_descriptor(_docs(spark, sf_dir), "protein:AAC")
     aa_arr = F.array(*[F.lit(c) for c in _AA])
     return feat.select(
-        "doc_id", F.posexplode(F.col("features")).alias("pos", "freq")
+        "doc_id", F.posexplode_outer(F.col("features")).alias("pos", "freq")
     ).filter(F.col("freq") > 0).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         aa_arr[F.col("pos")].alias("token"),
@@ -336,7 +336,7 @@ def q_char_bigram(spark, sf_dir):
     feat = char_descriptor(_docs(spark, sf_dir), "protein:DPC type 1")
     aa_arr = F.array(*[F.lit(a + b) for a in _AA for b in _AA])
     return feat.select(
-        "doc_id", F.posexplode(F.col("features")).alias("pos", "freq")
+        "doc_id", F.posexplode_outer(F.col("features")).alias("pos", "freq")
     ).filter(F.col("freq") > 0).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         aa_arr[F.col("pos")].alias("bigram"),
@@ -355,7 +355,7 @@ def q_char_group_comp(spark, sf_dir):
                      ("alphatic", "aromatic", "postivecharge",
                       "negativecharge", "uncharge")])
     return feat.select(
-        "doc_id", F.posexplode(F.col("features")).alias("pos", "freq")
+        "doc_id", F.posexplode_outer(F.col("features")).alias("pos", "freq")
     ).filter(F.col("freq") > 0).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         keys[F.col("pos")].alias("grp"),
