@@ -481,6 +481,44 @@ def q_impute_mean(spark, sf_dir):
     )
 
 
+def q_zscore_norm(spark, sf_dir):
+    """Reference ZScore normalization (population std, zero-variance dims →
+    0), long format for the DuckDB oracle."""
+    from ifeatureomega_cli_spark.analysis import zscore_ref
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("features"),
+    )
+    out = zscore_ref(emb)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.posexplode_outer(F.col("scaled_features")).alias("pos", "val"),
+    ).select("vec_id", F.col("pos").cast("int").alias("pos"),
+             _r(F.col("val")).alias("val"))
+
+
+def q_minmax_norm(spark, sf_dir):
+    """Reference MinMax normalization incl. the constant-dimension NaN →
+    per-row-mean fill quirk (dim 0 is planted constant so the quirk fires),
+    long format for the DuckDB oracle."""
+    from ifeatureomega_cli_spark.analysis import minmax_ref
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, F.lit(1.0)).otherwise(x.cast("double")),
+        ).alias("features"),
+    )
+    out = minmax_ref(emb)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.posexplode_outer(F.col("scaled_features")).alias("pos", "val"),
+    ).select("vec_id", F.col("pos").cast("int").alias("pos"),
+             _r(F.col("val")).alias("val"))
+
+
 def q_dbscan_embeddings(spark, sf_dir):
     """Density clustering over the embeddings table (rows-only check;
     ARI-vs-planted-truth is pinned in tests/test_analysis_extras.py)."""
@@ -551,6 +589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_vote": q_knn_vote,
         "pstnp_scores": q_pstnp_scores,
         "impute_mean": q_impute_mean,
+        "zscore_norm": q_zscore_norm,
+        "minmax_norm": q_minmax_norm,
         "dbscan_embeddings": q_dbscan_embeddings,
     }
 
@@ -813,6 +853,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(vals.p AS INTEGER) AS pos,
                    ROUND(COALESCE(v, m), 6) AS val
             FROM vals JOIN means USING (p)
+        """,
+        "zscore_norm": """
+            WITH vals AS (
+              SELECT vec_id, i - 1 AS p, embedding[i]::DOUBLE AS v
+              FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+                           embedding FROM embeddings)
+            ), stats AS (
+              SELECT p, AVG(v) AS m, STDDEV_POP(v) AS s FROM vals GROUP BY p)
+            SELECT CAST(vals.vec_id AS BIGINT) AS vec_id,
+                   CAST(vals.p AS INTEGER) AS pos,
+                   ROUND(CASE WHEN s = 0 THEN 0.0 ELSE (v - m) / s END, 6) AS val
+            FROM vals JOIN stats USING (p)
+        """,
+        "minmax_norm": """
+            WITH vals AS (
+              SELECT vec_id, i - 1 AS p,
+                     CASE WHEN i = 1 THEN 1.0 ELSE embedding[i]::DOUBLE END AS v
+              FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+                           embedding FROM embeddings)
+            ), stats AS (
+              SELECT p, MIN(v) AS mn, MAX(v) AS mx FROM vals GROUP BY p
+            ), norm AS (
+              SELECT vec_id, p,
+                     CASE WHEN mx > mn THEN (v - mn) / (mx - mn) END AS nv
+              FROM vals JOIN stats USING (p)
+            ), rowmean AS (
+              SELECT vec_id, AVG(nv) AS rm FROM norm WHERE nv IS NOT NULL
+              GROUP BY vec_id)
+            SELECT CAST(norm.vec_id AS BIGINT) AS vec_id,
+                   CAST(p AS INTEGER) AS pos,
+                   ROUND(COALESCE(nv, rm), 6) AS val
+            FROM norm JOIN rowmean USING (vec_id)
         """,
         "char_unigram": f"""
             WITH chars AS (

@@ -370,3 +370,24 @@ def lda_reduce(df: DataFrame, n_components: int = 2,
         return pd.Series(list(theta))
 
     return df.withColumn("lda_features", _tr(F.col(features_col)))
+
+
+def zscore_ref(df: DataFrame, features_col: str = "features") -> DataFrame:
+    """Reference-faithful ZScore (ref :10270-10283): per-dimension
+    (x−mean)/std with POPULATION std (np.std, ddof=0); zero-variance
+    dimensions become all-zero (the reference's explicit branch).  One
+    distributed stats pass + one Arrow transform — unlike ml.StandardScaler
+    this matches the reference's ddof and zero-std semantics exactly, which
+    makes it DuckDB-oracleable (stddev_pop)."""
+    stats = _column_stats(df, features_col)
+    mean, std = stats["mean"], stats["std"]
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _z(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.where(std[None, :] != 0,
+                       (m - mean[None, :]) / np.where(std == 0, 1.0, std)[None, :],
+                       0.0)
+        return pd.Series(list(out))
+
+    return df.withColumn("scaled_features", _z(F.col(features_col)))

@@ -18,11 +18,15 @@ _STOPWORDS = {
 
 
 def text_quality(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    keep_text: bool = False,
 ) -> DataFrame:
     """Per-document quality features: lengths, word stats, symbol ratios.
 
-    Used as pre-training filters (drop too-short / symbol-heavy docs)."""
+    Used as pre-training filters (drop too-short / symbol-heavy docs).
+    `keep_text=True` passes the text column through — for pipelines that
+    filter on the stats and keep processing the text (e.g. the streaming
+    quality-gate → dedup composition)."""
     words = F.split(F.trim(F.col(text_col)), "\\s+")
     n_chars = F.length(text_col)
     n_words = F.size(words)
@@ -32,6 +36,7 @@ def text_quality(
     n_space = F.length(F.regexp_replace(text_col, "[^ ]", ""))
     return df.select(
         F.col(id_col),
+        *([F.col(text_col)] if keep_text else []),
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
         (n_chars / F.greatest(n_words, F.lit(1))).alias("mean_word_len"),
