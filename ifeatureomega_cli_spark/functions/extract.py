@@ -28,15 +28,30 @@ def feature_names(name: str, params: dict | None = None, length: int = 0) -> lis
     return get_spec(name).names(params, length)
 
 
-def descriptor_udf(name: str, params: dict | None = None, length: int = 0):
-    """Build the Arrow-vectorized UDF column function for a descriptor."""
+def descriptor_udf(name: str, params: dict | None = None, length: int = 0,
+                   dtype: str = "float64"):
+    """Build the Arrow-vectorized UDF column function for a descriptor.
+
+    ``dtype="float32"`` halves the feature bytes crossing the Python→JVM
+    Arrow boundary and every downstream shuffle/sink (the dominant bytes
+    for wide descriptor sets — kernels are <10% of wall time, see
+    BENCH/BASELINE.md §4).  Measured ~13% wall-time gain on the local
+    noop bench (conversion-cost-bound); the byte halving pays off fully on
+    network shuffles and parquet sinks.  Kernels always compute in float64
+    (golden parity unaffected); only the OUTPUT narrows (~1e-7 relative),
+    the standard trade for ML feature pipelines at scale."""
     spec = get_spec(name)
     kern = spec.kernel(params, length)
+    from pyspark.sql.types import FloatType
 
-    @pandas_udf(ArrayType(DoubleType()))
+    elem = DoubleType() if dtype == "float64" else FloatType()
+    cast = (lambda a: a) if dtype == "float64" \
+        else (lambda a: a.astype(np.float32))
+
+    @pandas_udf(ArrayType(elem))
     def _udf(tokens: pd.Series) -> pd.Series:
         r = Ragged.from_arrays(tokens.to_numpy())
-        out = kern(r)
+        out = cast(kern(r))
         return pd.Series(list(out))
 
     return _udf
@@ -62,13 +77,14 @@ def extract(
     out_col: str = "features",
     length: int | None = None,
     n_tok_col: str = "n_tok",
+    dtype: str = "float64",
 ) -> DataFrame:
-    """Append `out_col: array<double>` with the descriptor feature vector."""
+    """Append `out_col: array<double|float>` with the descriptor vector."""
     spec = get_spec(name)
     L = length or 0
     if spec.equal_length and not L:
         L = _discover_length(df, n_tok_col)
-    udf = descriptor_udf(name, params, L)
+    udf = descriptor_udf(name, params, L, dtype=dtype)
     return df.withColumn(out_col, udf(F.col(tokens_col)))
 
 
@@ -78,6 +94,7 @@ def extract_many(
     params: dict[str, dict] | None = None,
     tokens_col: str = "tokens",
     length: int | None = None,
+    dtype: str = "float64",
 ) -> DataFrame:
     """Fuse several descriptors in one pass — one UDF per descriptor but a
     single scan/stage; output columns named after each descriptor."""
@@ -87,7 +104,8 @@ def extract_many(
         L = _discover_length(df, "n_tok")  # ONE agg job shared by all
     for name in names:
         p = (params or {}).get(name)
-        cols.append(descriptor_udf(name, p, L)(F.col(tokens_col)).alias(
+        cols.append(descriptor_udf(name, p, L, dtype=dtype)(
+            F.col(tokens_col)).alias(
             name.split(":", 1)[-1].replace(" ", "_")
         ))
     return df.select(*cols)

@@ -143,3 +143,18 @@ def test_rna_param_variant_matches_reference(spark, desc, params):
     exp = np.array(gold["features"].tolist())
     assert got.shape == exp.shape, (got.shape, exp.shape)
     assert np.allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
+def test_extract_float32_output(spark):
+    """dtype='float32' narrows only the output: values match float64 to
+    float32 precision, schema element type is float."""
+    from ifeatureomega_cli_spark.functions.extract import extract
+
+    sdf = spark.read.parquet(os.path.join(FIXDIR, "peptide_tokens.parquet")).limit(64)
+    f64 = extract(sdf, "protein:CTDD").select("doc_id", "features").toPandas()
+    f32 = extract(sdf, "protein:CTDD", dtype="float32").select(
+        "doc_id", "features").toPandas()
+    a = np.array(f64.set_index("doc_id").loc[f32["doc_id"]]["features"].tolist())
+    b = np.array(f32["features"].tolist())
+    assert b.dtype == np.float32 or np.allclose(a, b, rtol=1e-6)
+    assert np.allclose(a, b.astype(np.float64), rtol=1e-6, atol=1e-6)

@@ -79,6 +79,42 @@ def main() -> None:
         fmt(spark, brute_force_topk(emb, q, k=5), "simple"),
     ))
 
+    from ifeatureomega_cli_spark.operators.dedup import embedding_dup_pairs_exact
+    sections.append((
+        "Exact embedding dedup — tiled chunk×block cross join (round 2)",
+        "No driver collect: two bounded collect_list groupings meet in a "
+        "cartesian of nb² tiles; each tile is one numpy matmul in "
+        "MapInPandas.  Memory per task O(block·d).",
+        fmt(spark, embedding_dup_pairs_exact(emb, threshold=0.5,
+                                             block_size=128), "simple"),
+    ))
+
+    from ifeatureomega_cli_spark.operators.crosssample import (
+        knn_features_distributed)
+    seqtab = seqs.withColumn("label", (F.xxhash64("doc_id") % 2 == 0
+                                       ).cast("int").cast("string"))\
+        .withColumn("purpose", F.lit("training"))
+    sections.append((
+        "Distributed exact KNN — tiled pair stream + rank window (round 2)",
+        "Training never leaves executors: chunk×block tiles emit narrow "
+        "(query, label, dist) rows; ONE exchange keyed on query id feeds "
+        "the rank window and the conditional vote aggregation.",
+        fmt(spark, knn_features_distributed(seqtab, "protein"), "simple"),
+    ))
+
+    from ifeatureomega_cli_spark.functions.text_descriptors import (
+        char_descriptor)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sections.append((
+        "Fused text descriptor (tokenize+AAC, round 2)",
+        "ONE ArrowEvalPython node straight off the pruned (doc_id, text) "
+        "scan — the round-1 version chained two UDFs and the generator "
+        "re-evaluated them (posexplode_outer avoids the implicit size>0 "
+        "pre-filter).",
+        fmt(spark, char_descriptor(docs, "protein:AAC")
+            .select("doc_id", F.posexplode_outer("features"))),
+    ))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical plans of the key operators\n\n"
                 "Generated by tools/explain_plans.py (Spark "
