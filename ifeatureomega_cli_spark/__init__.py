@@ -23,9 +23,11 @@ from ifeatureomega_cli_spark.operators.fill import backfill, ffill
 from ifeatureomega_cli_spark.operators.lag_lead import lag_lead
 from ifeatureomega_cli_spark.operators.sessionize import sessionize
 from ifeatureomega_cli_spark.operators.topk import top_k_per_group
-from ifeatureomega_cli_spark.api import DNADataset, ProteinDataset, RNADataset
+from ifeatureomega_cli_spark.api import (Analysis, DNADataset,
+                                         ProteinDataset, RNADataset)
 
 __all__ = [
+    "Analysis",
     "get_spark",
     "extract",
     "extract_many",

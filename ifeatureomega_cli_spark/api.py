@@ -21,6 +21,7 @@ import json
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ifeatureomega_cli_spark.functions.extract import extract, feature_names
 from ifeatureomega_cli_spark.functions.registry import descriptor_names, get_spec
@@ -117,3 +118,189 @@ class DNADataset(SequenceDataset):
 
 class RNADataset(SequenceDataset):
     seq_type = "rna"
+
+
+class Analysis:
+    """Façade mirroring the reference's iAnalysis class
+    (iFeatureOmegaCLI.py:9951-10310) over a `features array<double>`
+    DataFrame:
+
+    Reference usage                     →  Spark-native equivalent
+    -------------------------------------------------------------
+    data = iAnalysis(df)                →  a = Analysis(features_df)
+    data.kmeans(nclusters=3)            →  a.kmeans(nclusters=3)
+    data.cluster_result                 →  a.cluster_result  (DataFrame)
+    data.DBSCAN() / data.APC() / ...    →  a.DBSCAN() / a.APC() / ...
+    data.t_sne(2) / data.PCA(2) / LDA   →  a.t_sne(2) / a.PCA(2) / a.LDA(2)
+    data.ZScore() / data.MinMax()       →  a.ZScore() / a.MinMax()
+    data.cluster_to_csv(file)           →  a.cluster_to_csv(dir)
+
+    Methods return True/False and set the same result attributes as the
+    reference (every result stays a lazy DataFrame).  Clusterer scale
+    notes live in analysis.py — the sklearn-equivalent fit runs on a
+    bounded seeded sample, assignment is distributed.
+    """
+
+    def __init__(self, df: DataFrame, features_col: str = "features",
+                 id_col: str = "doc_id"):
+        self.dataframe = df
+        self._fc = features_col
+        self._id = id_col
+        self.cluster_result: DataFrame | None = None
+        self.dimension_reduction_result: DataFrame | None = None
+        self.feature_normalization_data: DataFrame | None = None
+        self.error_msg: str | None = None
+
+    # -- clustering ------------------------------------------------------
+
+    def _cluster(self, fn, **kw) -> bool:
+        try:
+            out = fn(self.dataframe, features_col=self._fc, **kw)
+            self.cluster_result = out.select(self._id, "cluster")
+            return True
+        except Exception as e:  # reference contract: False + error_msg
+            self.error_msg = str(e)
+            return False
+
+    def kmeans(self, nclusters: int = 2) -> bool:
+        from ifeatureomega_cli_spark import analysis as A
+        try:
+            out = A.kmeans(self.dataframe, nclusters, features_col=self._fc)
+            self.cluster_result = out.select(self._id, "cluster")
+            return True
+        except Exception as e:
+            self.error_msg = str(e)
+            return False
+
+    def MiniBatchKMeans(self, nclusters: int = 2) -> bool:
+        from ifeatureomega_cli_spark import analysis as A
+        try:
+            out = A.minibatch_kmeans(self.dataframe, nclusters,
+                                     features_col=self._fc)
+            self.cluster_result = out.select(self._id, "cluster")
+            return True
+        except Exception as e:
+            self.error_msg = str(e)
+            return False
+
+    def GM(self, nclusters: int = 2) -> bool:
+        from ifeatureomega_cli_spark import analysis as A
+        try:
+            out = A.gaussian_mixture(self.dataframe, nclusters,
+                                     features_col=self._fc)
+            self.cluster_result = out.select(self._id, "cluster")
+            return True
+        except Exception as e:
+            self.error_msg = str(e)
+            return False
+
+    def Agglomerative(self, nclusters: int = 2) -> bool:
+        from ifeatureomega_cli_spark import analysis as A
+        return self._cluster(A.agglomerative, n_clusters=nclusters,
+                             id_col=self._id)
+
+    def Spectral(self, nclusters: int = 2) -> bool:
+        from ifeatureomega_cli_spark import analysis as A
+        return self._cluster(A.spectral, n_clusters=nclusters, id_col=self._id)
+
+    def MCL(self, expand: float = 2.0, inflate: float = 2.0,
+            multiply: float = 2.0, max_loop: int = 1000) -> bool:
+        from ifeatureomega_cli_spark import analysis as A
+        return self._cluster(A.mcl, expand_factor=int(expand),
+                             inflate_factor=float(inflate),
+                             mult_factor=float(multiply),
+                             max_loop=max_loop, id_col=self._id)
+
+    def hcluster(self) -> bool:
+        from ifeatureomega_cli_spark import analysis as A
+        return self._cluster(A.hcluster, id_col=self._id)
+
+    def APC(self) -> bool:
+        from ifeatureomega_cli_spark import analysis as A
+        return self._cluster(A.affinity_propagation, id_col=self._id)
+
+    def meanshift(self) -> bool:
+        from ifeatureomega_cli_spark import analysis as A
+        return self._cluster(A.meanshift, id_col=self._id)
+
+    def DBSCAN(self) -> bool:
+        from ifeatureomega_cli_spark import analysis as A
+        return self._cluster(A.dbscan, id_col=self._id)
+
+    # -- dimensionality reduction -----------------------------------------
+
+    def t_sne(self, n_components: int = 2) -> bool:
+        from ifeatureomega_cli_spark import analysis as A
+        try:
+            self.dimension_reduction_result = A.tsne(
+                self.dataframe, n_components, features_col=self._fc,
+                id_col=self._id)
+            return True
+        except Exception as e:
+            self.error_msg = str(e)
+            return False
+
+    def PCA(self, n_components: int = 2) -> bool:
+        from ifeatureomega_cli_spark import analysis as A
+        try:
+            self.dimension_reduction_result = A.pca(
+                self.dataframe, n_components, features_col=self._fc
+            ).select(self._id, F.col("pca_features"))
+            return True
+        except Exception as e:
+            self.error_msg = str(e)
+            return False
+
+    def LDA(self, n_components: int = 2) -> bool:
+        from ifeatureomega_cli_spark import analysis as A
+        try:
+            self.dimension_reduction_result = A.lda_reduce(
+                self.dataframe, n_components, features_col=self._fc,
+                id_col=self._id).select(self._id, F.col("lda_features"))
+            return True
+        except Exception as e:
+            self.error_msg = str(e)
+            return False
+
+    # -- normalization -----------------------------------------------------
+
+    def ZScore(self) -> bool:
+        from ifeatureomega_cli_spark import analysis as A
+        try:
+            self.feature_normalization_data = A.zscore_ref(
+                self.dataframe, features_col=self._fc
+            ).select(self._id, F.col("scaled_features"))
+            return True
+        except Exception as e:
+            self.error_msg = str(e)
+            return False
+
+    def MinMax(self) -> bool:
+        from ifeatureomega_cli_spark import analysis as A
+        try:
+            self.feature_normalization_data = A.minmax_ref(
+                self.dataframe, features_col=self._fc
+            ).select(self._id, F.col("scaled_features"))
+            return True
+        except Exception as e:
+            self.error_msg = str(e)
+            return False
+
+    # -- sinks (reference *_to_csv) ----------------------------------------
+
+    def cluster_to_csv(self, file: str = "cluster_result") -> None:
+        if self.cluster_result is not None:
+            sinks.write_csv(self.cluster_result, file)
+
+    def dimension_to_csv(self, file: str = "dimension_reduction_result") -> None:
+        if self.dimension_reduction_result is not None:
+            df = self.dimension_reduction_result
+            arr = [c for c, t in df.dtypes if t.startswith("array")]
+            for c in arr:
+                df = df.withColumn(c, F.col(c).cast("string"))
+            sinks.write_csv(df, file)
+
+    def normalization_to_csv(self, file: str = "feature_normalization") -> None:
+        if self.feature_normalization_data is not None:
+            sinks.write_csv(self.feature_normalization_data, file)
+
