@@ -144,9 +144,11 @@ def impute_mean(df: DataFrame, features_col: str = "features",
     """Replace NaN/NULL entries with the column (dimension) mean — the
     reference applies this via fill_ndarray (ref :10303-10310) so analysis
     fits never see NaN.  Two linear passes: one stats aggregation, one
-    Arrow transform; nothing larger than a (dim,) vector leaves executors."""
+    Arrow transform; nothing larger than a (dim,) vector leaves executors.
+    A column that is ENTIRELY NaN has no mean and stays NaN — matching the
+    reference (mean of an empty slice is NaN, fill_ndarray :10309)."""
     stats = _column_stats(df, features_col)
-    means = stats["mean"]
+    means = np.where(stats["count"] > 0, stats["mean"], np.nan)
     out_col = out_col or features_col
 
     @pandas_udf(ArrayType(DoubleType()))
