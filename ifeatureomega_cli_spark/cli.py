@@ -87,6 +87,78 @@ def cmd_sessions(args) -> int:
     return 0
 
 
+_ANALYZE_OPS = ("kmeans", "minibatch_kmeans", "gaussian_mixture",
+                "agglomerative", "spectral", "hcluster", "dbscan",
+                "affinity_propagation", "meanshift", "mcl",
+                "pca", "tsne", "lda", "zscore", "minmax", "impute")
+
+
+def cmd_analyze(args) -> int:
+    """iAnalysis over a features parquet: cluster / reduce / normalize."""
+    spark = _spark(args)
+    from ifeatureomega_cli_spark import analysis as A
+
+    df = spark.read.parquet(args.input)
+    op = args.op
+    k = args.k
+    if op == "kmeans":
+        out = A.kmeans(df, k)
+    elif op == "minibatch_kmeans":
+        out = A.minibatch_kmeans(df, k)
+    elif op == "gaussian_mixture":
+        out = A.gaussian_mixture(df, k)
+    elif op == "agglomerative":
+        out = A.agglomerative(df, n_clusters=k)
+    elif op == "spectral":
+        out = A.spectral(df, n_clusters=k)
+    elif op == "hcluster":
+        out = A.hcluster(df)
+    elif op == "dbscan":
+        out = A.dbscan(df)
+    elif op == "affinity_propagation":
+        out = A.affinity_propagation(df)
+    elif op == "meanshift":
+        out = A.meanshift(df)
+    elif op == "mcl":
+        out = A.mcl(df)
+    elif op == "pca":
+        out = A.pca(df, k)
+    elif op == "tsne":
+        out = A.tsne(df, k)
+    elif op == "lda":
+        out = A.lda_reduce(df, k)
+    elif op == "zscore":
+        out = A.zscore_ref(df)
+    elif op == "minmax":
+        out = A.minmax_ref(df)
+    else:  # impute
+        out = A.impute_mean(df)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"op": op,
+                      "rows": spark.read.parquet(args.output).count()}))
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    """Training-data dedup over a documents parquet."""
+    spark = _spark(args)
+    from ifeatureomega_cli_spark.operators import dedup as D
+
+    df = spark.read.parquet(args.input)
+    if args.method == "exact":
+        out = D.exact_dedup(df, normalize=args.normalize)
+    elif args.method == "minhash":
+        out = D.minhash_dedup(df, threshold=args.threshold)
+    elif args.method == "simhash":
+        out = D.simhash_dup_pairs(df)
+    else:  # jaccard
+        out = D.ngram_jaccard_pairs(df, threshold=args.threshold)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"method": args.method,
+                      "rows": spark.read.parquet(args.output).count()}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ifeatureomega-cli-spark")
     ap.add_argument("--master", default=None)
@@ -122,6 +194,23 @@ def main(argv=None) -> int:
     p.add_argument("--ts", default="ts")
     p.add_argument("--output", required=True)
     p.set_defaults(fn=cmd_sessions)
+
+    p = sub.add_parser("analyze")
+    p.add_argument("--input", required=True, help="features parquet")
+    p.add_argument("--op", required=True, choices=_ANALYZE_OPS)
+    p.add_argument("--k", type=int, default=2,
+                   help="clusters / components where applicable")
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("dedup")
+    p.add_argument("--input", required=True, help="documents parquet")
+    p.add_argument("--method", default="exact",
+                   choices=("exact", "minhash", "simhash", "jaccard"))
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--normalize", action="store_true")
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_dedup)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -55,3 +55,27 @@ def test_gmm_and_bisecting(spark):
     assert g.select("cluster").distinct().count() <= 2
     b = minibatch_kmeans(feat, 3)
     assert b.select("cluster").distinct().count() <= 3
+
+
+def test_cli_analyze_and_dedup(spark, tmp_path):
+    from ifeatureomega_cli_spark import cli
+    from ifeatureomega_cli_spark.functions.extract import extract
+
+    sdf = spark.read.parquet(os.path.join(FIXDIR, "peptide_tokens.parquet"))
+    feat_dir = str(tmp_path / "feat")
+    extract(sdf, "protein:AAC").select("doc_id", "features").write.parquet(feat_dir)
+    rc = cli.main(["analyze", "--input", feat_dir, "--op", "kmeans",
+                   "--k", "3", "--output", str(tmp_path / "km")])
+    assert rc == 0
+    km = spark.read.parquet(str(tmp_path / "km"))
+    assert km.count() == 300 and "cluster" in km.columns
+
+    rc = cli.main(["analyze", "--input", feat_dir, "--op", "zscore",
+                   "--output", str(tmp_path / "zs")])
+    assert rc == 0
+
+    docs_dir = "/root/testdata/sf0.001/documents.parquet"
+    rc = cli.main(["dedup", "--input", docs_dir, "--method", "exact",
+                   "--output", str(tmp_path / "dd")])
+    assert rc == 0
+    assert spark.read.parquet(str(tmp_path / "dd")).count() > 0
