@@ -123,6 +123,8 @@ def _column_stats(df: DataFrame, features_col: str) -> dict:
         partial, schema="s array<double>, ss array<double>, "
                         "cnt array<double>, mn array<double>, mx array<double>"
     ).collect()
+    if not parts:
+        return None  # empty input — callers short-circuit gracefully
     s = ss = cnt = mn = mx = None
     for r in parts:
         if s is None:
@@ -148,8 +150,10 @@ def impute_mean(df: DataFrame, features_col: str = "features",
     A column that is ENTIRELY NaN has no mean and stays NaN — matching the
     reference (mean of an empty slice is NaN, fill_ndarray :10309)."""
     stats = _column_stats(df, features_col)
-    means = np.where(stats["count"] > 0, stats["mean"], np.nan)
     out_col = out_col or features_col
+    if stats is None:  # empty table: nothing to impute
+        return df.withColumn(out_col, F.col(features_col))
+    means = np.where(stats["count"] > 0, stats["mean"], np.nan)
 
     @pandas_udf(ArrayType(DoubleType()))
     def _fill(vecs: pd.Series) -> pd.Series:
@@ -169,6 +173,8 @@ def minmax_ref(df: DataFrame, features_col: str = "features") -> DataFrame:
     (fill_ndarray on the transposed matrix).  Distributed: one stats pass,
     one Arrow transform."""
     stats = _column_stats(df, features_col)
+    if stats is None:  # empty table
+        return df.withColumn("scaled_features", F.col(features_col))
     mn, mx = stats["min"], stats["max"]
     span = mx - mn
 
@@ -194,16 +200,25 @@ def minmax_ref(df: DataFrame, features_col: str = "features") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _sample_matrix(df: DataFrame, features_col: str, id_col: str,
-                   max_rows: int, seed: int) -> np.ndarray:
+def _sample_rows(df: DataFrame, features_col: str, id_col: str,
+                 max_rows: int, seed: int):
     """Deterministic pseudo-random sample: hash-order by id, take the first
-    max_rows (TakeOrdered — per-partition top-k, no full sort shuffle)."""
+    max_rows (TakeOrdered — per-partition top-k, no full sort shuffle).
+    Returns (ids list, (n, dim) matrix); (None, None) on an empty table."""
     rows = (
         df.select(id_col, features_col)
         .withColumn("__h", F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
-        .sort("__h").limit(max_rows).select(features_col).collect()
+        .sort("__h").limit(max_rows).select(id_col, features_col).collect()
     )
-    return np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    if not rows:
+        return None, None
+    return ([r[0] for r in rows],
+            np.stack([np.asarray(r[1], dtype=np.float64) for r in rows]))
+
+
+def _sample_matrix(df: DataFrame, features_col: str, id_col: str,
+                   max_rows: int, seed: int) -> np.ndarray | None:
+    return _sample_rows(df, features_col, id_col, max_rows, seed)[1]
 
 
 def _assign_nearest(df: DataFrame, features_col: str, Xs: np.ndarray,
@@ -224,6 +239,8 @@ def _assign_nearest(df: DataFrame, features_col: str, Xs: np.ndarray,
 
 def _sample_fit_assign(df, fitter, features_col, id_col, max_rows, seed):
     Xs = _sample_matrix(df, features_col, id_col, max_rows, seed)
+    if Xs is None:  # empty table
+        return df.withColumn("cluster", F.lit(None).cast("int"))
     return _assign_nearest(df, features_col, Xs, fitter(Xs))
 
 
@@ -303,6 +320,8 @@ def dbscan(df: DataFrame, eps: float = 0.5, min_samples: int = 5,
     runs on the sample; every row is then assigned DBSCAN-predict style —
     nearest CORE point within eps, else noise (-1)."""
     stats = _column_stats(df, features_col)
+    if stats is None:  # empty table
+        return df.withColumn("cluster", F.lit(-1).cast("int"))
     mean, std = stats["mean"], np.where(stats["std"] == 0, 1.0, stats["std"])
     Xs = _sample_matrix(df, features_col, id_col, max_rows, seed)
     Xs = (Xs - mean[None, :]) / std[None, :]
@@ -338,19 +357,14 @@ def tsne(df: DataFrame, n_components: int = 2, perplexity: float = 30.0,
     t-SNE has no out-of-sample transform (sklearn's has none either) — the
     embedding is computed for the seeded sample and returned as
     (id, tsne_features); rows outside the sample are absent by design."""
-    rows = (
-        df.select(id_col, features_col)
-        .withColumn("__h", F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
-        .sort("__h").limit(max_rows).select(id_col, features_col).collect()
-    )
-    ids = [r[0] for r in rows]
-    X = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    Y = NC.tsne(X, n_components=n_components, perplexity=perplexity, seed=seed)
+    ids, X = _sample_rows(df, features_col, id_col, max_rows, seed)
     id_type = df.select(id_col).schema[0].dataType.simpleString()
+    schema = f"{id_col} {id_type}, tsne_features array<double>"
+    if ids is None:  # empty table
+        return df.sparkSession.createDataFrame([], schema)
+    Y = NC.tsne(X, n_components=n_components, perplexity=perplexity, seed=seed)
     return df.sparkSession.createDataFrame(
-        [(i, y.tolist()) for i, y in zip(ids, Y)],
-        f"{id_col} {id_type}, tsne_features array<double>",
-    )
+        [(i, y.tolist()) for i, y in zip(ids, Y)], schema)
 
 
 def lda_reduce(df: DataFrame, n_components: int = 2,
@@ -362,6 +376,9 @@ def lda_reduce(df: DataFrame, n_components: int = 2,
     that survives), then EVERY row is transformed distributively — per-doc
     inference is embarrassingly parallel, one Arrow pass."""
     Xs = _sample_matrix(df, features_col, id_col, max_rows, seed)
+    if Xs is None:  # empty table
+        return df.withColumn(
+            "lda_features", F.lit(None).cast("array<double>"))
     lam = NC.lda_fit(Xs, n_components=n_components, max_iter=max_iter,
                      seed=seed)
 
@@ -382,6 +399,8 @@ def zscore_ref(df: DataFrame, features_col: str = "features") -> DataFrame:
     this matches the reference's ddof and zero-std semantics exactly, which
     makes it DuckDB-oracleable (stddev_pop)."""
     stats = _column_stats(df, features_col)
+    if stats is None:  # empty table
+        return df.withColumn("scaled_features", F.col(features_col))
     mean, std = stats["mean"], stats["std"]
 
     @pandas_udf(ArrayType(DoubleType()))

@@ -151,48 +151,42 @@ class Analysis:
         self.feature_normalization_data: DataFrame | None = None
         self.error_msg: str | None = None
 
-    # -- clustering ------------------------------------------------------
+    # -- shared runner: reference contract is True/False + error_msg ------
 
-    def _cluster(self, fn, **kw) -> bool:
+    def _run(self, attr: str, fn, select_cols, **kw) -> bool:
         try:
             out = fn(self.dataframe, features_col=self._fc, **kw)
-            self.cluster_result = out.select(self._id, "cluster")
+            setattr(self, attr, out.select(self._id, *select_cols))
             return True
-        except Exception as e:  # reference contract: False + error_msg
+        except Exception as e:
             self.error_msg = str(e)
             return False
+
+    def _cluster(self, fn, **kw) -> bool:
+        return self._run("cluster_result", fn, ["cluster"], **kw)
+
+    # -- clustering ------------------------------------------------------
 
     def kmeans(self, nclusters: int = 2) -> bool:
         from ifeatureomega_cli_spark import analysis as A
-        try:
-            out = A.kmeans(self.dataframe, nclusters, features_col=self._fc)
-            self.cluster_result = out.select(self._id, "cluster")
-            return True
-        except Exception as e:
-            self.error_msg = str(e)
-            return False
+        return self._run("cluster_result",
+                         lambda df, features_col: A.kmeans(
+                             df, nclusters, features_col=features_col),
+                         ["cluster"])
 
     def MiniBatchKMeans(self, nclusters: int = 2) -> bool:
         from ifeatureomega_cli_spark import analysis as A
-        try:
-            out = A.minibatch_kmeans(self.dataframe, nclusters,
-                                     features_col=self._fc)
-            self.cluster_result = out.select(self._id, "cluster")
-            return True
-        except Exception as e:
-            self.error_msg = str(e)
-            return False
+        return self._run("cluster_result",
+                         lambda df, features_col: A.minibatch_kmeans(
+                             df, nclusters, features_col=features_col),
+                         ["cluster"])
 
     def GM(self, nclusters: int = 2) -> bool:
         from ifeatureomega_cli_spark import analysis as A
-        try:
-            out = A.gaussian_mixture(self.dataframe, nclusters,
-                                     features_col=self._fc)
-            self.cluster_result = out.select(self._id, "cluster")
-            return True
-        except Exception as e:
-            self.error_msg = str(e)
-            return False
+        return self._run("cluster_result",
+                         lambda df, features_col: A.gaussian_mixture(
+                             df, nclusters, features_col=features_col),
+                         ["cluster"])
 
     def Agglomerative(self, nclusters: int = 2) -> bool:
         from ifeatureomega_cli_spark import analysis as A
@@ -232,6 +226,7 @@ class Analysis:
     def t_sne(self, n_components: int = 2) -> bool:
         from ifeatureomega_cli_spark import analysis as A
         try:
+            # t-SNE output covers the fitted sample only (no transform)
             self.dimension_reduction_result = A.tsne(
                 self.dataframe, n_components, features_col=self._fc,
                 id_col=self._id)
@@ -242,49 +237,30 @@ class Analysis:
 
     def PCA(self, n_components: int = 2) -> bool:
         from ifeatureomega_cli_spark import analysis as A
-        try:
-            self.dimension_reduction_result = A.pca(
-                self.dataframe, n_components, features_col=self._fc
-            ).select(self._id, F.col("pca_features"))
-            return True
-        except Exception as e:
-            self.error_msg = str(e)
-            return False
+        return self._run("dimension_reduction_result",
+                         lambda df, features_col: A.pca(
+                             df, n_components, features_col=features_col),
+                         ["pca_features"])
 
     def LDA(self, n_components: int = 2) -> bool:
         from ifeatureomega_cli_spark import analysis as A
-        try:
-            self.dimension_reduction_result = A.lda_reduce(
-                self.dataframe, n_components, features_col=self._fc,
-                id_col=self._id).select(self._id, F.col("lda_features"))
-            return True
-        except Exception as e:
-            self.error_msg = str(e)
-            return False
+        return self._run("dimension_reduction_result",
+                         lambda df, features_col: A.lda_reduce(
+                             df, n_components, features_col=features_col,
+                             id_col=self._id),
+                         ["lda_features"])
 
     # -- normalization -----------------------------------------------------
 
     def ZScore(self) -> bool:
         from ifeatureomega_cli_spark import analysis as A
-        try:
-            self.feature_normalization_data = A.zscore_ref(
-                self.dataframe, features_col=self._fc
-            ).select(self._id, F.col("scaled_features"))
-            return True
-        except Exception as e:
-            self.error_msg = str(e)
-            return False
+        return self._run("feature_normalization_data", A.zscore_ref,
+                         ["scaled_features"])
 
     def MinMax(self) -> bool:
         from ifeatureomega_cli_spark import analysis as A
-        try:
-            self.feature_normalization_data = A.minmax_ref(
-                self.dataframe, features_col=self._fc
-            ).select(self._id, F.col("scaled_features"))
-            return True
-        except Exception as e:
-            self.error_msg = str(e)
-            return False
+        return self._run("feature_normalization_data", A.minmax_ref,
+                         ["scaled_features"])
 
     # -- sinks (reference *_to_csv) ----------------------------------------
 

@@ -195,8 +195,10 @@ def knn_features(
     (batch × n_train).  Bigger training sets dispatch to
     knn_features_distributed — the tiled all-pairs twin that never
     materializes the training table on the driver."""
-    if (df.filter(F.col(purpose_col) == "training").count()
-            > max_broadcast_train):
+    # bounded probe: limit+count short-circuits instead of scanning the
+    # full training set just to learn "is it big"
+    if (df.filter(F.col(purpose_col) == "training")
+            .limit(max_broadcast_train + 1).count() > max_broadcast_train):
         return knn_features_distributed(
             df, seq_type, tokens_col, label_col, purpose_col, id_col, out_col)
     train_pd = (
@@ -297,12 +299,16 @@ def knn_features_distributed(
     t_packed = F.collect_list(F.struct(
         F.col(id_col).cast("string").alias("id"), F.col(tokens_col).alias("t"),
         F.col(label_col).cast("int").alias("lab")))
-    n_chunks = 64  # fixed fan-out; chunk size self-balances with data size
+    # group counts sized from the actual tables so collect_list cells stay
+    # bounded at ~chunk_size/block_size rows regardless of scale
+    n_query = df.count()
+    n_chunks = max(1, math.ceil(n_query / chunk_size))
+    n_blocks = max(1, math.ceil(n_train / block_size))
     chunks = (df.groupBy(F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(1)),
                                 F.lit(n_chunks)).alias("__chk"))
               .agg(q_packed.alias("__q")))
     blocks = (train.groupBy(F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(2)),
-                                   F.lit(n_chunks)).alias("__blk"))
+                                   F.lit(n_blocks)).alias("__blk"))
               .agg(t_packed.alias("__t")))
 
     def gen(batches):
@@ -351,6 +357,11 @@ def knn_features_distributed(
         "qid", F.array(*[F.col(f"f_{ki}_{lab}")
                          for ki in range(len(k_list))
                          for lab in label_set]).alias(out_col))
+    # a query with ZERO candidates (e.g. the only training row queried
+    # against itself) emits no pair rows → left join gives NULL; the
+    # broadcast kernel returns all-zero votes for it, so coalesce to zeros
+    zeros = F.array(*[F.lit(0.0)] * (len(k_list) * len(label_set)))
     return (df.withColumn("__qid_str", F.col(id_col).cast("string"))
             .join(feats, F.col("__qid_str") == F.col("qid"), "left")
+            .withColumn(out_col, F.coalesce(F.col(out_col), zeros))
             .drop("qid", "__qid_str"))

@@ -121,6 +121,10 @@ def ivf_topk(
     higher-order zip_with/aggregate expressions measured ~100× slower)."""
     C = centroids
     qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        spark = corpus_with_cells.sparkSession
+        return spark.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, cosine double, rk int")
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     Q = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-300)

@@ -27,30 +27,36 @@ def bucket_by(df: DataFrame, key: str = "doc_id", n_buckets: int = 64,
 
 
 def salt(df: DataFrame, key: str, n_salts: int = 16,
-         salt_col: str = "salt") -> DataFrame:
-    """Per-row salt spreading a hot key over n_salts subkeys.
+         salt_col: str = "salt", id_cols: list[str] | None = None) -> DataFrame:
+    """Per-row salt spreading a hot key over n_salts subkeys —
+    DETERMINISTIC under task retry (a row-position-based salt would
+    re-deal rows on recompute and double/under-count against surviving
+    reducer outputs of the first attempt).
 
-    The salt is derived from the FULL row content (xxhash64 over every
-    column), so it is deterministic under task retry: a re-computed map
-    task assigns each row the same salt, which keeps salted partial
-    aggregations exactly-once under partial stage retry (a row-id-based
-    salt would re-deal rows on recompute and double/under-count against
-    surviving reducer outputs).  Identical rows land on the same salt —
-    fine for aggregation (they belong to the same key anyway), and the
-    spread over distinct rows is what kills the hot-key skew."""
+    Pass `id_cols` (any columns forming a unique row identity, e.g. the
+    event id) for the strongest spread: unique ids hash uniformly no
+    matter how duplicated the payload is.  Without it the salt falls back
+    to xxhash64 over ALL columns — still retry-safe, but identical rows
+    collapse onto one salt, so a heavily-duplicated hot key (or a frame
+    projected down to just the key) is NOT spread; prefer id_cols whenever
+    a unique column exists."""
+    cols = id_cols if id_cols else list(df.columns)
     return df.withColumn(
         salt_col,
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+        F.pmod(F.xxhash64(*[F.col(c) for c in cols]),
                F.lit(n_salts)).cast("int"),
     )
 
 
-def two_phase_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+def two_phase_count(df: DataFrame, key: str, n_salts: int = 16,
+                    id_cols: list[str] | None = None) -> DataFrame:
     """Skew-safe count per key: salted partial counts then merge.
 
     The first shuffle spreads the hot key across n_salts reducers; the
-    second shuffle only moves n_salts rows per key."""
-    salted = salt(df, key, n_salts)
+    second shuffle only moves n_salts rows per key.  Pass id_cols (a
+    unique row identity) when rows can be duplicates of each other — see
+    salt()."""
+    salted = salt(df, key, n_salts, id_cols=id_cols)
     partial = salted.groupBy(key, "salt").agg(F.count(F.lit(1)).alias("c"))
     return partial.groupBy(key).agg(F.sum("c").alias("count"))
 

@@ -100,3 +100,58 @@ def test_streaming_dedup_empty_batch(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(60)
     assert spark.sql("select * from edge_dedup").count() == 0
+
+
+def test_analysis_ops_empty_input(spark):
+    from ifeatureomega_cli_spark.analysis import (
+        agglomerative, impute_mean, lda_reduce, minmax_ref, tsne, zscore_ref)
+
+    e = spark.createDataFrame([], "doc_id long, features array<double>")
+    assert impute_mean(e).count() == 0
+    assert zscore_ref(e).count() == 0
+    assert minmax_ref(e).count() == 0
+    assert agglomerative(e, 2).count() == 0
+    assert tsne(e).count() == 0
+    assert lda_reduce(e).count() == 0
+
+
+def test_ivf_empty_queries(spark):
+    from ifeatureomega_cli_spark.operators.similarity import (
+        ivf_assign, ivf_topk, train_ivf_centroids)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_cells=4, sample=256)
+    corpus = ivf_assign(emb, cents)
+    empty_q = spark.createDataFrame([], "query_id long, embedding array<double>")
+    assert ivf_topk(corpus, empty_q, cents, k=5).count() == 0
+
+
+def test_knn_distributed_zero_candidate_query_gets_zero_votes(spark):
+    """The only training row queried against itself: self-exclusion leaves
+    no candidates — features must be all-zero (broadcast-kernel parity),
+    not NULL."""
+    from ifeatureomega_cli_spark.operators.crosssample import (
+        knn_features, knn_features_distributed)
+
+    df = spark.createDataFrame(
+        [("only", [0, 1, 2, 3], "1", "training")],
+        "doc_id string, tokens array<int>, label string, purpose string")
+    d = knn_features_distributed(df, "protein").select("features").head()[0]
+    b = knn_features(df, "protein").select("features").head()[0]
+    assert d is not None and list(d) == list(b)
+    assert all(v == 0.0 for v in d)
+
+
+def test_salt_id_cols_spreads_duplicates(spark):
+    """Content-hash salting collapses identical rows; id_cols restores the
+    spread (and stays retry-deterministic)."""
+    from ifeatureomega_cli_spark.plans.partitioning import salt, two_phase_count
+
+    rows = [(i, "hot", "same-payload") for i in range(512)]
+    df = spark.createDataFrame(rows, "event_id long, key string, payload string")
+    no_id = salt(df.select("key", "payload"), "key", n_salts=16)
+    assert no_id.select("salt").distinct().count() == 1  # documented collapse
+    with_id = salt(df, "key", n_salts=16, id_cols=["event_id"])
+    assert with_id.select("salt").distinct().count() > 8
+    out = two_phase_count(df, "key", id_cols=["event_id"]).collect()
+    assert out[0]["count"] == 512

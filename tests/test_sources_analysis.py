@@ -110,3 +110,30 @@ def test_multimodal_stub(spark):
     out2 = extract_media_features(synthesize_media(spark, n=32), out_dim=8).toPandas()
     assert (out.sort_values("media_id")["digest"].to_numpy()
             == out2.sort_values("media_id")["digest"].to_numpy()).all()
+
+
+def test_analysis_facade_workflow(spark):
+    """The reference's documented iAnalysis workflow, Spark-side
+    (ref iFeatureOmegaCLI.py:9951-10000 docstring examples)."""
+    from ifeatureomega_cli_spark.api import Analysis
+    from ifeatureomega_cli_spark.functions.extract import extract
+
+    sdf = spark.read.parquet(os.path.join(FIXDIR, "peptide_tokens.parquet"))
+    feat = extract(sdf, "protein:AAC").select("doc_id", "features")
+    a = Analysis(feat)
+    assert a.kmeans(nclusters=3)
+    assert a.cluster_result.select("cluster").distinct().count() <= 3
+    assert a.DBSCAN()
+    assert a.Agglomerative(nclusters=2)
+    assert a.cluster_result.count() == feat.count()
+    assert a.PCA(n_components=2)
+    assert len(a.dimension_reduction_result.select("pca_features").head()[0]) == 2
+    assert a.t_sne(n_components=2)
+    assert a.dimension_reduction_result.count() > 0
+    assert a.ZScore()
+    assert a.feature_normalization_data.count() == feat.count()
+    assert a.MinMax()
+    # reference contract: failures return False and set error_msg
+    bad = Analysis(feat.select("doc_id"))
+    assert not bad.kmeans(2)
+    assert bad.error_msg
