@@ -70,6 +70,48 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_asof_join_skew(spark, sf_dir):
+    """The skew-hardened as-of twin (time-bucketed + carry seeds) must be
+    EXACTLY equivalent to the plain combinator — same DuckDB oracle."""
+    from ifeatureomega_cli_spark.operators.asof import asof_join_skew
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.col("user_id"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), "ts", "value"
+    )
+    out = asof_join_skew(clicks, purchases, on="user_id", ts="ts",
+                         value_cols=["value"], n_buckets=8)
+    return out.select(
+        "event_id", "user_id", _tss(F.col("ts")).alias("ts"),
+        _tss(F.col("matched_ts")).alias("matched_ts"),
+        _r(F.col("value")).alias("purchase_value"),
+    )
+
+
+def q_asof_tolerance(spark, sf_dir):
+    """As-of join with a 1-hour staleness bound: matches older than the
+    tolerance are nulled (point-in-time correctness with freshness SLA)."""
+    from ifeatureomega_cli_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.col("user_id"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), "ts", "value"
+    )
+    out = asof_join(clicks, purchases, on="user_id", ts="ts",
+                    value_cols=["value"], tolerance_seconds=3600)
+    return out.select(
+        "event_id", "user_id", _tss(F.col("ts")).alias("ts"),
+        _tss(F.col("matched_ts")).alias("matched_ts"),
+        _r(F.col("value")).alias("purchase_value"),
+    )
+
+
 def q_ffill(spark, sf_dir):
     """Forward-fill the last purchase value onto every event of the user."""
     from ifeatureomega_cli_spark.operators.fill import ffill
@@ -561,6 +603,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "asof_join": q_asof_join,
+        "asof_join_skew": q_asof_join_skew,
+        "asof_tolerance": q_asof_tolerance,
         "ffill": q_ffill,
         "backfill": q_backfill,
         "lag_lead": q_lag_lead,
@@ -641,6 +685,29 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') l
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type='purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_join_skew": """
+            SELECT l.event_id, l.user_id,
+                   strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS matched_ts,
+                   ROUND(r.value, 6) AS purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type='purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_tolerance": """
+            SELECT event_id, user_id, ts,
+                   CASE WHEN within THEN matched_ts END AS matched_ts,
+                   CASE WHEN within THEN purchase_value END AS purchase_value
+            FROM (
+              SELECT l.event_id, l.user_id,
+                     strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                     strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS matched_ts,
+                     ROUND(r.value, 6) AS purchase_value,
+                     epoch(l.ts) - epoch(r.ts) <= 3600 AS within
+              FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') l
+              ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type='purchase') r
+                ON l.user_id = r.user_id AND l.ts >= r.ts)
         """,
         "ffill": """
             SELECT event_id, user_id,
