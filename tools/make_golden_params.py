@@ -30,6 +30,7 @@ DNA_VARIANTS = [
     ("ENAC", {"sliding_window": 4}),
     ("Subsequence", {"kmer": 3, "delta": 0.5}),
     ("Subsequence", {"kmer": 2, "delta": 1.0}),
+    ("Mismatch", {"kmer": 3, "mismatch": 2}),
 ]
 
 VARIANTS = [
@@ -43,6 +44,9 @@ VARIANTS = [
     ("PseKRAAC type 5", {"PseKRAAC_model": "g-gap", "g-gap": 1, "k-tuple": 3,
                          "RAAC_clust": 15}),
     ("DistancePair", {"distance": 2, "cp": "cp(14)"}),
+    ("DistancePair", {"distance": 1, "cp": "cp(19)"}),
+    ("CKSAAGP type 1", {"kspace": 4}),
+    ("KSCTriad", {"kspace": 2}),
     ("NMBroto", {"nlag": 5, "aaindex": "ANDN920101;ARGP820101"}),
 ]
 
