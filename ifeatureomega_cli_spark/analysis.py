@@ -94,49 +94,70 @@ def minmax(df: DataFrame, features_col: str = "features") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _merge_moments(cnt, mean, m2, c_, m_, m2_):
+    """Chan's parallel (count, mean, M2) merge, elementwise per dimension.
+    Numerically stable: deviations are taken around each partial's own mean,
+    so E[x²]−E[x]² cancellation (which collapses std to 0 when |mean| ≫ std)
+    never occurs."""
+    tot = cnt + c_
+    safe = np.maximum(tot, 1.0)
+    delta = m_ - mean
+    mean = mean + delta * (c_ / safe)
+    m2 = m2 + m2_ + delta * delta * (cnt * c_ / safe)
+    return tot, mean, m2
+
+
 def _column_stats(df: DataFrame, features_col: str) -> dict:
     """One distributed pass → per-dimension {mean, min, max, std} ignoring
-    NaN (partial (sum, sumsq, count, min, max) per partition, reduced on the
-    driver — result is one small vector set, the map-side-combine classic)."""
+    NaN.  Partial (count, mean, M2, min, max) per partition, Welford/Chan-
+    merged on the driver — result is one small vector set, the map-side-
+    combine classic.  M2 (sum of squared deviations AROUND THE PARTIAL MEAN)
+    replaces a raw sum-of-squares: the one-pass E[x²]−E[x]² form loses all
+    precision when |mean| ≫ std (float64 cancellation → std 0 → zscore_ref
+    all-zeros, dbscan dividing by the 1.0 fallback)."""
 
     def partial(batches):
-        s = ss = cnt = mn = mx = None
+        cnt = mean = m2 = mn = mx = None
         for pdf in batches:
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[features_col]])
             ok = ~np.isnan(m)
-            z = np.where(ok, m, 0.0)
-            s_ = z.sum(axis=0); ss_ = (z * z).sum(axis=0); c_ = ok.sum(axis=0)
+            c_ = ok.sum(axis=0).astype(np.float64)
+            safe = np.maximum(c_, 1.0)
+            m_ = np.where(ok, m, 0.0).sum(axis=0) / safe
+            d = np.where(ok, m - m_[None, :], 0.0)
+            m2_ = (d * d).sum(axis=0)
             mn_ = np.where(ok, m, np.inf).min(axis=0)
             mx_ = np.where(ok, m, -np.inf).max(axis=0)
-            if s is None:
-                s, ss, cnt, mn, mx = s_, ss_, c_, mn_, mx_
+            if cnt is None:
+                cnt, mean, m2, mn, mx = c_, m_, m2_, mn_, mx_
             else:
-                s += s_; ss += ss_; cnt += c_
+                cnt, mean, m2 = _merge_moments(cnt, mean, m2, c_, m_, m2_)
                 mn = np.minimum(mn, mn_); mx = np.maximum(mx, mx_)
-        if s is None:
+        if cnt is None:
             return
-        yield pd.DataFrame({"s": [s.tolist()], "ss": [ss.tolist()],
-                            "cnt": [cnt.tolist()], "mn": [mn.tolist()],
+        yield pd.DataFrame({"cnt": [cnt.tolist()], "mean": [mean.tolist()],
+                            "m2": [m2.tolist()], "mn": [mn.tolist()],
                             "mx": [mx.tolist()]})
 
     parts = df.select(features_col).mapInPandas(
-        partial, schema="s array<double>, ss array<double>, "
-                        "cnt array<double>, mn array<double>, mx array<double>"
+        partial, schema="cnt array<double>, mean array<double>, "
+                        "m2 array<double>, mn array<double>, mx array<double>"
     ).collect()
     if not parts:
         return None  # empty input — callers short-circuit gracefully
-    s = ss = cnt = mn = mx = None
+    cnt = mean = m2 = mn = mx = None
     for r in parts:
-        if s is None:
-            s, ss, cnt = np.array(r["s"]), np.array(r["ss"]), np.array(r["cnt"])
+        if cnt is None:
+            cnt, mean, m2 = np.array(r["cnt"]), np.array(r["mean"]), np.array(r["m2"])
             mn, mx = np.array(r["mn"]), np.array(r["mx"])
         else:
-            s += np.array(r["s"]); ss += np.array(r["ss"]); cnt += np.array(r["cnt"])
+            cnt, mean, m2 = _merge_moments(
+                cnt, mean, m2,
+                np.array(r["cnt"]), np.array(r["mean"]), np.array(r["m2"]))
             mn = np.minimum(mn, np.array(r["mn"]))
             mx = np.maximum(mx, np.array(r["mx"]))
     safe = np.maximum(cnt, 1.0)
-    mean = s / safe
-    var = np.maximum(ss / safe - mean * mean, 0.0)
+    var = np.maximum(m2 / safe, 0.0)
     return {"mean": mean, "std": np.sqrt(var), "min": mn, "max": mx,
             "count": cnt}
 
@@ -277,10 +298,15 @@ def hcluster(df: DataFrame, t: float = 1.0,
 def affinity_propagation(df: DataFrame,
                          features_col: str = "features",
                          id_col: str = "doc_id", max_rows: int = 1024,
-                         seed: int = 42) -> DataFrame:
-    """ref :10114-10128 (sklearn AffinityPropagation defaults)."""
+                         seed: int = 42, damping: float = 0.9) -> DataFrame:
+    """ref :10114-10128 (sklearn AffinityPropagation defaults).
+
+    Parity caveat: the reference runs at sklearn's default damping=0.5; the
+    default HERE is 0.9 because 0.5 can oscillate without sklearn's exact
+    noise RNG (see np_cluster.affinity_propagation).  Pass damping=0.5 for
+    the reference's parameterization."""
     return _sample_fit_assign(
-        df, lambda X: NC.affinity_propagation(X, seed=seed),
+        df, lambda X: NC.affinity_propagation(X, damping=damping, seed=seed),
         features_col, id_col, max_rows, seed)
 
 

@@ -209,9 +209,14 @@ class Analysis:
         from ifeatureomega_cli_spark import analysis as A
         return self._cluster(A.hcluster, id_col=self._id)
 
-    def APC(self) -> bool:
+    def APC(self, damping: float = 0.9) -> bool:
+        """Affinity propagation.  NOTE: the reference's sklearn default is
+        damping=0.5; the default here is 0.9 (0.5 can oscillate without
+        sklearn's exact noise RNG) — pass damping=0.5 for the reference's
+        parameterization (labels may still differ at convergence)."""
         from ifeatureomega_cli_spark import analysis as A
-        return self._cluster(A.affinity_propagation, id_col=self._id)
+        return self._cluster(A.affinity_propagation, id_col=self._id,
+                             damping=damping)
 
     def meanshift(self) -> bool:
         from ifeatureomega_cli_spark import analysis as A

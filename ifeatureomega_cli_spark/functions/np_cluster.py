@@ -71,22 +71,29 @@ def kmeans_np(X: np.ndarray, k: int, seed: int = 42, iters: int = 100,
 
 
 def _linkage(X: np.ndarray, method: str) -> np.ndarray:
-    """(n-1, 4) scipy-style linkage matrix [left, right, height, size]."""
+    """(n-1, 4) scipy-style linkage matrix [left, right, height, size].
+
+    Per-row nearest-neighbour cache instead of re-slicing the alive×alive
+    submatrix each merge (which is O(n³) copies): each alive row keeps its
+    (min, argmin); a merge invalidates only rows whose cached neighbour died
+    (full row re-scan, vectorized) and cheaply improves rows the new cluster
+    got closer to.  Dead rows/columns are set to +inf so a row re-scan is a
+    plain masked min over the padded matrix."""
     n = len(X)
-    D = np.sqrt(_pairwise_sq(X))
-    size = np.ones(n)
-    # distance matrix padded for merged clusters; inf marks dead rows
-    big = np.full((2 * n - 1, 2 * n - 1), np.inf)
-    big[:n, :n] = D
+    N = 2 * n - 1
+    big = np.full((N, N), np.inf)
+    big[:n, :n] = np.sqrt(_pairwise_sq(X))
     np.fill_diagonal(big, np.inf)
-    alive = list(range(n))
+    sizes = np.concatenate([np.ones(n), np.zeros(max(n - 1, 0))])
+    alive = np.zeros(N, dtype=bool)
+    alive[:n] = True
+    row_min = np.concatenate([big[:n].min(axis=1), np.full(max(n - 1, 0), np.inf)])
+    row_arg = np.concatenate([big[:n].argmin(axis=1),
+                              np.zeros(max(n - 1, 0), dtype=np.int64)])
     Z = np.zeros((n - 1, 4))
-    sizes = np.concatenate([size, np.zeros(n - 1)])
     for m in range(n - 1):
-        sub = big[np.ix_(alive, alive)]
-        flat = np.argmin(sub)
-        ai, bi = divmod(flat, len(alive))
-        i, j = alive[ai], alive[bi]
+        i = int(np.argmin(np.where(alive, row_min, np.inf)))
+        j = int(row_arg[i])
         if i > j:
             i, j = j, i
         h = big[i, j]
@@ -94,21 +101,35 @@ def _linkage(X: np.ndarray, method: str) -> np.ndarray:
         ni, nj = sizes[i], sizes[j]
         Z[m] = [i, j, h, ni + nj]
         sizes[new] = ni + nj
-        rest = [x for x in alive if x not in (i, j)]
-        if rest:
-            r = np.array(rest)
-            dik, djk = big[i, r], big[j, r]
-            if method == "ward":
-                nk = sizes[r]
-                dij = h
-                d_new = np.sqrt(
-                    ((ni + nk) * dik ** 2 + (nj + nk) * djk ** 2 - nk * dij ** 2)
-                    / (ni + nj + nk))
-            else:  # average
-                d_new = (ni * dik + nj * djk) / (ni + nj)
-            big[new, r] = d_new
-            big[r, new] = d_new
-        alive = rest + [new]
+        alive[i] = alive[j] = False
+        rest = np.nonzero(alive)[0]
+        dik, djk = big[i, rest].copy(), big[j, rest].copy()
+        big[i, :] = np.inf; big[:, i] = np.inf
+        big[j, :] = np.inf; big[:, j] = np.inf
+        alive[new] = True
+        if len(rest) == 0:
+            continue
+        if method == "ward":
+            nk = sizes[rest]
+            d_new = np.sqrt(
+                ((ni + nk) * dik ** 2 + (nj + nk) * djk ** 2 - nk * h ** 2)
+                / (ni + nj + nk))
+        else:  # average
+            d_new = (ni * dik + nj * djk) / (ni + nj)
+        big[new, rest] = d_new
+        big[rest, new] = d_new
+        row_min[new] = d_new.min()
+        row_arg[new] = rest[int(d_new.argmin())]
+        # cheap improve: the new cluster is now some rows' nearest neighbour
+        improved = rest[d_new < row_min[rest]]
+        row_min[improved] = big[improved, new]
+        row_arg[improved] = new
+        # full re-scan only for rows whose cached neighbour just died
+        stale = rest[(row_arg[rest] == i) | (row_arg[rest] == j)]
+        if len(stale):
+            sub = big[stale]
+            row_min[stale] = sub.min(axis=1)
+            row_arg[stale] = sub.argmin(axis=1)
     return Z
 
 
@@ -251,7 +272,14 @@ def affinity_propagation(X: np.ndarray, damping: float = 0.9,
     """Affinity propagation (ref :10114-10128; sklearn defaults except
     damping — 0.5 oscillates on symmetric data like tight equal blobs
     without sklearn's exact noise RNG, so the default here is 0.9, which is
-    inside sklearn's accepted [0.5, 1) range and converges)."""
+    inside sklearn's accepted [0.5, 1) range and converges).
+
+    KNOWN DEVIATION from reference parity: the reference's
+    ``AffinityPropagation()`` runs at damping=0.5 with sklearn's exact noise
+    RNG; even where 0.5 converges here, the converged exemplar set (and so
+    the labels) can differ from the reference's.  Callers wanting the
+    reference's parameterization pass damping=0.5 explicitly (exposed
+    through analysis.affinity_propagation / Analysis.APC)."""
     S = -_pairwise_sq(X)
     n = len(S)
     S = S.copy()

@@ -67,26 +67,9 @@ def duplicate_docs(
     )
 
 
-def _shingle_col(text_col: str, n: int):
-    """Word n-gram shingles as an array column — built-ins only (JVM-side)."""
-    words = F.split(F.lower(F.col(text_col)), "\\s+")
-    return F.array_distinct(
-        F.filter(
-            F.transform(
-                words,
-                lambda w, i: F.when(
-                    i <= F.size(words) - n,
-                    F.concat_ws(" ", F.slice(words, i + 1, n)),
-                ),
-            ),
-            lambda x: x.isNotNull(),
-        )
-    )
-
-
 def _py_shingles(text: str, n: int) -> set[str]:
-    """Word n-gram shingle set — Python-side twin of _shingle_col (used in
-    the Arrow UDFs: ~1µs/shingle vs ~20µs for interpreted JVM lambdas)."""
+    """Word n-gram shingle set, used in the Arrow UDFs (~1µs/shingle in
+    Python vs ~20µs for an interpreted JVM higher-order lambda chain)."""
     words = text.lower().split()
     return {" ".join(words[i: i + n]) for i in range(len(words) - n + 1)}
 

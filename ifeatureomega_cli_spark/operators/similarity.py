@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import DoubleType, IntegerType
 
 from ifeatureomega_cli_spark.operators.topk import top_k_per_group
 
@@ -65,14 +65,33 @@ def train_ivf_centroids(
     iters: int = 5,
     seed: int = 42,
 ) -> np.ndarray:
-    """Mini k-means on a seeded driver sample → (n_cells, dim) centroids."""
+    """Mini k-means on a seeded driver sample → (n_cells, dim) centroids.
+
+    The sample is HASH-ORDERED (xxhash64 over the vector bytes + seed,
+    TakeOrdered top-N — per-partition top-k, no full sort shuffle), so it is
+    uniform over the corpus regardless of storage layout.  A plain
+    ``limit(sample)`` would take whatever partitions answer first; on a
+    corpus written sorted/clustered by source — the normal 100 TB layout —
+    that trains centroids on one corner of the distribution and collapses
+    IVF recall."""
     rows = (
-        corpus.select(vec_col).sample(False, 1.0, seed).limit(sample).collect()
+        corpus.select(vec_col)
+        .withColumn("__h", F.xxhash64(F.col(vec_col), F.lit(seed)))
+        .sort("__h").limit(sample).select(vec_col).collect()
     )
     X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
-    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    # k-means++ seeding (cosine space: d² = 2 − 2·max-sim) — a plain random
+    # choice regularly merges two natural clusters into one cell, which
+    # inflates that cell and starves another (bad for both recall and the
+    # per-cell balance the probe-join relies on)
+    C = X[[rng.randint(len(X))]]
+    for _ in range(1, min(n_cells, len(X))):
+        d2 = np.maximum(2.0 - 2.0 * (X @ C.T).max(axis=1), 0.0)
+        tot = d2.sum()
+        probs = d2 / tot if tot > 0 else np.full(len(X), 1.0 / len(X))
+        C = np.vstack([C, X[rng.choice(len(X), p=probs)]])
     for _ in range(iters):
         assign = (X @ C.T).argmax(axis=1)
         for c in range(len(C)):
@@ -110,15 +129,26 @@ def ivf_topk(
     k: int = 10,
     n_probe: int = 4,
     cell_col: str = "cell",
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """ANN top-k probing only the n_probe nearest cells per query.
 
-    The (query → probe cells) map is tiny and broadcast; the join prunes the
-    corpus scan to matching cells (partition pruning if written by cell).
-    Candidate verification runs in the same Arrow matmul pattern as
-    brute_force_topk — the query matrix rides in the UDF closure and each
+    Small query sets (≤ max_broadcast_queries, bounded limit+count probe —
+    mirroring knn_features' max_broadcast_train guard) take the broadcast
+    kernel: the (query → probe cells) map is tiny and broadcast; the join
+    prunes the corpus scan to matching cells (partition pruning if written
+    by cell).  Candidate verification runs in the same Arrow matmul pattern
+    as brute_force_topk — the query matrix rides in the UDF closure and each
     corpus batch is scored by one vectorized float64 gather+dot (interpreted
-    higher-order zip_with/aggregate expressions measured ~100× slower)."""
+    higher-order zip_with/aggregate expressions measured ~100× slower).
+
+    Bigger query tables dispatch to _ivf_topk_distributed, which never
+    collects query vectors to the driver."""
+    if (queries.limit(max_broadcast_queries + 1).count()
+            > max_broadcast_queries):
+        return _ivf_topk_distributed(
+            corpus_with_cells, queries, centroids, vec_col, id_col,
+            query_id_col, k, n_probe, cell_col)
     C = centroids
     qrows = queries.select(query_id_col, vec_col).collect()
     if not qrows:
@@ -151,5 +181,64 @@ def ivf_topk(
 
     scored = cand.mapInPandas(
         gen, schema=f"{query_id_col} long, {id_col} long, cosine double")
+    return top_k_per_group(scored, [query_id_col], "cosine", k,
+                           descending=True, tie_breakers=[id_col])
+
+
+def _ivf_topk_distributed(
+    corpus_with_cells: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int,
+    n_probe: int,
+    cell_col: str,
+) -> DataFrame:
+    """IVF top-k with NO driver-side query collect — the big-query twin.
+
+    Only the (n_cells × dim) centroid matrix rides in closures.  One Arrow
+    pass explodes each query into its n_probe (query_id, cell, qvec) probe
+    rows; a shuffle join on cell pairs probes with corpus rows of that cell;
+    one vectorized Arrow pass scores each pair.  Carrying the query vector on
+    the probe rows doubles vector bytes through the join relative to a
+    re-join on query_id afterwards, but saves that second shuffle — the
+    right trade while n_probe is small."""
+    C = centroids
+
+    def probe_gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Qn = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-300)
+            cells = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]
+            np_ = cells.shape[1]
+            yield pd.DataFrame({
+                query_id_col: np.repeat(
+                    pdf[query_id_col].to_numpy(dtype=np.int64), np_),
+                cell_col: cells.reshape(-1).astype(np.int32),
+                "__qvec": [Q[i].tolist() for i in range(len(Q)) for _ in range(np_)],
+            })
+
+    q_cells = queries.select(query_id_col, vec_col).mapInPandas(
+        probe_gen,
+        schema=f"{query_id_col} long, {cell_col} int, __qvec array<double>")
+
+    @pandas_udf(DoubleType())
+    def _cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        Qm = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        Cm = np.stack([np.asarray(v, dtype=np.float64) for v in cv])
+        Qm = Qm / (np.linalg.norm(Qm, axis=1, keepdims=True) + 1e-300)
+        Cm = Cm / (np.linalg.norm(Cm, axis=1, keepdims=True) + 1e-300)
+        return pd.Series(np.einsum("ij,ij->i", Qm, Cm))
+
+    scored = (
+        corpus_with_cells.select(id_col, vec_col, cell_col)
+        .join(q_cells, cell_col)
+        .withColumn("cosine", _cos(F.col("__qvec"), F.col(vec_col)))
+        .select(query_id_col, id_col, "cosine")
+    )
     return top_k_per_group(scored, [query_id_col], "cosine", k,
                            descending=True, tie_breakers=[id_col])

@@ -77,7 +77,13 @@ def language_id(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Stopword-vote language heuristic: score = fraction of words that are
-    stopwords of each language; argmax wins (ties → 'und' undetermined)."""
+    stopwords of each language; argmax wins (ties → 'und' undetermined).
+
+    Oracle caveat: the driver-side DuckDB oracle for this query mirrors the
+    same stopword lists and tie-break order (__spark_entry__.py), so its
+    green row verifies the implementation's determinism across engines —
+    not an external ground truth.  That is inherent to any heuristic
+    langid; treat accuracy claims separately from the oracle check."""
     words = F.split(F.lower(F.col(text_col)), "\\s+")
     n_words = F.greatest(F.size(words), F.lit(1))
     scores = {

@@ -66,20 +66,32 @@ def length_tiered_repartition(
     length_col: str = "n_tok",
     tiers: tuple[int, ...] = (128, 512, 2048),
     partitions_per_tier: int = 8,
+    id_cols: list[str] | None = None,
 ) -> DataFrame:
     """Repartition so each output partition holds rows of one length tier.
 
     Long-token outliers stop dominating mixed partitions: Arrow batch bytes
-    ≈ rows × tier ceiling instead of rows × max."""
+    ≈ rows × tier ceiling instead of rows × max.
+
+    The intra-tier spread key hashes `id_cols` (default: ALL columns), NOT
+    the length itself — hashing the length sends every row of one length to
+    ONE partition, so an equal-length corpus (every A2/A3 positional
+    descriptor input, e.g. all peptides length 31) would collapse to a
+    single task and the 8192-token tail would land on one straggler.  Pass
+    `id_cols` (a unique row identity, e.g. the doc id) for the strongest
+    spread; the all-columns fallback still collapses rows that are full
+    duplicates of each other — dedup those first."""
     tier = F.lit(len(tiers))
     for i, t in enumerate(reversed(tiers)):
         tier = F.when(F.col(length_col) <= t, F.lit(len(tiers) - 1 - i)).otherwise(tier)
     tiered = df.withColumn("__tier", tier.cast("int"))
+    spread_cols = id_cols if id_cols else list(df.columns)
     return (
         tiered.repartition(
             partitions_per_tier * (len(tiers) + 1),
             F.col("__tier"),
-            F.pmod(F.xxhash64(F.col(length_col).cast("string")), F.lit(partitions_per_tier)),
+            F.pmod(F.xxhash64(*[F.col(c) for c in spread_cols]),
+                   F.lit(partitions_per_tier)),
         )
         .drop("__tier")
     )

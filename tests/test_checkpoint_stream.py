@@ -119,3 +119,23 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     # one keeper per distinct digest; 25 distinct texts overall
     assert len(got) == len(batch) == 25
     assert set(got["digest"]) == set(batch["digest"])
+
+
+def test_length_tier_equal_length_corpus_spreads(spark):
+    """Regression for the same-length collapse: an EQUAL-length table (the
+    exact shape of every A2/A3 positional-descriptor input) must spread over
+    ≥ partitions_per_tier partitions within its tier — the old xxhash64(n_tok)
+    intra-tier key sent every row of one length to ONE partition."""
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), F.lit(31).alias("n_tok"))
+    out = length_tiered_repartition(df, partitions_per_tier=8,
+                                    id_cols=["doc_id"])
+    pids = (out.withColumn("pid", F.spark_partition_id())
+            .select("pid").distinct().count())
+    assert pids >= 8, f"equal-length corpus landed on {pids} partition(s)"
+    # default (hash all columns) must spread too when rows are distinct
+    out2 = length_tiered_repartition(df, partitions_per_tier=8)
+    pids2 = (out2.withColumn("pid", F.spark_partition_id())
+             .select("pid").distinct().count())
+    assert pids2 >= 8
+    assert out.count() == 20_000

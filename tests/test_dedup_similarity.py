@@ -98,7 +98,11 @@ def test_ivf_recall_vs_brute_force(spark):
         F.col("vec_id").alias("query_id"), "embedding")
     exact = brute_force_topk(emb, queries, k=10).toPandas()
     cents = train_ivf_centroids(emb, n_cells=8)
-    ann = ivf_topk(ivf_assign(emb, cents), queries, cents, k=10, n_probe=3).toPandas()
+    # sf0.001 embeddings are near-structureless, so IVF recall here tracks
+    # n_probe/n_cells (no locality to exploit) and is seed-noisy; probe half
+    # the cells for a stable floor.  The planted-cluster recall gate (where
+    # IVF actually earns its keep) is test_ivf_recall_on_sorted_corpus.
+    ann = ivf_topk(ivf_assign(emb, cents), queries, cents, k=10, n_probe=4).toPandas()
     recalls = []
     for q in range(10):
         e = set(exact[exact["query_id"] == q]["vec_id"])
@@ -144,3 +148,93 @@ def test_embedding_dup_exact_no_driver_materialization(spark, monkeypatch):
     out = embedding_dup_pairs_exact(df, threshold=0.999, block_size=512)
     monkeypatch.undo()
     assert out.count() >= 0
+
+
+def test_ivf_recall_on_sorted_corpus(spark, tmp_path):
+    """Regression for the limit-not-sample centroid bias: a corpus WRITTEN
+    SORTED by a planted cluster id (the normal 100 TB layout — data
+    clustered by source) must still train representative centroids.  The
+    old `sample(1.0).limit(n)` took the first partitions' rows only →
+    centroids from 2 of 8 blobs → collapsed recall."""
+    from ifeatureomega_cli_spark.operators.similarity import (
+        brute_force_topk, ivf_assign, ivf_topk, train_ivf_centroids)
+
+    rng = np.random.RandomState(11)
+    centers = rng.normal(scale=8.0, size=(8, 16))
+    rows = []
+    i = 0
+    for c_ix in range(8):  # sorted by blob: blob 0 rows first, then 1, ...
+        for _ in range(250):
+            rows.append((i, c_ix, (centers[c_ix] + rng.normal(size=16)).tolist()))
+            i += 1
+    path = str(tmp_path / "sorted_emb")
+    (spark.createDataFrame(rows, "vec_id long, blob int, embedding array<double>")
+     .repartitionByRange(8, "vec_id")  # partition boundaries follow the sort
+     .write.parquet(path))
+    emb = spark.read.parquet(path)
+
+    # sample ≪ corpus so a first-rows "sample" would only see early blobs
+    cents = train_ivf_centroids(emb, n_cells=8, sample=400)
+    # sanity: the sample saw every blob — each blob's center has a centroid
+    # within noise distance
+    Cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    assert (Cn @ cents.T).max(axis=1).min() > 0.9, \
+        "centroids missed at least one blob"
+
+    queries = emb.filter(F.col("vec_id") % 250 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, k=10).toPandas()
+    ann = ivf_topk(ivf_assign(emb, cents), queries, cents,
+                   k=10, n_probe=2).toPandas()
+    recalls = []
+    for q in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(ann[ann["query_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9, f"sorted-corpus IVF recall {np.mean(recalls)}"
+
+
+def test_ivf_topk_distributed_matches_broadcast(spark):
+    """Forcing the no-driver-collect query path (max_broadcast_queries=0)
+    must reproduce the broadcast kernel's pairs exactly."""
+    from ifeatureomega_cli_spark.operators.similarity import (
+        ivf_assign, ivf_topk, train_ivf_centroids)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cents = train_ivf_centroids(emb, n_cells=8)
+    corpus = ivf_assign(emb, cents)
+    bc = (ivf_topk(corpus, queries, cents, k=10, n_probe=3)
+          .toPandas().sort_values(["query_id", "rk"]).reset_index(drop=True))
+    dist = (ivf_topk(corpus, queries, cents, k=10, n_probe=3,
+                     max_broadcast_queries=0)
+            .toPandas().sort_values(["query_id", "rk"]).reset_index(drop=True))
+    assert bc[["query_id", "vec_id", "rk"]].equals(
+        dist[["query_id", "vec_id", "rk"]])
+    assert np.allclose(bc["cosine"], dist["cosine"], rtol=1e-12)
+
+
+def test_ivf_topk_distributed_no_driver_collect(spark, monkeypatch):
+    """The distributed query path must not collect() or toPandas() while
+    building its plan."""
+    from pyspark.sql import DataFrame
+
+    from ifeatureomega_cli_spark.operators.similarity import (
+        _ivf_topk_distributed, ivf_assign, train_ivf_centroids)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_cells=8)
+    corpus = ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver-side materialization in ivf distributed")
+
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    out = _ivf_topk_distributed(corpus, queries, cents, "embedding",
+                                "vec_id", "query_id", 10, 3, "cell")
+    monkeypatch.undo()
+    assert out.count() > 0
