@@ -472,8 +472,12 @@ def _doc_seq_table(spark, sf_dir, L=40):
 
 
 def q_knn_vote(spark, sf_dir):
-    """Cross-sample KNN top-k label-vote features (rows-only check; the
-    exact semantics are golden-pinned in tests/test_crosssample.py)."""
+    """Cross-sample KNN top-k label-vote features vs the DuckDB oracle
+    (cross join + integer BLOSUM62 raw score + ROW_NUMBER + conditional
+    counts).  The engine's distance is an exact function of the integer
+    similarity sum, so oracle ordering (raw DESC, label ASC) is identical;
+    the exact reference semantics are additionally golden-pinned in
+    tests/test_crosssample.py."""
     from ifeatureomega_cli_spark.operators.crosssample import knn_features
 
     seqs = _doc_seq_table(spark, sf_dir)
@@ -486,7 +490,9 @@ def q_knn_vote(spark, sf_dir):
 
 
 def q_pstnp_scores(spark, sf_dir):
-    """Cross-sample PSTNP positional propensity (rows-only check)."""
+    """Cross-sample PSTNP positional propensity vs the DuckDB oracle
+    (per-position trigram class counts + leave-one-out arithmetic,
+    ref iFeatureOmegaCLI.py:6252-6261)."""
     from ifeatureomega_cli_spark.operators.crosssample import pstnp
 
     seqs = _doc_seq_table(spark, sf_dir)
@@ -575,6 +581,62 @@ def q_dbscan_embeddings(spark, sf_dir):
     )
 
 
+def q_dbscan_planted(spark, sf_dir):
+    """End-to-end DBSCAN oracle: plant 3 well-separated blobs analytically
+    (blob id = vec_id % 3, centers 60 apart vs noise σ≈0.6), run the REAL
+    distributed dbscan (full-table standardization + sample fit + core-point
+    assign), then canonicalize labels by each cluster's min vec_id.  The
+    DuckDB oracle derives the expected clustering from the construction —
+    a genuine planted-ground-truth hash check, not a mirror."""
+    from pyspark.sql.window import Window
+
+    from ifeatureomega_cli_spark.analysis import dbscan
+
+    emb = _emb(spark, sf_dir)
+    blob = (F.col("vec_id") % 3).cast("double") * 60
+    feats = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.array(
+            blob + F.element_at("embedding", 1).cast("double"),
+            blob + F.element_at("embedding", 2).cast("double"),
+            blob + F.element_at("embedding", 3).cast("double"),
+        ).alias("features"),
+    )
+    # post-standardization: blob centers ~2.4σ apart per dim, intra-blob
+    # spread ~0.005σ — eps=0.5 separates with orders-of-magnitude margin
+    out = dbscan(feats, eps=0.5, min_samples=5, max_rows=2048)
+    w = F.min("doc_id").over(Window.partitionBy("cluster"))
+    canon = out.withColumn("cmin", w).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("cluster") < 0, F.lit(-1))
+         .otherwise(F.col("cmin")).cast("long").alias("canon_cluster"),
+    )
+    return canon
+
+
+def q_pca_planted(spark, sf_dir):
+    """PCA oracle on an analytically rank-1 feature matrix: features =
+    [v, 2v, const] → the top principal axis is exactly ±[1,2,0]/√5, so
+    |projection| = |v|·√5 (Spark ML PCA does not mean-center before
+    projecting).  DuckDB reproduces that closed form."""
+    from ifeatureomega_cli_spark.analysis import pca
+
+    emb = _emb(spark, sf_dir)
+    feats = emb.select(
+        "vec_id",
+        F.array(
+            F.element_at("embedding", 1).cast("double"),
+            F.element_at("embedding", 1).cast("double") * 2,
+            F.lit(7.5),
+        ).alias("features"),
+    )
+    out = pca(feats, 1)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _r(F.abs(F.element_at("pca_features", 1)), 5).alias("abs_proj"),
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate nearest neighbours (rows-only; recall vs brute force
     is asserted in tests/test_similarity.py)."""
@@ -632,6 +694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "knn_vote": q_knn_vote,
         "pstnp_scores": q_pstnp_scores,
+        "dbscan_planted": q_dbscan_planted,
+        "pca_planted": q_pca_planted,
         "impute_mean": q_impute_mean,
         "zscore_norm": q_zscore_norm,
         "minmax_norm": q_minmax_norm,
@@ -641,7 +705,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     aa_list = ",".join(f"'{c}'" for c in _AA)
+    # BLOSUM62 raw integer matrix in canonical order (published constant the
+    # reference redistributes; the oracle's independence is in the vote
+    # computation — cross join + window ranks — not the lookup values)
+    from ifeatureomega_cli_spark.operators.crosssample import _blosum_raw
+    _B = _blosum_raw()
+    blosum_values = ",".join(
+        f"('{a}','{b}',{int(_B[i, j])})"
+        for i, a in enumerate(_AA) for j, b in enumerate(_AA))
+    # the tokenized 40-char doc table both cross-sample oracles share —
+    # mirrors _doc_seq_table: keep AA chars, first 40, require exactly 40
+    seq_cte = f"""
+            base AS (
+              SELECT doc_id,
+                     regexp_replace(upper(text), '[^{_AA}]', '', 'g') AS s0
+              FROM documents
+            ), seqs AS (
+              SELECT doc_id, substr(s0, 1, 40) AS s,
+                     CAST(doc_id % 2 AS INTEGER) AS lab,
+                     (doc_id % 5 != 4) AS is_tr
+              FROM base WHERE length(s0) >= 40
+            )"""
     return {
+        "knn_vote": f"""
+            WITH {seq_cte},
+            blosum(a, b, v) AS (VALUES {blosum_values}),
+            nt AS (SELECT COUNT(*) AS n FROM seqs WHERE is_tr),
+            ks AS (
+              SELECT CAST(CEIL(0.01 * n) AS BIGINT) AS k1,
+                     CAST(CEIL(0.30 * n) AS BIGINT) AS k30 FROM nt
+            ), pos AS (
+              SELECT doc_id, is_tr, lab, i, substr(s, i, 1) AS c
+              FROM seqs, (SELECT unnest(generate_series(1, 40)) AS i)
+            ), pairpos AS (
+              SELECT q.doc_id AS qid, t.doc_id AS tid, t.lab AS lab, bl.v AS v
+              FROM pos q
+              JOIN pos t ON q.i = t.i AND t.is_tr AND q.doc_id != t.doc_id
+              JOIN blosum bl ON bl.a = q.c AND bl.b = t.c
+            ), rawsc AS (
+              SELECT qid, tid, ANY_VALUE(lab) AS lab, SUM(v) AS raw
+              FROM pairpos GROUP BY qid, tid
+            ), ranked AS (
+              -- dist = 1 − (raw+160)/600 is strictly decreasing in raw, so
+              -- (dist ASC, label ASC) ≡ (raw DESC, label ASC); exact integer
+              -- ties resolve by label exactly as the engine's lexsort does
+              SELECT qid, lab,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY raw DESC, lab ASC) AS rk
+              FROM rawsc)
+            SELECT CAST(qid AS BIGINT) AS doc_id,
+                   ROUND(SUM(CASE WHEN rk <= k1 AND lab = 0 THEN 1 ELSE 0 END)::DOUBLE / k1, 6) AS top1_vote,
+                   ROUND(SUM(CASE WHEN rk <= k30 AND lab = 1 THEN 1 ELSE 0 END)::DOUBLE / k30, 6) AS last_vote
+            FROM ranked, ks
+            GROUP BY qid, k1, k30
+        """,
+        "pstnp_scores": f"""
+            WITH {seq_cte},
+            pos AS (
+              SELECT doc_id, lab, is_tr, p,
+                     strpos('{_AA}', substr(s, p + 1, 1)) - 1 AS a,
+                     strpos('{_AA}', substr(s, p + 2, 1)) - 1 AS b,
+                     strpos('{_AA}', substr(s, p + 3, 1)) - 1 AS c
+              FROM seqs, (SELECT unnest([0, 37]) AS p)
+            ), tri AS (
+              SELECT doc_id, lab, is_tr, p,
+                     (a < 4 AND b < 4 AND c < 4) AS valid,
+                     a * 16 + b * 4 + c AS t
+              FROM pos
+            ), cnts AS (
+              SELECT p, t,
+                     SUM(CASE WHEN lab = 1 THEN 1 ELSE 0 END) AS po,
+                     SUM(CASE WHEN lab = 0 THEN 1 ELSE 0 END) AS ne
+              FROM tri WHERE is_tr AND valid GROUP BY p, t
+            ), nums AS (
+              SELECT SUM(CASE WHEN lab = 1 THEN 1 ELSE 0 END) AS pn,
+                     SUM(CASE WHEN lab = 0 THEN 1 ELSE 0 END) AS nn
+              FROM seqs WHERE is_tr
+            ), scored AS (
+              SELECT tri.doc_id, tri.p,
+                CASE WHEN NOT tri.valid THEN 0.0 ELSE
+                  (CASE WHEN tri.is_tr AND tri.lab = 1 AND COALESCE(cnts.po, 0) > 0
+                        THEN (COALESCE(cnts.po, 0) - 1)::DOUBLE
+                             / (CASE WHEN pn - 1 = 0 THEN 1 ELSE pn - 1 END)
+                        ELSE COALESCE(cnts.po, 0)::DOUBLE
+                             / (CASE WHEN pn = 0 THEN 1 ELSE pn END) END)
+                  -
+                  (CASE WHEN tri.is_tr AND tri.lab = 0 AND COALESCE(cnts.ne, 0) > 0
+                        THEN (COALESCE(cnts.ne, 0) - 1)::DOUBLE
+                             / (CASE WHEN nn - 1 = 0 THEN 1 ELSE nn - 1 END)
+                        ELSE COALESCE(cnts.ne, 0)::DOUBLE
+                             / (CASE WHEN nn = 0 THEN 1 ELSE nn END) END)
+                END AS val
+              FROM tri
+              LEFT JOIN cnts ON tri.p = cnts.p AND tri.t = cnts.t
+              CROSS JOIN nums)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   ROUND(MAX(CASE WHEN p = 0 THEN val END), 6) AS pos1,
+                   ROUND(MAX(CASE WHEN p = 37 THEN val END), 6) AS pos_last
+            FROM scored GROUP BY doc_id
+        """,
+        "dbscan_planted": """
+            SELECT CAST(vec_id AS BIGINT) AS doc_id,
+                   CAST(vec_id % 3 AS BIGINT) AS canon_cluster
+            FROM embeddings
+        """,
+        "pca_planted": """
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   ROUND(ABS(embedding[1]::DOUBLE * sqrt(5.0)), 5) AS abs_proj
+            FROM embeddings
+        """,
         "char_bigram": f"""
             WITH cleaned AS (
               SELECT doc_id,

@@ -158,23 +158,35 @@ def pstnp(df: DataFrame, double_strand: bool = False, **kw) -> DataFrame:
 _TOPK_FRACS = [round(0.01 * i, 2) for i in range(1, 31)]
 
 
-def _blosum_norm() -> np.ndarray:
-    """(21, 21) normalized BLOSUM62 similarity in canonical token order
-    (gap id 20 row/col = 0 raw), (v+4)/15 per ref :3735-3764."""
+def _blosum_raw() -> np.ndarray:
+    """(21, 21) RAW integer BLOSUM62 in canonical token order (gap id 20
+    row/col = 0); the reference normalizes per pair as (v+4)/15
+    (ref :3735-3764) — we keep the integer and normalize once after the
+    positional sum, so the distance is an EXACT function of the integer
+    score: summation-order-independent, and mathematical ties are exact
+    float ties (resolved by label, as the reference's lexsort intends)
+    instead of float-noise coin flips."""
     tbl = LK.a2_table("protein", "BLOSUM62")  # (21, 20): row=canonical token
     B = np.zeros((21, 21))
     alt_idx = [PROTEIN_AA_ALT.index(c) for c in PROTEIN_AA]
     B[:21, :20] = tbl[:, alt_idx][:, : 20]
-    # columns are canonical order now; gap column stays 0
-    return (B + 4.0) / 15.0
+    return B.astype(np.int64)  # gap column stays 0
 
 
-def _identity_norm() -> np.ndarray:
-    """(5, 5) normalized DNA similarity: (2 match / −1 mismatch +1)/3,
-    gap treated as a 5th symbol matching itself (ref :6353-6366)."""
-    B = np.full((5, 5), -1.0)
-    np.fill_diagonal(B, 2.0)
-    return (B + 1.0) / 3.0
+def _identity_raw() -> np.ndarray:
+    """(5, 5) RAW integer DNA similarity: 2 match / −1 mismatch, gap a 5th
+    symbol matching itself; reference normalizes (v+1)/3 (ref :6353-6366)."""
+    B = np.full((5, 5), -1, dtype=np.int64)
+    np.fill_diagonal(B, 2)
+    return B
+
+
+def _sim_params(seq_type: str) -> tuple[np.ndarray, float, float]:
+    """(raw matrix, offset, denominator): normalized sim = (raw+off)/den
+    per position, so dist = 1 − (raw_sum + off·L)/(den·L)."""
+    if seq_type == "protein":
+        return _blosum_raw(), 4.0, 15.0
+    return _identity_raw(), 1.0, 3.0
 
 
 def knn_features(
@@ -212,17 +224,18 @@ def knn_features(
     label_set = sorted(set(t_labels.tolist()))
     n_train = len(t_mat)
     topk = [math.ceil(n_train * f) for f in _TOPK_FRACS]
-    B = _blosum_norm() if seq_type == "protein" else _identity_norm()
+    B, off, den = _sim_params(seq_type)
     L = t_mat.shape[1]
 
     @pandas_udf(ArrayType(DoubleType()))
     def _udf(tokens: pd.Series, names: pd.Series) -> pd.Series:
         q = np.stack([np.asarray(t) for t in tokens])
         nq = len(q)
-        sim = np.zeros((nq, n_train))
+        raw = np.zeros((nq, n_train), dtype=np.int64)
         for i in range(L):
-            sim += B[q[:, i][:, None], t_mat[None, :, i]]
-        dist = 1.0 - sim / L
+            raw += B[q[:, i][:, None], t_mat[None, :, i]]
+        # exact: distance is a monotone function of the integer raw score
+        dist = 1.0 - (raw + off * L) / (den * L)
         # exclude self (by name) from candidates, as the reference does
         name_arr = names.astype(str).to_numpy()
         self_mask = name_arr[:, None] == t_names[None, :]
@@ -273,8 +286,9 @@ def knn_features_distributed(
     gather-add kernel, and emits only narrow (query, label, dist) pair rows.
     A rank window + conditional aggregation then reproduces the reference's
     cumulative top-k label votes (ref iFeatureOmegaCLI.py:3735-3846 protein,
-    :6353-6448 DNA/RNA) exactly — distances are computed in the same
-    summation order as the broadcast kernel, so results are bit-identical.
+    :6353-6448 DNA/RNA) exactly — distances are exact functions of the
+    integer similarity score, so results are bit-identical to the broadcast
+    kernel no matter how the work is tiled.
 
     Only two scalar aggregates touch the driver: the training count and the
     label set.  The rank window sorts n_train pair rows per query — the
@@ -292,7 +306,7 @@ def knn_features_distributed(
         raise ValueError("knn_features_distributed: no training rows")
     topk = sorted({math.ceil(n_train * f) for f in _TOPK_FRACS})
     k_list = [math.ceil(n_train * f) for f in _TOPK_FRACS]
-    B = _blosum_norm() if seq_type == "protein" else _identity_norm()
+    B, off, den = _sim_params(seq_type)
 
     q_packed = F.collect_list(F.struct(
         F.col(id_col).cast("string").alias("id"), F.col(tokens_col).alias("t")))
@@ -320,10 +334,12 @@ def knn_features_distributed(
                 Tm = np.stack([np.asarray(r["t"]) for r in trows])
                 tl = np.array([r["lab"] for r in trows], dtype=np.int64)
                 L = Tm.shape[1]
-                sim = np.zeros((len(qn), len(tn)))
-                for i in range(L):  # same summation order as knn_features
-                    sim += B[Qm[:, i][:, None], Tm[None, :, i]]
-                dist = 1.0 - sim / L
+                raw = np.zeros((len(qn), len(tn)), dtype=np.int64)
+                for i in range(L):
+                    raw += B[Qm[:, i][:, None], Tm[None, :, i]]
+                # exact integer score → identical floats to the broadcast
+                # kernel regardless of tiling/summation order
+                dist = 1.0 - (raw + off * L) / (den * L)
                 keep = qn[:, None] != tn[None, :]  # self-exclusion by name
                 qi, ti = np.nonzero(keep)
                 yield pd.DataFrame({"qid": qn[qi], "lab": tl[ti],
