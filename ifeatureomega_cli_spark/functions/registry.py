@@ -877,6 +877,12 @@ register(DescriptorSpec(
 
 
 def _mk_ctdd(cfg, L):
+    # Implementation note (measured, round 3): two "faster" variants were
+    # benchmarked against this nonzero+gather loop on a 2048-row ~200-len
+    # batch — one stable argsort of (row·3+group) per property (189 ms) and
+    # a true vectorized counting sort via masked cumsums (664 ms) vs 127 ms
+    # for this implementation.  numpy's flatnonzero+fancy-gather is already
+    # the cheapest way to get per-(row,group) ordered positions; kept as is.
     groups = _ctd_groups()
 
     def kern(r: Ragged):

@@ -23,3 +23,18 @@ def spark():
     )
     yield s
     s.stop()
+
+
+def concrete_dataframe_cls():
+    """The class whose methods actually execute for local DataFrames.
+
+    PySpark 4 routes classic (non-Connect) sessions through
+    pyspark.sql.classic.dataframe.DataFrame, which OVERRIDES collect/
+    toPandas — monkeypatching the abstract pyspark.sql.DataFrame is
+    silently shadowed (it made the round-2 no-materialization guards
+    vacuous).  Patch this class instead."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older PySpark: one concrete class
+        from pyspark.sql import DataFrame
+    return DataFrame

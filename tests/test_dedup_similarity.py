@@ -132,7 +132,8 @@ def test_embedding_dup_exact_no_driver_materialization(spark, monkeypatch):
     """The exact path must never pull rows to the driver (the round-1
     version collected the whole corpus).  Guard: any DataFrame.collect /
     toPandas during plan construction raises."""
-    from pyspark.sql import DataFrame
+    from tests.conftest import concrete_dataframe_cls
+    DataFrame = concrete_dataframe_cls()
 
     from ifeatureomega_cli_spark.operators.dedup import embedding_dup_pairs_exact
 
@@ -218,7 +219,8 @@ def test_ivf_topk_distributed_matches_broadcast(spark):
 def test_ivf_topk_distributed_no_driver_collect(spark, monkeypatch):
     """The distributed query path must not collect() or toPandas() while
     building its plan."""
-    from pyspark.sql import DataFrame
+    from tests.conftest import concrete_dataframe_cls
+    DataFrame = concrete_dataframe_cls()
 
     from ifeatureomega_cli_spark.operators.similarity import (
         _ivf_topk_distributed, ivf_assign, train_ivf_centroids)

@@ -1,0 +1,138 @@
+"""Physical-plan regression guards: PLANS.md's key invariants as asserts.
+
+A bad refactor can double a shuffle or widen a scan without failing any
+correctness test and without an obvious bench delta at sf0.001 — these
+string checks on the formatted physical plan catch it immediately.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import FIXDIR, SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _nodes(plan: str, name: str) -> int:
+    """Count physical nodes by header line, e.g. '(4) Sort' — avoids
+    matching substrings like SortMergeJoin or SortAggregate."""
+    return len(re.findall(rf"\(\d+\)\s+{name}(\s|\[|$)", plan, re.MULTILINE))
+
+
+def test_asof_one_exchange_one_sort(spark):
+    """asof = union + running window: exactly ONE hash Exchange and ONE
+    Sort — the theoretical minimum for a sort-merge as-of join — with the
+    event_type filters pushed into both parquet scans."""
+    from ifeatureomega_cli_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    plan = _plan(asof_join(clicks, purchases, on="user_id", ts="ts",
+                           value_cols=["value"]))
+    assert _nodes(plan, "Exchange") == 1, plan
+    assert _nodes(plan, "Sort") == 1, plan
+    assert plan.count("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]") == 1, plan
+    assert plan.count("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]") == 1, plan
+
+
+def test_extract_one_arrow_pass_pruned_scan(spark):
+    """Descriptor extraction = ONE ArrowEvalPython node, scan pruned to
+    (doc_id, tokens), zero shuffles."""
+    from ifeatureomega_cli_spark.functions.extract import extract
+
+    df = spark.read.parquet(f"{FIXDIR}/peptide_tokens.parquet")
+    plan = _plan(extract(df, "protein:AAC").select("doc_id", "features"))
+    assert _nodes(plan, "ArrowEvalPython") == 1, plan
+    assert _nodes(plan, "Exchange") == 0, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if ":" in c}
+    assert cols == {"doc_id", "tokens"}, cols
+
+
+def test_pstnp_transform_no_shuffle(spark):
+    """PSTNP transform (model already fit as a tiny broadcastable dict) is
+    a pure map: ONE ArrowEvalPython, zero Exchange."""
+    from ifeatureomega_cli_spark.operators.crosssample import (
+        fit_pstnp, pstnp_transform)
+
+    df = spark.read.parquet(f"{FIXDIR}/dna_tokens.parquet")
+    model = fit_pstnp(df)
+    plan = _plan(pstnp_transform(df, model).select("doc_id", "features"))
+    assert _nodes(plan, "ArrowEvalPython") == 1, plan
+    assert _nodes(plan, "Exchange") == 0, plan
+
+
+def test_pstnp_fit_no_wide_shuffle(spark):
+    """The fit's partial-counts stage must stay map-side (no Exchange before
+    the mapInPandas partials; the reduce is a driver-side sum of one small
+    row per partition)."""
+    import ifeatureomega_cli_spark.operators.crosssample as cs
+    from tests.conftest import concrete_dataframe_cls
+
+    CDF = concrete_dataframe_cls()
+    df = spark.read.parquet(f"{FIXDIR}/dna_tokens.parquet")
+    captured = []
+    orig = CDF.collect
+
+    def spy(self, *a, **k):
+        captured.append(_plan(self))
+        return orig(self, *a, **k)
+
+    CDF.collect = spy
+    try:
+        cs.fit_pstnp(df)
+    finally:
+        CDF.collect = orig
+    assert captured, "fit never collected partials"
+    fit_plan = captured[0]
+    assert _nodes(fit_plan, "Exchange") == 0, fit_plan
+    assert _nodes(fit_plan, "MapInPandas") == 1, fit_plan
+
+
+def test_topk_single_hash_exchange_no_global_sort(spark):
+    """top_k_per_group: ONE hash Exchange on the group key, a PARTIAL
+    WindowGroupLimit BEFORE the shuffle (map-side top-k — only ≤k rows per
+    group per mapper cross the wire) plus the final one after, and no
+    rangepartitioning global sort."""
+    from ifeatureomega_cli_spark.operators.topk import top_k_per_group
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "value")
+    plan = _plan(top_k_per_group(ev, ["event_type"], "value", 3,
+                                 descending=True, tie_breakers=["event_id"]))
+    assert _nodes(plan, "Exchange") == 1, plan
+    assert _nodes(plan, "WindowGroupLimit") == 2, plan  # Partial + Final
+    assert "Partial" in plan, plan
+    assert _nodes(plan, "Sort") <= 2, plan
+    assert "hashpartitioning(event_type" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_brute_force_topk_scan_pruned(spark):
+    """Embedding scoring scan reads only (vec_id, embedding)."""
+    from ifeatureomega_cli_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    plan = _plan(brute_force_topk(emb, queries, k=5))
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    for schema in m:
+        cols = {c.split(":")[0] for c in schema.split(",") if ":" in c}
+        assert cols <= {"vec_id", "embedding"}, cols
