@@ -141,9 +141,13 @@ def main() -> None:
     sf = _sf_of(SF_DIR)
     n_docs = max(int(1_000_000 * sf), 2_000)
 
+    # 2m/1m split packing: the synthetic token parquet compresses to ~230 KB
+    # per file at sf0.1, and at 4m the reader bundled 3-4 files per split —
+    # the headline descriptor pass ran 8-11 tasks on a 32-core box.  At
+    # 2m + 1m open-cost every cache file gets its own split (32-wide).
     spark = get_spark(app_name="ifos-bench", master=f"local[{CPUS}]",
                       shuffle_partitions=max(CPUS, 8),
-                      extra_conf={"spark.sql.files.maxPartitionBytes": "4m",
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "2m",
                                   "spark.sql.files.openCostInBytes": "1m"})
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -153,6 +157,12 @@ def main() -> None:
     seqs = _seq_table(spark, n_docs)
     seqs.count()  # warm the file cache / JVM
     out_cols = [d.split(":")[1].replace(" ", "_") for d in DESCS]
+    # spawn all python workers BEFORE timing with one full untimed pass
+    # (a limit() warm-up reads one split and forks only a few workers):
+    # the first Arrow stage at local[32] pays ~3-7 s of one-off process
+    # setup that is not per-query cost (verify-skill gotcha #1)
+    extract_many(seqs, DESCS).select(
+        "doc_id", *out_cols).write.mode("overwrite").format("noop").save()
     t_desc = None
     for _ in range(2):
         t0 = time.perf_counter()
@@ -160,6 +170,13 @@ def main() -> None:
         out.select("doc_id", *out_cols).write.mode("overwrite").format("noop").save()
         t_desc = time.perf_counter() - t0
     timings["descriptors_fused"] = round(t_desc, 3)
+    # float32 variant (halves Arrow→JVM feature bytes; matters when the
+    # features cross a shuffle or real sink rather than a noop).  Kept out
+    # of `timings` so the summed total stays comparable across rounds.
+    t0 = time.perf_counter()
+    extract_many(seqs, DESCS, dtype="float32").select(
+        "doc_id", *out_cols).write.mode("overwrite").format("noop").save()
+    t_desc_f32 = round(time.perf_counter() - t0, 3)
     vectors = n_docs * len(DESCS)
 
     # -- relational / pipeline queries ---------------------------------
@@ -189,6 +206,7 @@ def main() -> None:
         "descriptor_vectors": vectors,
         "descriptor_vectors_per_sec": round(vectors / t_desc, 1),
         "descriptor_rows": n_docs,
+        "descriptors_fused_f32_sec": t_desc_f32,
     }
 
     # -- 10× section (≈ sf1): constant-factor watch on the pair joins ----
