@@ -637,6 +637,67 @@ def q_pca_planted(spark, sf_dir):
     )
 
 
+_AA3 = {"A": "ALA", "C": "CYS", "D": "ASP", "E": "GLU", "F": "PHE",
+        "G": "GLY", "H": "HIS", "I": "ILE", "K": "LYS", "L": "LEU",
+        "M": "MET", "N": "ASN", "P": "PRO", "Q": "GLN", "R": "ARG",
+        "S": "SER", "T": "THR", "V": "VAL", "W": "TRP", "Y": "TYR"}
+
+
+def _synthetic_residues(spark, sf_dir):
+    """Deterministic pseudo-structure derived from the embeddings table:
+    one 'residue' per vector, coordinates = first three embedding dims × 40
+    (pairwise distances then span the reference's 3-21 Å shells), residue
+    type cycling through the 20 AAs by vec_id."""
+    emb = _emb(spark, sf_dir)
+    aa_arr = F.array(*[F.lit(c) for c in _AA])
+    res3_arr = F.array(*[F.lit(_AA3[c]) for c in _AA])
+    idx = (F.col("vec_id") % 20).cast("int")
+    return emb.select(
+        F.lit("synthetic").alias("pdb_id"),
+        F.lit("A").alias("chain"),
+        F.col("vec_id").alias("resseq"),
+        res3_arr[idx].alias("resname"),
+        aa_arr[idx].alias("aa"),
+        (F.element_at("embedding", 1).cast("double") * 40).alias("x"),
+        (F.element_at("embedding", 2).cast("double") * 40).alias("y"),
+        (F.element_at("embedding", 3).cast("double") * 40).alias("z"),
+    )
+
+
+def q_struct_shell_aac(spark, sf_dir):
+    """Structure AAC_type1 shell composition (ref :9333-9357) on a
+    deterministic pseudo-structure — the DuckDB oracle recomputes the
+    shell counts from the same coordinates in SQL."""
+    from ifeatureomega_cli_spark.operators.structure import (
+        residue_shell_composition)
+
+    res = _synthetic_residues(spark, sf_dir)
+    out = residue_shell_composition(res, "AAC")
+    return out.select(
+        F.col("resseq").cast("long").alias("vec_id"),
+        F.posexplode(F.col("features")).alias("pos", "freq"),
+    ).filter(F.col("freq") > 0).select(
+        "vec_id", F.col("pos").cast("int").alias("pos"),
+        _r(F.col("freq")).alias("freq"))
+
+
+def q_struct_network(spark, sf_dir):
+    """Structure contact-network degree/centrality/clustering (ref
+    :9633-9690) on the same pseudo-structure; betweenness/closeness/
+    eigenvector are pinned against closed forms in tests/test_structure.py
+    (not SQL-expressible)."""
+    from ifeatureomega_cli_spark.operators.structure import network_metrics
+
+    res = _synthetic_residues(spark, sf_dir)
+    out = network_metrics(res, cutoff=11.0)
+    return out.select(
+        F.col("resseq").cast("long").alias("vec_id"),
+        F.col("degree").cast("long").alias("degree"),
+        _r(F.col("degree_centrality")).alias("degree_centrality"),
+        _r(F.col("clustering_coefficient")).alias("clustering_coefficient"),
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate nearest neighbours (rows-only; recall vs brute force
     is asserted in tests/test_similarity.py)."""
@@ -696,6 +757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pstnp_scores": q_pstnp_scores,
         "dbscan_planted": q_dbscan_planted,
         "pca_planted": q_pca_planted,
+        "struct_shell_aac": q_struct_shell_aac,
+        "struct_network": q_struct_network,
         "impute_mean": q_impute_mean,
         "zscore_norm": q_zscore_norm,
         "minmax_norm": q_minmax_norm,
@@ -808,6 +871,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(vec_id AS BIGINT) AS doc_id,
                    CAST(vec_id % 3 AS BIGINT) AS canon_cluster
             FROM embeddings
+        """,
+        "struct_shell_aac": """
+            WITH res AS (
+              SELECT vec_id, CAST(vec_id % 20 AS INTEGER) AS aa_idx,
+                     embedding[1]::DOUBLE * 40 AS x,
+                     embedding[2]::DOUBLE * 40 AS y,
+                     embedding[3]::DOUBLE * 40 AS z
+              FROM embeddings
+            ), pair AS (
+              SELECT a.vec_id AS t, b.aa_idx AS aa_idx,
+                     sqrt(((a.x - b.x) * (a.x - b.x)
+                           + (a.y - b.y) * (a.y - b.y))
+                          + (a.z - b.z) * (a.z - b.z)) AS d
+              FROM res a JOIN res b ON a.vec_id != b.vec_id
+            ), shelled AS (
+              SELECT t, aa_idx,
+                     CAST(floor((d - 3) / 2) AS INTEGER) AS shell
+              FROM pair WHERE d >= 3 AND d < 21
+            ), cnt AS (
+              SELECT t, shell, aa_idx, COUNT(*) AS n
+              FROM shelled GROUP BY t, shell, aa_idx
+            ), tot AS (
+              SELECT t, shell, SUM(n) AS tt FROM cnt GROUP BY t, shell)
+            SELECT CAST(cnt.t AS BIGINT) AS vec_id,
+                   CAST(cnt.shell * 20 + cnt.aa_idx AS INTEGER) AS pos,
+                   ROUND(n::DOUBLE / tt, 6) AS freq
+            FROM cnt JOIN tot ON cnt.t = tot.t AND cnt.shell = tot.shell
+        """,
+        "struct_network": """
+            WITH res AS (
+              SELECT vec_id,
+                     embedding[1]::DOUBLE * 40 AS x,
+                     embedding[2]::DOUBLE * 40 AS y,
+                     embedding[3]::DOUBLE * 40 AS z
+              FROM embeddings
+            ), n_nodes AS (SELECT COUNT(*) AS n FROM res),
+            edges AS (
+              SELECT a.vec_id AS u, b.vec_id AS v
+              FROM res a JOIN res b ON a.vec_id != b.vec_id
+              WHERE sqrt(((a.x - b.x) * (a.x - b.x)
+                          + (a.y - b.y) * (a.y - b.y))
+                         + (a.z - b.z) * (a.z - b.z)) <= 11.0
+            ), deg AS (
+              SELECT u AS v, COUNT(*) AS degree FROM edges GROUP BY u
+            ), tri AS (
+              -- per node: unordered neighbour pairs that are themselves
+              -- connected (triangles through v)
+              SELECT e1.u AS v, COUNT(*) AS t
+              FROM edges e1
+              JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+              JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+              GROUP BY e1.u)
+            SELECT CAST(res.vec_id AS BIGINT) AS vec_id,
+                   COALESCE(deg.degree, 0) AS degree,
+                   ROUND(COALESCE(deg.degree, 0)::DOUBLE / (n - 1), 6)
+                     AS degree_centrality,
+                   ROUND(CASE WHEN COALESCE(deg.degree, 0) >= 2
+                         THEN 2.0 * COALESCE(tri.t, 0)
+                              / (deg.degree * (deg.degree - 1))
+                         ELSE 0.0 END, 6) AS clustering_coefficient
+            FROM res
+            LEFT JOIN deg ON deg.v = res.vec_id
+            LEFT JOIN tri ON tri.v = res.vec_id
+            CROSS JOIN n_nodes
         """,
         "pca_planted": """
             SELECT CAST(vec_id AS BIGINT) AS vec_id,

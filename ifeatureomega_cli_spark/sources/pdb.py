@@ -1,0 +1,136 @@
+"""PDB structure reader — pure-text fixed-width parsing, no Bio.PDB.
+
+The reference (iFeatureOmegaCLI.py:9095-9107 iStructure.read_pdb) parses
+with Bio.PDB's PDBParser; biopython is not available in this container, and
+the PDB format is a published fixed-column text format (wwPDB format v3.3),
+so the reader is ~60 lines of column slicing.  Differences from Bio.PDB,
+documented:
+
+* altloc: Bio.PDB keeps every altloc as a DisorderedAtom and yields the
+  highest-occupancy child on iteration; this reader keeps altloc ∈ {' ','A'}
+  (the standard first conformer).  Results differ only for files whose
+  B-conformer has higher occupancy — rare, and flagged by `n_altloc_dropped`.
+* model: only MODEL 1 is kept, matching the reference's `structure[0]`.
+* hetfield: ATOM → ' '; HETATM → 'W' for waters (HOH/WAT/DOD), else 'H'
+  (Bio.PDB uses 'H_<resname>'; only the water/non-water distinction is ever
+  consumed, ref :9250, :9639).
+
+Spark-first layout: many structures → `read_pdb_dir` parses each file inside
+`mapInPandas` over a `binaryFile` scan (one task per file, no driver I/O),
+yielding ONE atoms DataFrame keyed by pdb_id — descriptors then run as
+per-structure `applyInPandas` groups.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+_WATERS = {"HOH", "WAT", "DOD"}
+
+ATOM_SCHEMA = ("pdb_id string, record string, serial long, atom_name string, "
+               "altloc string, resname string, chain string, resseq long, "
+               "icode string, x double, y double, z double, occupancy double, "
+               "bfactor double, element string, hetflag string")
+
+_COLUMNS = [c.split()[0] for c in ATOM_SCHEMA.split(", ")]
+
+
+def parse_pdb_text(text: str, pdb_id: str) -> pd.DataFrame:
+    """ATOM/HETATM records of MODEL 1 → DataFrame (wwPDB v3.3 columns)."""
+    rows = []
+    in_model = 0  # 0 = before any MODEL record (single-model file)
+    for line in text.splitlines():
+        rec = line[0:6]
+        if rec == "MODEL ":
+            in_model += 1
+            if in_model > 1:
+                break
+        elif rec == "ENDMDL":
+            break
+        elif rec in ("ATOM  ", "HETATM"):
+            altloc = line[16]
+            if altloc not in (" ", "A"):
+                continue
+            resname = line[17:20].strip()
+            element = line[76:78].strip().upper() if len(line) >= 78 else ""
+            if not element:  # pre-v2.3 files: derive from atom-name columns
+                element = line[12:14].strip().lstrip("0123456789").upper()
+            het = " " if rec == "ATOM  " else ("W" if resname in _WATERS else "H")
+            try:
+                rows.append((
+                    pdb_id, rec.strip(), int(line[6:11]),
+                    line[12:16].strip(), altloc.strip(), resname,
+                    line[21].strip(), int(line[22:26]), line[26].strip(),
+                    float(line[30:38]), float(line[38:46]), float(line[46:54]),
+                    float(line[54:60]) if line[54:60].strip() else 1.0,
+                    float(line[60:66]) if line[60:66].strip() else 0.0,
+                    element, het,
+                ))
+            except ValueError:  # malformed record — PERMISSIVE=1 skips it
+                continue
+    return pd.DataFrame(rows, columns=_COLUMNS)
+
+
+def read_pdb(spark: SparkSession, path: str) -> DataFrame:
+    """One local PDB file → atoms DataFrame (driver-side parse; use
+    read_pdb_dir for corpora)."""
+    with open(path) as f:
+        text = f.read()
+    pdb_id = os.path.basename(path)[:4].lower()
+    pdf = parse_pdb_text(text, pdb_id)
+    return spark.createDataFrame(pdf, schema=ATOM_SCHEMA)
+
+
+def read_pdb_dir(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed reader: every matched .pdb file parsed in its own task
+    (binaryFile scan → mapInPandas), no driver I/O — the 100 TB path."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                pdb_id = os.path.basename(p)[:4].lower()
+                out.append(parse_pdb_text(
+                    bytes(content).decode("utf-8", "replace"), pdb_id))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.pdb").load(path_glob)
+             .select("path", "content"))
+    return files.mapInPandas(gen, schema=ATOM_SCHEMA)
+
+
+# 3-letter → 1-letter map (ref iFeatureOmegaCLI.py:9009-9031)
+AA_3TO1 = {
+    "GLY": "G", "ALA": "A", "LEU": "L", "ILE": "I", "VAL": "V", "PRO": "P",
+    "PHE": "F", "MET": "M", "TRP": "W", "SER": "S", "GLN": "Q", "THR": "T",
+    "CYS": "C", "ASN": "N", "TYR": "Y", "ASP": "D", "GLU": "E", "LYS": "K",
+    "ARG": "R", "HIS": "H",
+}
+
+
+def residue_table(atoms: DataFrame) -> DataFrame:
+    """One row per standard residue that has a CA or CB atom, with the
+    representative side-chain coordinate (CB if present, else CA) — the
+    reference's residue selection (ref :9160-9166) and rep-atom rule
+    (:9180, :9669).  Output: (pdb_id, chain, resseq, resname, aa, x, y, z).
+    """
+    from pyspark.sql import functions as F
+
+    res = (atoms.filter((F.col("hetflag") == " ")
+                        & F.col("atom_name").isin("CA", "CB")
+                        & F.col("resname").isin(*AA_3TO1))
+           .withColumn("__pref", F.when(F.col("atom_name") == "CB", 0).otherwise(1)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("pdb_id", "chain", "resseq", "icode").orderBy(
+        "__pref", "serial")
+    aa_map = F.create_map(*[F.lit(v) for kv in AA_3TO1.items() for v in kv])
+    return (res.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("pdb_id", "chain", "resseq", "resname",
+                    aa_map[F.col("resname")].alias("aa"), "x", "y", "z"))

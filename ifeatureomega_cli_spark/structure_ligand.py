@@ -1,52 +1,62 @@
-"""Structure (iStructure) and ligand (iLigand) descriptors — documented
-stubs (SURVEY.md §2.6–2.7: out of v1 scope).
+"""Structure (iStructure) and ligand (iLigand) descriptors — scope map.
 
-WHY out of scope: the reference's structure descriptors depend on Bio.PDB
-plus external native binaries (DSSP for secondary structure, ref
-iFeatureOmegaCLI.py:9154; MSMS for residue depth, :9290) and its ligand
-descriptors on RDKit (`chem/*`, :9891-9907).  None of those are in this
-container, and shipping per-node native binaries is a deployment concern,
-not an engine one.
+ROUND-3 SCOPE CHANGE: 9 of the reference's 14 structure feature types are
+pure coordinate geometry and are now IMPLEMENTED with no native deps —
+see sources/pdb.py (fixed-width PDB text reader, no Bio.PDB) and
+operators/structure.py:
 
-WHAT the Spark design would be (so the port is mechanical when the deps
-exist):
+    AAC_type1/2, GAAC_type1/2        residue_shell_composition()
+    AC_type1/2                       atom_shell_composition()
+    Network-based index              network_metrics() (networkx, as ref)
+    HSE_CA, HSE_CB                   hse() (Hamelryck 2005 geometry)
 
-* shell-composition descriptors (AAC/GAAC/SS3/SS8/AC type1/2,
-  ref :9333-9632): residues table `(target, chain, resseq, resname, x, y,
-  z, property)` → pairwise Cβ distance via a range join
-  `df.join(df2, (d >= lo) & (d < hi))` on spatially bucketed coordinates →
-  `groupBy(shell).pivot(resname).count()` — pure DataFrame ops;
-* residue-contact-graph metrics (:9633-9689): edges from the same range
-  join, degree = groupBy count; betweenness/closeness/eigenvector via
-  GraphFrames or a per-target pandas UDF wrapping networkx (graphs are
-  per-protein small);
-* ligand descriptor families (:9812-9846): per-molecule scalar maps →
-  one `mapInPandas` over a `(mol_id, smiles)` table wrapping RDKit.
+STILL out of scope, with reasons:
 
-Each public function below raises NotImplementedError with the citation so
-callers get an actionable message rather than silent absence.
+* SS3/SS8 type1/2 (4 types): need per-residue secondary-structure letters
+  from the DSSP binary (ref iFeatureOmegaCLI.py:9154) — the shell math is
+  the same as residue_shell_composition, but there is no input without
+  DSSP.  When DSSP letters are available as a column, pass them through
+  residue_shell_composition with a custom class mapping.
+* Residue depth: needs the MSMS surface binary (:9290).
+* Ligand descriptors: need RDKit (`chem/*`, :9891-9907) — per-molecule
+  scalar maps; the Spark design is one `mapInPandas` over a
+  `(mol_id, smiles)` table wrapping RDKit when it exists.
+
+Each stub below raises NotImplementedError with the citation so callers
+get an actionable message rather than silent absence.
 """
 
 from __future__ import annotations
 
 _MSG = (
     "{name} requires {dep} (not available in this environment). "
-    "See ifeatureomega_cli_spark/structure_ligand.py for the Spark design; "
+    "See ifeatureomega_cli_spark/structure_ligand.py for the scope map; "
     "reference: iFeatureOmegaCLI.py:{ref}."
 )
 
+# implemented structure surface lives here:
+from ifeatureomega_cli_spark.operators.structure import (  # noqa: F401
+    atom_shell_composition, hse, network_metrics, residue_shell_composition)
+from ifeatureomega_cli_spark.sources.pdb import (  # noqa: F401
+    read_pdb, read_pdb_dir, residue_table)
 
-def structure_descriptor(df, name: str, **params):
-    """Shell-composition / graph descriptors over a residues table."""
+
+def secondary_structure_descriptor(df, name: str, **params):
+    """SS3/SS8 type1/2 — blocked on the DSSP binary."""
     raise NotImplementedError(
         _MSG.format(name=f"structure descriptor {name!r}",
-                    dep="Bio.PDB (+ DSSP/MSMS binaries)", ref="8976-9786")
-    )
+                    dep="the DSSP binary", ref="9154, 9445-9576"))
+
+
+def residue_depth(df, **params):
+    """Residue depth — blocked on the MSMS surface binary."""
+    raise NotImplementedError(
+        _MSG.format(name="residue depth", dep="the MSMS binary",
+                    ref="9286-9307"))
 
 
 def ligand_descriptor(df, name: str, **params):
     """Molecular descriptors / fingerprints over a SMILES table."""
     raise NotImplementedError(
         _MSG.format(name=f"ligand descriptor {name!r}", dep="RDKit",
-                    ref="9788-9949")
-    )
+                    ref="9788-9949"))

@@ -1,0 +1,231 @@
+"""Structure descriptors: hand-computed geometric fixtures + 1iir.pdb
+sanity.  Biopython is absent (the reference's own structure path cannot run
+here), so correctness is pinned by closed-form expectations on constructed
+geometries — the same math the reference's no-DSSP fallback path computes
+(ref iFeatureOmegaCLI.py:9213-9241, :9333-9444, :9577-9690)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REF_PDB = "/root/reference/data_examples/1iir.pdb"
+
+
+def _mk_residues(spark, rows):
+    """rows: (chain, resseq, resname, aa, x, y, z)"""
+    return spark.createDataFrame(
+        [("test",) + r for r in rows],
+        "pdb_id string, chain string, resseq long, resname string, "
+        "aa string, x double, y double, z double")
+
+
+def test_pdb_parser_1iir(spark):
+    from ifeatureomega_cli_spark.sources.pdb import read_pdb, residue_table
+
+    atoms = read_pdb(spark, REF_PDB)
+    pdf = atoms.toPandas()
+    # independent count: ATOM/HETATM lines of model 1, altloc in (' ','A')
+    n_expected = 0
+    with open(REF_PDB) as f:
+        models = 0
+        for line in f:
+            if line.startswith("MODEL"):
+                models += 1
+                if models > 1:
+                    break
+            if line.startswith("ENDMDL"):
+                break
+            if line[0:6] in ("ATOM  ", "HETATM") and line[16] in (" ", "A"):
+                n_expected += 1
+    assert len(pdf) == n_expected and n_expected > 1000
+    assert set(pdf["record"]) <= {"ATOM", "HETATM"}
+    assert pdf["x"].abs().max() < 1000 and pdf["element"].isin(
+        ["C", "N", "O", "S", "P", "H", "FE", "ZN", "MG", "CA", "NA", "CL",
+         "MN", "K", "I", "SE", "CU"]).all()
+    res = residue_table(atoms).toPandas()
+    # every standard residue appears once, with one rep atom each
+    assert res.duplicated(["chain", "resseq"]).sum() == 0
+    assert len(res) > 100
+    assert set(res["aa"]) <= set("ACDEFGHIKLMNPQRSTVWY")
+
+
+def test_residue_shell_composition_hand_computed(spark):
+    """4 residues on the x-axis at 0, 4, 8, 16 Å.  For the residue at x=0
+    (GLY): distances 4, 8, 16 → shells [3,5): {A}, [7,9): {L}, [15,17): {F}.
+    Type 1 fractions are 1.0 for exactly those (shell, aa) slots; type 2 is
+    cumulative and includes self from shell 1."""
+    from ifeatureomega_cli_spark.operators.structure import (
+        residue_shell_composition, shell_feature_names)
+
+    rows = [("A", 1, "GLY", "G", 0.0, 0.0, 0.0),
+            ("A", 2, "ALA", "A", 4.0, 0.0, 0.0),
+            ("A", 3, "LEU", "L", 8.0, 0.0, 0.0),
+            ("A", 4, "PHE", "F", 16.0, 0.0, 0.0)]
+    df = _mk_residues(spark, rows)
+    names = shell_feature_names("AAC", (3, 20, 2))
+    out = (residue_shell_composition(df, "AAC").toPandas()
+           .set_index("sample"))
+    f = dict(zip(names, out.loc["A_GLY_1"]["features"]))
+    assert f["shell_1.A"] == 1.0          # x=4 in [3,5)
+    assert f["shell_3.L"] == 1.0          # x=8 in [7,9)
+    assert f["shell_7.F"] == 1.0          # x=16 in [15,17)
+    nonzero = {k for k, v in f.items() if v != 0}
+    assert nonzero == {"shell_1.A", "shell_3.L", "shell_7.F"}
+    # type 2: cumulative, includes self (distance 0 < s+2 for every s)
+    out2 = (residue_shell_composition(df, "AAC", type2=True).toPandas()
+            .set_index("sample"))
+    f2 = dict(zip(names, out2.loc["A_GLY_1"]["features"]))
+    # shell 1 = dist < 5: {self G, A at 4} → each 1/2
+    assert f2["shell_1.G"] == 0.5 and f2["shell_1.A"] == 0.5
+    # last shell (19): dist < 21: all four residues
+    assert f2["shell_9.G"] == 0.25 and f2["shell_9.F"] == 0.25
+    # GAAC groups: A,L aliphatic; F aromatic; G aliphatic
+    gnames = shell_feature_names("GAAC", (3, 20, 2))
+    g = (residue_shell_composition(df, "GAAC").toPandas()
+         .set_index("sample"))
+    gf = dict(zip(gnames, g.loc["A_GLY_1"]["features"]))
+    assert gf["shell_1.aliphatic"] == 1.0
+    assert gf["shell_7.aromatic"] == 1.0
+
+
+def test_residue_shell_fractions_sum_to_one_1iir(spark):
+    from ifeatureomega_cli_spark.operators.structure import (
+        residue_shell_composition)
+    from ifeatureomega_cli_spark.sources.pdb import read_pdb, residue_table
+
+    res = residue_table(read_pdb(spark, REF_PDB))
+    out = residue_shell_composition(res, "AAC").toPandas()
+    F = np.stack(out["features"].to_numpy())
+    assert F.shape[1] == 9 * 20
+    sums = F.reshape(len(F), 9, 20).sum(axis=2)
+    # each shell's fractions sum to 1 (occupied) or 0 (empty)
+    assert np.all((np.abs(sums - 1) < 1e-9) | (sums == 0))
+    # type2 last shell of a globular protein is never empty
+    out2 = residue_shell_composition(res, "AAC", type2=True).toPandas()
+    F2 = np.stack(out2["features"].to_numpy())
+    s2 = F2.reshape(len(F2), 9, 20).sum(axis=2)
+    assert np.allclose(s2[:, -1], 1.0)
+
+
+def test_atom_shell_composition_hand_computed(spark):
+    """Target CA at origin; C at 1.5 Å, N at 2.5 Å, O at 2.6 Å, water O at
+    2.7 Å (excluded), H at 2.8 Å (not CNOS — excluded from denominator)."""
+    from ifeatureomega_cli_spark.operators.structure import (
+        atom_shell_composition, shell_feature_names)
+
+    cols = ("pdb_id string, record string, serial long, atom_name string, "
+            "altloc string, resname string, chain string, resseq long, "
+            "icode string, x double, y double, z double, occupancy double, "
+            "bfactor double, element string, hetflag string")
+    mk = lambda serial, name, elem, x, het=" ", res="ALA": (  # noqa: E731
+        "t", "ATOM", serial, name, "", res, "A", 1, "", x, 0.0, 0.0,
+        1.0, 0.0, elem, het)
+    atoms = spark.createDataFrame([
+        mk(1, "CA", "C", 0.0),
+        mk(2, "CB", "C", 1.5),
+        mk(3, "N", "N", 2.5),
+        mk(4, "O", "O", 2.6),
+        mk(5, "OW", "O", 2.7, het="W", res="HOH"),
+        mk(6, "H1", "H", 2.8),
+    ], cols)
+    names = shell_feature_names("AC", (1, 10, 1))
+    out = atom_shell_composition(atoms).toPandas().set_index("sample")
+    assert list(out.index) == ["A_C_1"]
+    f = dict(zip(names, out.loc["A_C_1"]["features"]))
+    assert f["shell_1.C"] == 1.0                      # [1,2): CB only
+    assert f["shell_2.N"] == 0.5 and f["shell_2.O"] == 0.5  # [2,3): N+O
+    assert sum(v for k, v in f.items() if v) == 2.0   # nothing else
+
+
+def test_network_metrics_path_graph(spark):
+    """Residues at x=0,10,20,30 with cutoff 11 → path graph P4: closed-form
+    degree/closeness/betweenness/clustering."""
+    from ifeatureomega_cli_spark.operators.structure import network_metrics
+
+    rows = [("A", i + 1, "ALA", "A", 10.0 * i, 0.0, 0.0) for i in range(4)]
+    out = (network_metrics(_mk_residues(spark, rows), cutoff=11.0)
+           .toPandas().sort_values("resseq").reset_index(drop=True))
+    assert out["degree"].tolist() == [1, 2, 2, 1]
+    assert np.allclose(out["degree_centrality"], [1/3, 2/3, 2/3, 1/3])
+    assert np.allclose(out["betweenness"], [0.0, 2/3, 2/3, 0.0])
+    assert np.allclose(out["clustering_coefficient"], 0.0)
+    assert np.allclose(out["closeness"], [0.5, 0.75, 0.75, 0.5])
+    assert out["sample"].tolist() == ["ALA_A1", "ALA_A2", "ALA_A3", "ALA_A4"]
+
+
+def test_network_metrics_disconnected_raises(spark):
+    from ifeatureomega_cli_spark.operators.structure import network_metrics
+
+    rows = [("A", 1, "ALA", "A", 0.0, 0.0, 0.0),
+            ("A", 2, "GLY", "G", 100.0, 0.0, 0.0)]
+    with pytest.raises(Exception):  # Py4J wraps the ValueError
+        network_metrics(_mk_residues(spark, rows), cutoff=11.0).collect()
+
+
+def test_hse_hand_computed(spark):
+    """Chain along x (CA at 0, 4, 8); middle residue's pseudo-CB is −(d̂1+d̂2)
+    = undefined on a straight line, so bend it: CA2 at (4, 1, 0) → pseudo-CB
+    points +y-ish.  Neighbors within 12 Å split by the u·d sign."""
+    from ifeatureomega_cli_spark.operators.structure import hse
+
+    cols = ("pdb_id string, record string, serial long, atom_name string, "
+            "altloc string, resname string, chain string, resseq long, "
+            "icode string, x double, y double, z double, occupancy double, "
+            "bfactor double, element string, hetflag string")
+    mk = lambda serial, name, resseq, x, y, z, res="ALA": (  # noqa: E731
+        "t", "ATOM", serial, name, "", res, "A", resseq, "", x, y, z,
+        1.0, 0.0, name[0], " ")
+    atoms = spark.createDataFrame([
+        mk(1, "CA", 1, 0.0, 0.0, 0.0),
+        mk(2, "CA", 2, 4.0, 1.0, 0.0),
+        mk(3, "CA", 3, 8.0, 0.0, 0.0),
+        mk(4, "CB", 2, 4.0, 2.0, 0.0),   # real CB straight up from CA2
+    ], cols)
+    out = hse(atoms, kind="CA").toPandas().set_index("resseq")
+    # only residue 2 has both neighbors
+    assert list(out.index) == [2]
+    # u = -(d1_hat + d2_hat): d1=(-4,-1,0)/n, d2=(4,-1,0)/n → sum=(0,-2/n,0)
+    # → u = +y.  CA1 and CA3 are at u·d < 0 → both down.
+    assert out.loc[2, "hse_up"] == 0 and out.loc[2, "hse_down"] == 2
+    # real CB at +y → angle(u, CB-CA) = 0
+    assert abs(out.loc[2, "angle"]) < 1e-9
+    # CB variant: u = CB − CA = +y; same split; all residues with CA+CB or
+    # pseudo emit rows — residue 2 has CB; residues 1,3 are termini with no
+    # CB and no pseudo → dropped
+    out_cb = hse(atoms, kind="CB").toPandas().set_index("resseq")
+    assert list(out_cb.index) == [2]
+    assert out_cb.loc[2, "hse_up"] == 0 and out_cb.loc[2, "hse_down"] == 2
+
+
+def test_hse_up_down_partition_1iir(spark):
+    """On the real structure: up+down = #CA neighbors within 12 Å, for every
+    residue, both variants."""
+    from ifeatureomega_cli_spark.operators.structure import hse
+    from ifeatureomega_cli_spark.sources.pdb import read_pdb
+
+    atoms = read_pdb(spark, REF_PDB)
+    ca = atoms.toPandas()
+    ca = ca[(ca["hetflag"] == " ") & (ca["atom_name"] == "CA")]
+    X = ca[["x", "y", "z"]].to_numpy()
+    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    ncount = {(c, r): int(((d <= 12.0) & (d > 0)).sum())
+              for c, r, d in zip(ca["chain"], ca["resseq"], D)}
+    for kind in ("CA", "CB"):
+        out = hse(atoms, kind=kind).toPandas()
+        assert len(out) > 100
+        for _, row in out.iterrows():
+            assert row["hse_up"] + row["hse_down"] == ncount[
+                (row["chain"], row["resseq"])], (kind, row["sample"])
+
+
+def test_stubs_still_raise():
+    from ifeatureomega_cli_spark import structure_ligand as SL
+
+    with pytest.raises(NotImplementedError):
+        SL.secondary_structure_descriptor(None, "SS3_type1")
+    with pytest.raises(NotImplementedError):
+        SL.residue_depth(None)
+    with pytest.raises(NotImplementedError):
+        SL.ligand_descriptor(None, "Daylight")

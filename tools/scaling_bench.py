@@ -82,7 +82,7 @@ def run_one(cpus: int) -> dict:
 
     spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=64,
-                      extra_conf={"spark.sql.files.maxPartitionBytes": "4m",
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "2m",
                                   "spark.sql.files.openCostInBytes": "1m"})
     spark.sparkContext.setLogLevel("ERROR")
     seq_path, rev_path, req_path = _prepare(spark)

@@ -44,7 +44,7 @@ def run_one(workers: int, cores: int = 8, mem_mb: int = 6144) -> dict:
         .appName(f"scaling-cluster-{workers}x{cores}")
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.executor.memory", f"{mem_mb - 1024}m")
-        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.maxPartitionBytes", "2m")
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.executorEnv.PYTHONPATH", REPO)
         # executor JVMs spawn their own python workers — pin them to the
