@@ -285,3 +285,117 @@ class Analysis:
         if self.feature_normalization_data is not None:
             sinks.write_csv(self.feature_normalization_data, file)
 
+
+
+class StructureDataset:
+    """Façade mirroring the reference's iStructure class
+    (iFeatureOmegaCLI.py:8976-9786) over the pure-geometry PDB pipeline.
+
+    Reference usage                         →  Spark-native equivalent
+    -----------------------------------------------------------------
+    s = iStructure("1iir.pdb")              →  s = StructureDataset(spark, "1iir.pdb")
+    s.import_parameters("Structure_...json")→  same (shell/distance settings)
+    s.get_descriptor("AAC_type1")           →  df = s.get_descriptor("AAC_type1")
+    s.encodings                             →  s.encodings (lazy DataFrame)
+    s.display_feature_types()               →  same
+
+    Accepts a single .pdb path, a glob of many (distributed parse — one
+    task per file), or a pre-parsed atoms DataFrame.  SS3/SS8 (DSSP) and
+    Residue depth (MSMS) raise NotImplementedError with the citation, as
+    documented in structure_ligand.py.
+    """
+
+    _TYPES = ["AAC_type1", "AAC_type2", "GAAC_type1", "GAAC_type2",
+              "SS3_type1", "SS3_type2", "SS8_type1", "SS8_type2",
+              "HSE_CA", "HSE_CB", "Residue depth", "AC_type1", "AC_type2",
+              "Network-based index"]
+
+    def __init__(self, spark: SparkSession, source: str | DataFrame):
+        from ifeatureomega_cli_spark.sources.pdb import read_pdb, read_pdb_dir
+
+        self.spark = spark
+        if isinstance(source, DataFrame):
+            self.atoms = source
+        elif any(ch in str(source) for ch in "*?[") or not str(
+                source).lower().endswith(".pdb"):
+            self.atoms = read_pdb_dir(spark, str(source))
+        else:
+            self.atoms = read_pdb(spark, str(source))
+        self.encodings: DataFrame | None = None
+        self.error_msg: str | None = None
+        self._params: dict[str, dict] = {}
+
+    def import_parameters(self, path: str) -> bool:
+        """Reference Structure_parameters_setting.json verbatim
+        (ref :9728-9736)."""
+        with open(path) as f:
+            self._params.update(json.load(f))
+        return True
+
+    def display_feature_types(self) -> list[str]:
+        for t in self._TYPES:
+            print(t)
+        return list(self._TYPES)
+
+    def get_descriptor(self, name: str = "AAC_type1",
+                       params: dict | None = None) -> DataFrame:
+        from ifeatureomega_cli_spark import structure_ligand as SL
+        from ifeatureomega_cli_spark.operators.structure import (
+            atom_shell_composition, hse, network_metrics,
+            residue_shell_composition)
+        from ifeatureomega_cli_spark.sources.pdb import residue_table
+
+        cfg = {**self._params.get(name, {}), **(params or {})}
+        if name in ("AAC_type1", "AAC_type2", "GAAC_type1", "GAAC_type2"):
+            kind = name.split("_")[0]
+            out = residue_shell_composition(
+                residue_table(self.atoms), kind=kind,
+                type2=name.endswith("type2"),
+                shell=tuple(cfg.get("shell", (3, 20, 2))))
+        elif name in ("AC_type1", "AC_type2"):
+            out = atom_shell_composition(
+                self.atoms, type2=name.endswith("type2"),
+                shell=tuple(cfg.get("shell", (1, 10, 1))))
+        elif name in ("HSE_CA", "HSE_CB"):
+            out = hse(self.atoms, kind=name.split("_")[1])
+        elif name == "Network-based index":
+            out = network_metrics(residue_table(self.atoms),
+                                  cutoff=float(cfg.get("distance", 11)))
+        elif name in ("SS3_type1", "SS3_type2", "SS8_type1", "SS8_type2"):
+            return SL.secondary_structure_descriptor(self.atoms, name)
+        elif name == "Residue depth":
+            return SL.residue_depth(self.atoms)
+        else:
+            raise KeyError(
+                f"unknown structure descriptor {name!r}; known: {self._TYPES}")
+        self.encodings = out
+        return out
+
+    def feature_names(self, name: str, params: dict | None = None) -> list[str]:
+        from ifeatureomega_cli_spark.operators.structure import (
+            shell_feature_names)
+
+        cfg = {**self._params.get(name, {}), **(params or {})}
+        if name.startswith(("AAC", "GAAC")):
+            return shell_feature_names(name.split("_")[0],
+                                       tuple(cfg.get("shell", (3, 20, 2))))
+        if name.startswith("AC_"):
+            return shell_feature_names("AC", tuple(cfg.get("shell", (1, 10, 1))))
+        if name.startswith("HSE"):
+            return [f"{name}_value1", f"{name}_value2", f"{name}_value3"]
+        if name == "Network-based index":
+            return ["degree", "degree_centrality", "betweenness",
+                    "clustering_coefficient", "closeness", "centrality"]
+        raise KeyError(name)
+
+    def to_csv(self, path: str, name: str | None = None) -> None:
+        if self.encodings is None:
+            raise ValueError("run get_descriptor first")
+        cols = self.encodings.columns
+        if "features" in cols:
+            names = self.feature_names(name) if name else None
+            sinks.write_csv(
+                self.encodings.select(F.col("sample").alias("doc_id"),
+                                      "features"), path, names=names)
+        else:  # network/HSE: already flat columns
+            sinks.write_csv(self.encodings, path)

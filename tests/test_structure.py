@@ -229,3 +229,53 @@ def test_stubs_still_raise():
         SL.residue_depth(None)
     with pytest.raises(NotImplementedError):
         SL.ligand_descriptor(None, "Daylight")
+
+
+def test_structure_facade_surface(spark, tmp_path):
+    """StructureDataset mirrors iStructure's workflow: parameter import,
+    feature-type listing, descriptor dispatch, CSV export."""
+    from ifeatureomega_cli_spark.api import StructureDataset
+
+    st = StructureDataset(spark, REF_PDB)
+    types = st.display_feature_types()
+    assert len(types) == 14
+    assert st.import_parameters(
+        "/root/reference/parameters/Structure_parameters_setting.json")
+    aac = st.get_descriptor("AAC_type1")
+    n_res = aac.count()
+    assert n_res > 100
+    assert len(aac.select("features").head()[0]) == 9 * 20
+    assert len(st.feature_names("AAC_type1")) == 9 * 20
+    net = st.get_descriptor("Network-based index")
+    assert net.count() == n_res
+    hse_ca = st.get_descriptor("HSE_CA")
+    assert 0 < hse_ca.count() <= n_res
+    ac = st.get_descriptor("AC_type1")
+    assert ac.count() > 100 and len(ac.select("features").head()[0]) == 40
+    st.encodings = net
+    st.to_csv(str(tmp_path / "net_csv"))
+    got = spark.read.option("header", True).csv(str(tmp_path / "net_csv"))
+    assert got.count() == n_res
+    with pytest.raises(NotImplementedError):
+        st.get_descriptor("SS3_type1")
+    with pytest.raises(NotImplementedError):
+        st.get_descriptor("Residue depth")
+    with pytest.raises(KeyError):
+        st.get_descriptor("NOPE")
+
+
+def test_structure_facade_glob_distributed(spark, tmp_path):
+    """A glob source parses via the distributed binaryFile path; two copies
+    of 1iir under different names produce two structures' rows."""
+    import shutil
+
+    from ifeatureomega_cli_spark.api import StructureDataset
+
+    d = tmp_path / "pdbs"
+    d.mkdir()
+    shutil.copy(REF_PDB, d / "1aaa.pdb")
+    shutil.copy(REF_PDB, d / "2bbb.pdb")
+    st = StructureDataset(spark, str(d))
+    out = st.get_descriptor("AAC_type1").toPandas()
+    assert set(out["pdb_id"]) == {"1aaa", "2bbb"}
+    assert (out["pdb_id"] == "1aaa").sum() == (out["pdb_id"] == "2bbb").sum()
