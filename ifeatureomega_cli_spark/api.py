@@ -317,7 +317,7 @@ class StructureDataset:
         if isinstance(source, DataFrame):
             self.atoms = source
         elif any(ch in str(source) for ch in "*?[") or not str(
-                source).lower().endswith(".pdb"):
+                source).lower().endswith((".pdb", ".cif")):
             self.atoms = read_pdb_dir(spark, str(source))
         else:
             self.atoms = read_pdb(spark, str(source))

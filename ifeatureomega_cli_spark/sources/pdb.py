@@ -75,13 +75,92 @@ def parse_pdb_text(text: str, pdb_id: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=_COLUMNS)
 
 
+_CIF_TOKEN = None  # compiled lazily
+
+
+def parse_cif_text(text: str, pdb_id: str) -> pd.DataFrame:
+    """mmCIF `_atom_site` loop → the same atoms DataFrame as parse_pdb_text
+    (ref iFeatureOmegaCLI.py:9100-9101 accepts .cif via MMCIFParser).  Only
+    model 1, altloc ∈ {'.', 'A'}; quoted values handled."""
+    import re
+    global _CIF_TOKEN
+    if _CIF_TOKEN is None:
+        _CIF_TOKEN = re.compile(r"'[^']*'|\"[^\"]*\"|\S+")
+
+    lines = iter(text.splitlines())
+    tags: list[str] = []
+    rows = []
+    first_model = None
+    in_loop_header = False
+    in_data = False
+    for line in lines:
+        s = line.strip()
+        if not s or s.startswith("#"):
+            if in_data:
+                break  # end of the atom_site loop
+            continue
+        if s == "loop_":
+            tags, in_loop_header, in_data = [], True, False
+            continue
+        if in_loop_header and s.startswith("_"):
+            tags.append(s.split(".")[-1].split()[0] if s.startswith("_atom_site.")
+                        else "__other")
+            if not s.startswith("_atom_site."):
+                in_loop_header = False  # a different loop — ignore it
+                tags = []
+            continue
+        if in_loop_header and tags:
+            in_loop_header, in_data = False, True  # first data row
+        elif not in_data:
+            continue
+        toks = [t[1:-1] if t[0] in "'\"" else t
+                for t in _CIF_TOKEN.findall(s)]
+        if len(toks) != len(tags):
+            break
+        r = dict(zip(tags, toks))
+        model = r.get("pdbx_PDB_model_num", "1")
+        if first_model is None:
+            first_model = model
+        if model != first_model:
+            continue
+        alt = r.get("label_alt_id", ".")
+        if alt not in (".", "?", "A"):
+            continue
+        rec = r.get("group_PDB", "ATOM")
+        resname = r.get("auth_comp_id", r.get("label_comp_id", ""))
+        het = " " if rec == "ATOM" else ("W" if resname in _WATERS else "H")
+        icode = r.get("pdbx_PDB_ins_code", "")
+        try:
+            rows.append((
+                pdb_id, rec, int(r["id"]),
+                r.get("auth_atom_id", r.get("label_atom_id", "")),
+                "" if alt in (".", "?") else alt, resname,
+                r.get("auth_asym_id", r.get("label_asym_id", "")),
+                int(r.get("auth_seq_id", r.get("label_seq_id", "0"))),
+                "" if icode in (".", "?") else icode,
+                float(r["Cartn_x"]), float(r["Cartn_y"]), float(r["Cartn_z"]),
+                float(r.get("occupancy", "1") or 1),
+                float(r.get("B_iso_or_equiv", "0") or 0),
+                r.get("type_symbol", "").upper(), het,
+            ))
+        except (ValueError, KeyError):
+            continue
+    return pd.DataFrame(rows, columns=_COLUMNS)
+
+
+def _parse_any(text: str, path: str) -> pd.DataFrame:
+    pdb_id = os.path.basename(path)[:4].lower()
+    if path.lower().endswith(".cif"):
+        return parse_cif_text(text, pdb_id)
+    return parse_pdb_text(text, pdb_id)
+
+
 def read_pdb(spark: SparkSession, path: str) -> DataFrame:
-    """One local PDB file → atoms DataFrame (driver-side parse; use
-    read_pdb_dir for corpora)."""
+    """One local PDB or mmCIF file → atoms DataFrame (driver-side parse;
+    use read_pdb_dir for corpora)."""
     with open(path) as f:
         text = f.read()
-    pdb_id = os.path.basename(path)[:4].lower()
-    pdf = parse_pdb_text(text, pdb_id)
+    pdf = _parse_any(text, path)
     return spark.createDataFrame(pdf, schema=ATOM_SCHEMA)
 
 
@@ -93,14 +172,13 @@ def read_pdb_dir(spark: SparkSession, path_glob: str) -> DataFrame:
         for pdf in batches:
             out = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                pdb_id = os.path.basename(p)[:4].lower()
-                out.append(parse_pdb_text(
-                    bytes(content).decode("utf-8", "replace"), pdb_id))
+                out.append(_parse_any(
+                    bytes(content).decode("utf-8", "replace"), p))
             if out:
                 yield pd.concat(out, ignore_index=True)
 
     files = (spark.read.format("binaryFile")
-             .option("pathGlobFilter", "*.pdb").load(path_glob)
+             .option("pathGlobFilter", "*.{pdb,cif}").load(path_glob)
              .select("path", "content"))
     return files.mapInPandas(gen, schema=ATOM_SCHEMA)
 

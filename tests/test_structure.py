@@ -279,3 +279,39 @@ def test_structure_facade_glob_distributed(spark, tmp_path):
     out = st.get_descriptor("AAC_type1").toPandas()
     assert set(out["pdb_id"]) == {"1aaa", "2bbb"}
     assert (out["pdb_id"] == "1aaa").sum() == (out["pdb_id"] == "2bbb").sum()
+
+
+def test_cif_round_trip_matches_pdb(spark, tmp_path):
+    """Write the parsed 1iir atoms back out as a minimal mmCIF _atom_site
+    loop; parsing the CIF must reproduce the PDB-parsed table exactly."""
+    from ifeatureomega_cli_spark.sources.pdb import (parse_cif_text,
+                                                     read_pdb)
+
+    atoms = read_pdb(spark, REF_PDB).toPandas()
+    lines = ["data_1iir", "#", "loop_"]
+    tags = ["group_PDB", "id", "type_symbol", "label_atom_id",
+            "label_alt_id", "label_comp_id", "auth_asym_id", "auth_seq_id",
+            "pdbx_PDB_ins_code", "Cartn_x", "Cartn_y", "Cartn_z",
+            "occupancy", "B_iso_or_equiv", "pdbx_PDB_model_num"]
+    lines += [f"_atom_site.{t}" for t in tags]
+    for _, r in atoms.iterrows():
+        atom_name = (f'"{r["atom_name"]}"' if "'" in r["atom_name"]
+                     else r["atom_name"])
+        lines.append(" ".join(map(str, [
+            r["record"], r["serial"], r["element"] or "?", atom_name,
+            r["altloc"] or ".", r["resname"], r["chain"], r["resseq"],
+            r["icode"] or ".", r["x"], r["y"], r["z"], r["occupancy"],
+            r["bfactor"], 1])))
+    lines.append("#")
+    cif = parse_cif_text("\n".join(lines), "1iir")
+    assert len(cif) == len(atoms)
+    for col in ("serial", "atom_name", "resname", "chain", "resseq",
+                "element", "hetflag", "record"):
+        assert (cif[col].to_numpy() == atoms[col].to_numpy()).all(), col
+    assert np.allclose(cif[["x", "y", "z"]], atoms[["x", "y", "z"]])
+    # facade accepts a .cif path directly
+    from ifeatureomega_cli_spark.api import StructureDataset
+    p = tmp_path / "1iir.cif"
+    p.write_text("\n".join(lines))
+    st = StructureDataset(spark, str(p))
+    assert st.get_descriptor("AAC_type1").count() > 100
