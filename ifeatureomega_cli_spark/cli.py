@@ -159,6 +159,26 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_structure(args) -> int:
+    """Structure descriptors over one PDB/mmCIF file or a glob of many
+    (ref iStructure.get_descriptor; geometry types only — SS*/depth need
+    DSSP/MSMS binaries and raise with a citation)."""
+    spark = _spark(args)
+    from ifeatureomega_cli_spark.api import StructureDataset
+
+    st = StructureDataset(spark, args.input)
+    if args.params_file:
+        st.import_parameters(args.params_file)
+    params = json.loads(args.params) if args.params else None
+    t0 = time.time()
+    out = st.get_descriptor(args.descriptor, params)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"descriptor": args.descriptor,
+                      "rows": spark.read.parquet(args.output).count(),
+                      "seconds": round(time.time() - t0, 2)}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ifeatureomega-cli-spark")
     ap.add_argument("--master", default=None)
@@ -211,6 +231,16 @@ def main(argv=None) -> int:
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--output", required=True)
     p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser("structure")
+    p.add_argument("--input", required=True,
+                   help="a .pdb/.cif file or a directory/glob of them")
+    p.add_argument("--descriptor", default="AAC_type1")
+    p.add_argument("--params", default=None, help="inline JSON overrides")
+    p.add_argument("--params-file", default=None,
+                   help="reference Structure_parameters_setting.json")
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_structure)
 
     args = ap.parse_args(argv)
     return args.fn(args)

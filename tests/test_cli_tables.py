@@ -79,3 +79,19 @@ def test_cli_analyze_and_dedup(spark, tmp_path):
                    "--output", str(tmp_path / "dd")])
     assert rc == 0
     assert spark.read.parquet(str(tmp_path / "dd")).count() > 0
+
+
+def test_cli_structure(spark, tmp_path):
+    from ifeatureomega_cli_spark import cli
+
+    out_dir = str(tmp_path / "struct_out")
+    rc = cli.main(["structure",
+                   "--input", "/root/reference/data_examples/1iir.pdb",
+                   "--descriptor", "GAAC_type2",
+                   "--params-file",
+                   "/root/reference/parameters/Structure_parameters_setting.json",
+                   "--output", out_dir])
+    assert rc == 0
+    got = spark.read.parquet(out_dir)
+    assert got.count() > 100
+    assert len(got.select("features").head()[0]) == 9 * 5
