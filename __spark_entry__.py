@@ -698,6 +698,47 @@ def q_struct_network(spark, sf_dir):
     )
 
 
+def q_struct_hse(spark, sf_dir):
+    """Half-sphere exposure (ref :9309-9332 / Hamelryck 2005) on a
+    pseudo-protein with CA = embedding dims 1-3 × 40 and CB = CA + dims
+    4-6 × 4; the DuckDB oracle recomputes the pseudo-CB bisector, the
+    half-sphere split, and the pCB–CB angle in SQL."""
+    from ifeatureomega_cli_spark.operators.structure import hse
+
+    emb = _emb(spark, sf_dir)
+    res3_arr = F.array(*[F.lit(_AA3[c]) for c in _AA])
+    idx = (F.col("vec_id") % 20).cast("int")
+    e = lambda i: F.element_at("embedding", i).cast("double")  # noqa: E731
+    common = [
+        F.lit("synthetic").alias("pdb_id"), F.lit("ATOM").alias("record"),
+        res3_arr[idx].alias("resname"), F.lit("A").alias("chain"),
+        F.col("vec_id").alias("resseq"), F.lit("").alias("icode"),
+        F.lit(1.0).alias("occupancy"), F.lit(0.0).alias("bfactor"),
+        F.lit("C").alias("element"), F.lit(" ").alias("hetflag"),
+        F.lit("").alias("altloc"),
+    ]
+    ca = emb.select(*common, (F.col("vec_id") * 2).alias("serial"),
+                    F.lit("CA").alias("atom_name"),
+                    (e(1) * 40).alias("x"), (e(2) * 40).alias("y"),
+                    (e(3) * 40).alias("z"))
+    cb = emb.select(*common, (F.col("vec_id") * 2 + 1).alias("serial"),
+                    F.lit("CB").alias("atom_name"),
+                    (e(1) * 40 + e(4) * 4).alias("x"),
+                    (e(2) * 40 + e(5) * 4).alias("y"),
+                    (e(3) * 40 + e(6) * 4).alias("z"))
+    atoms = ca.unionByName(cb).select(
+        "pdb_id", "record", "serial", "atom_name", "altloc", "resname",
+        "chain", "resseq", "icode", "x", "y", "z", "occupancy", "bfactor",
+        "element", "hetflag")
+    out = hse(atoms, kind="CA", radius=12.0)
+    return out.select(
+        F.col("resseq").cast("long").alias("vec_id"),
+        F.col("hse_up").cast("long").alias("hse_up"),
+        F.col("hse_down").cast("long").alias("hse_down"),
+        _r(F.col("angle")).alias("angle"),
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate nearest neighbours (rows-only; recall vs brute force
     is asserted in tests/test_similarity.py)."""
@@ -759,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_planted": q_pca_planted,
         "struct_shell_aac": q_struct_shell_aac,
         "struct_network": q_struct_network,
+        "struct_hse": q_struct_hse,
         "impute_mean": q_impute_mean,
         "zscore_norm": q_zscore_norm,
         "minmax_norm": q_minmax_norm,
@@ -935,6 +977,65 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN deg ON deg.v = res.vec_id
             LEFT JOIN tri ON tri.v = res.vec_id
             CROSS JOIN n_nodes
+        """,
+        "struct_hse": """
+            WITH r AS (
+              SELECT vec_id,
+                     embedding[1]::DOUBLE * 40 AS x,
+                     embedding[2]::DOUBLE * 40 AS y,
+                     embedding[3]::DOUBLE * 40 AS z,
+                     embedding[1]::DOUBLE * 40 + embedding[4]::DOUBLE * 4 AS cbx,
+                     embedding[2]::DOUBLE * 40 + embedding[5]::DOUBLE * 4 AS cby,
+                     embedding[3]::DOUBLE * 40 + embedding[6]::DOUBLE * 4 AS cbz
+              FROM embeddings
+            ), mid AS (
+              -- pseudo-CB bisector u = -(d1_hat + d2_hat) from resseq ± 1
+              SELECT c.vec_id, c.x, c.y, c.z,
+                     c.cbx - c.x AS vx, c.cby - c.y AS vy, c.cbz - c.z AS vz,
+                     -((p.x - c.x) / sqrt((((p.x - c.x) * (p.x - c.x))
+                                           + ((p.y - c.y) * (p.y - c.y)))
+                                          + ((p.z - c.z) * (p.z - c.z)))
+                       + (n.x - c.x) / sqrt((((n.x - c.x) * (n.x - c.x))
+                                             + ((n.y - c.y) * (n.y - c.y)))
+                                            + ((n.z - c.z) * (n.z - c.z)))) AS bx,
+                     -((p.y - c.y) / sqrt((((p.x - c.x) * (p.x - c.x))
+                                           + ((p.y - c.y) * (p.y - c.y)))
+                                          + ((p.z - c.z) * (p.z - c.z)))
+                       + (n.y - c.y) / sqrt((((n.x - c.x) * (n.x - c.x))
+                                             + ((n.y - c.y) * (n.y - c.y)))
+                                            + ((n.z - c.z) * (n.z - c.z)))) AS by,
+                     -((p.z - c.z) / sqrt((((p.x - c.x) * (p.x - c.x))
+                                           + ((p.y - c.y) * (p.y - c.y)))
+                                          + ((p.z - c.z) * (p.z - c.z)))
+                       + (n.z - c.z) / sqrt((((n.x - c.x) * (n.x - c.x))
+                                             + ((n.y - c.y) * (n.y - c.y)))
+                                            + ((n.z - c.z) * (n.z - c.z)))) AS bz
+              FROM r c
+              JOIN r p ON p.vec_id = c.vec_id - 1
+              JOIN r n ON n.vec_id = c.vec_id + 1
+            ), cnt AS (
+              SELECT m.vec_id,
+                     SUM(CASE WHEN ((o.x - m.x) * m.bx + (o.y - m.y) * m.by)
+                                   + (o.z - m.z) * m.bz > 0
+                              THEN 1 ELSE 0 END) AS hse_up,
+                     SUM(CASE WHEN ((o.x - m.x) * m.bx + (o.y - m.y) * m.by)
+                                   + (o.z - m.z) * m.bz > 0
+                              THEN 0 ELSE 1 END) AS hse_down
+              FROM mid m JOIN r o ON o.vec_id != m.vec_id
+              WHERE sqrt((((o.x - m.x) * (o.x - m.x))
+                          + ((o.y - m.y) * (o.y - m.y)))
+                         + ((o.z - m.z) * (o.z - m.z))) <= 12.0
+              GROUP BY m.vec_id)
+            SELECT CAST(m.vec_id AS BIGINT) AS vec_id,
+                   COALESCE(cnt.hse_up, 0) AS hse_up,
+                   COALESCE(cnt.hse_down, 0) AS hse_down,
+                   ROUND(acos(LEAST(GREATEST(
+                     ((m.bx / sqrt((m.bx * m.bx + m.by * m.by) + m.bz * m.bz)) * m.vx
+                      + (m.by / sqrt((m.bx * m.bx + m.by * m.by) + m.bz * m.bz)) * m.vy
+                      + (m.bz / sqrt((m.bx * m.bx + m.by * m.by) + m.bz * m.bz)) * m.vz)
+                     / (sqrt((m.vx * m.vx + m.vy * m.vy) + m.vz * m.vz) + 1e-300),
+                     -1.0), 1.0)), 6) AS angle
+            FROM mid m LEFT JOIN cnt ON cnt.vec_id = m.vec_id
         """,
         "pca_planted": """
             SELECT CAST(vec_id AS BIGINT) AS vec_id,
