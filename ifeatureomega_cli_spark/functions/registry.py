@@ -557,13 +557,36 @@ _register_a2("ZScale", "protein",
 _register_a2("BLOSUM62", "protein",
              lambda cfg, L: [f"blosum62_{i}" for i in range(1, 20 * L + 1)],
              "iFeatureOmegaCLI.py:1364-1408")
-_register_a2("AAIndex", "protein",
-             lambda cfg, L: [f"AAindex_p.{p}.{prop}" for p in range(1, L + 1)
-                             for prop in cfg["aaindex"].split(";")],
-             "iFeatureOmegaCLI.py:1263-1315")
-DESCRIPTORS["protein:AAIndex"].defaults = {
-    "aaindex": "ANDN920101;ARGP820101;ARGP820102;ARGP820103;BEGF750101;BEGF750102;BEGF750103;BHAR880101"
-}
+def _mk_aaindex_positional(cfg, L):
+    """AAIndex (ref :1263-1315) respects the `aaindex` property selection:
+    per-position values of each SELECTED property (gap → 0).  The probed
+    default table only covers the default 8 props, so the kernel gathers
+    the selected rows from the bundled full AAindex matrix (identical
+    values; verified numerically against the reference's data file)."""
+    names_all, vals = LK.aaidx_matrix()
+    sel = []
+    for p in cfg["aaindex"].split(";"):
+        if p not in names_all:  # the reference's .index(p) raises too
+            raise KeyError(f"unknown AAindex accession {p!r}")
+        sel.append(names_all.index(p))
+    table = np.zeros((21, len(sel)))
+    table[:20, :] = vals[sel].T
+
+    def kern(r: Ragged):
+        return K.positional_lookup(r, table)
+
+    return kern
+
+
+register(DescriptorSpec(
+    "AAIndex", "protein",
+    lambda cfg, L: [f"AAindex_p.{p}.{prop}" for p in range(1, L + 1)
+                    for prop in cfg["aaindex"].split(";")],
+    _mk_aaindex_positional, equal_length=True,
+    ref="iFeatureOmegaCLI.py:1263-1315",
+    defaults={"aaindex": "ANDN920101;ARGP820101;ARGP820102;ARGP820103;"
+                         "BEGF750101;BEGF750102;BEGF750103;BHAR880101"},
+))
 _register_a2("OPF_10bit", "protein",
              lambda cfg, L: [f"OPF_p{i}_{lab}" for i in range(1, L + 1) for lab in _OPF10_LABELS],
              "iFeatureOmegaCLI.py:2366-2405")

@@ -28,6 +28,13 @@ VARIANTS = [
     ("CKSAAGP type 1", {"kspace": 4}),
     ("KSCTriad", {"kspace": 2}),
     ("NMBroto", {"nlag": 5, "aaindex": "ANDN920101;ARGP820101"}),
+    ("APAAC", {"lambdaValue": 4, "weight": 0.1}),
+    ("SOCNumber", {"nlag": 5}),
+    ("Moran", {"nlag": 4, "aaindex": "ANDN920101;BHAR880101"}),
+    ("Geary", {"nlag": 5, "aaindex": "ANDN920101;ARGP820101;BEGF750101"}),
+    ("EGAAC", {"sliding_window": 4}),
+    ("AAIndex", {"aaindex": "ANDN920101;ARGP820102"}),
+    ("CC", {"nlag": 2, "aaindex": "ANDN920101;ARGP820101"}),
 ]
 
 
@@ -88,6 +95,9 @@ DNA_VARIANTS = [
     ("Subsequence", {"kmer": 3, "delta": 0.5}),
     ("Subsequence", {"kmer": 2, "delta": 1.0}),
     ("Mismatch", {"kmer": 3, "mismatch": 2}),
+    ("Moran", {"nlag": 4, "Di-DNA-Phychem": "Twist;Roll"}),
+    ("TAC", {"nlag": 2, "Tri-DNA-Phychem": "Dnase I;Bendability (DNAse)"}),
+    ("PCPseDNC", {"lambdaValue": 2, "weight": 0.1, "Di-DNA-Phychem": "Twist;Roll"}),
 ]
 
 
