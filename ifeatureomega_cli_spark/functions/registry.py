@@ -615,9 +615,40 @@ def _dpcp2_names(cfg, L):
     return [f"DPCP2_{p}_pos{i}" for i in range(1, L) for p in props]
 
 
-_register_a2("DPCP type2", "dna", _dpcp2_names,
-             "iFeatureOmegaCLI.py:5042-5092", grams=2, prop_major=True)
-DESCRIPTORS["dna:DPCP type2"].defaults = {"Di-DNA-Phychem": _DI_DNA_DEFAULT}
+def _mk_pcp2_dna(fname: str, cfg_key: str, grams: int):
+    """DPCP/TPCP type2 kernels that HONOR the property selection (ref
+    :5042-5092 / :5150-5196 iterate the user's property_name list) — the
+    round-3 registry arity audit caught the previous probed-table version
+    ignoring the cfg like the AAIndex bug.  Gap-containing k-grams → 0."""
+
+    def mk(cfg, L):
+        _, v = _phyche(fname, cfg[cfg_key].split(";"))
+        table = v.T  # (4^grams, P)
+
+        def kern(r: Ragged):
+            m = r.to_matrix()
+            W = m.shape[1] - grams + 1
+            ids = np.zeros((m.shape[0], W), dtype=np.int64)
+            ok = np.ones_like(ids, dtype=bool)
+            for j in range(grams):
+                t = m[:, j: W + j]
+                ok &= t < 4
+                ids = ids * 4 + np.where(t < 4, t, 0)
+            g = table[ids]
+            g = np.where(ok[..., None], g, 0.0)
+            return g.transpose(0, 2, 1).reshape(m.shape[0], -1)  # prop-major
+
+        return kern
+
+    return mk
+
+
+register(DescriptorSpec(
+    "DPCP type2", "dna", _dpcp2_names,
+    _mk_pcp2_dna("didnaPhyche", "Di-DNA-Phychem", 2), equal_length=True,
+    defaults={"Di-DNA-Phychem": _DI_DNA_DEFAULT},
+    ref="iFeatureOmegaCLI.py:5042-5092",
+))
 
 
 def _tpcp2_names(cfg, L):
@@ -625,9 +656,12 @@ def _tpcp2_names(cfg, L):
     return [f"TPCP2_{p}_pos{i}" for i in range(1, L - 1) for p in props]
 
 
-_register_a2("TPCP type2", "dna", _tpcp2_names,
-             "iFeatureOmegaCLI.py:5150-5196", grams=3, prop_major=True)
-DESCRIPTORS["dna:TPCP type2"].defaults = {"Tri-DNA-Phychem": "Dnase I;Bendability (DNAse)"}
+register(DescriptorSpec(
+    "TPCP type2", "dna", _tpcp2_names,
+    _mk_pcp2_dna("tridnaPhyche", "Tri-DNA-Phychem", 3), equal_length=True,
+    defaults={"Tri-DNA-Phychem": "Dnase I;Bendability (DNAse)"},
+    ref="iFeatureOmegaCLI.py:5150-5196",
+))
 
 
 def _register_ps(k: int):

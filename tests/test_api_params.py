@@ -98,6 +98,8 @@ DNA_VARIANTS = [
     ("Moran", {"nlag": 4, "Di-DNA-Phychem": "Twist;Roll"}),
     ("TAC", {"nlag": 2, "Tri-DNA-Phychem": "Dnase I;Bendability (DNAse)"}),
     ("PCPseDNC", {"lambdaValue": 2, "weight": 0.1, "Di-DNA-Phychem": "Twist;Roll"}),
+    ("DPCP type2", {"Di-DNA-Phychem": "Twist;Roll"}),
+    ("TPCP type2", {"Tri-DNA-Phychem": "Dnase I"}),
 ]
 
 
