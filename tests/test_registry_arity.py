@@ -81,3 +81,55 @@ def test_default_names_width_matches_kernel_width(key):
     names = spec.names(None, L)
     out = spec.kernel(None, L)(r)
     assert out.shape == (r.n, len(names)), key
+
+
+def test_value_sensitivity_of_parameters():
+    """Bumping a parameter should CHANGE the kernel output (the
+    width-preserving flavour of the AAIndex bug).  Exactly two families are
+    legitimately insensitive, both matching the reference:
+
+    * Subsequence `delta` default is 0.0 — the ×1.5 bump is a no-op on 0,
+      so the probe compares identical configs (δ>0 paths are value-pinned
+      by the δ=0.5/1.0 reference goldens);
+    * PseKRAAC `lambdaValue` under the DEFAULT g-gap model is unused — the
+      reference only reads it under lambda-correlation (value-pinned by the
+      type-2 lambda-correlation golden).
+    """
+    rng = np.random.RandomState(0)
+    allowed = {("dna:Subsequence", "delta"), ("rna:Subsequence", "delta")}
+    allowed |= {(k, "lambdaValue") for k in DESCRIPTORS
+                if k.startswith("protein:PseKRAAC")}
+
+    def variants(d):
+        for k, v in d.items():
+            if isinstance(v, bool):
+                continue
+            if isinstance(v, int):
+                yield k, {**d, k: v + 1}
+            elif isinstance(v, float):
+                yield k, {**d, k: round(v * 1.5, 6)}
+            elif isinstance(v, str) and ";" in v and len(v.split(";")) > 2:
+                yield k, {**d, k: ";".join(v.split(";")[:2])}
+
+    insensitive = set()
+    for key, spec in sorted(DESCRIPTORS.items()):
+        if not spec.defaults:
+            continue
+        L = L_BY_TYPE[spec.seq_type]
+        r = Ragged.from_arrays(
+            [rng.randint(0, VOCAB[spec.seq_type], size=L).astype(np.int64)
+             for _ in range(24)])
+        try:
+            base = spec.kernel(None, L)(r)
+        except Exception:
+            continue
+        for param, cfg in variants(spec.defaults):
+            try:
+                out = spec.kernel(cfg, L)(r)
+            except Exception:
+                continue
+            if out.shape == base.shape and np.allclose(out, base,
+                                                       equal_nan=True):
+                insensitive.add((key, param))
+    unexpected = insensitive - allowed
+    assert not unexpected, f"parameters silently ignored: {sorted(unexpected)}"
