@@ -614,6 +614,77 @@ def q_dbscan_planted(spark, sf_dir):
     return canon
 
 
+def _planted_blob_features(spark, sf_dir):
+    """3 planted blobs (centers 60 apart on all three dims, intra-blob
+    σ≈0.125) — deterministic ground truth blob = vec_id % 3; shared by the
+    planted clusterer oracles."""
+    emb = _emb(spark, sf_dir)
+    blob = (F.col("vec_id") % 3).cast("double") * 60
+    return emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.array(
+            blob + F.element_at("embedding", 1).cast("double"),
+            blob + F.element_at("embedding", 2).cast("double"),
+            blob + F.element_at("embedding", 3).cast("double"),
+        ).alias("features"))
+
+
+def _canon_clusters(out):
+    """Relabel clusters by each cluster's min doc_id → comparable to the
+    analytic ground truth regardless of the fitter's arbitrary label ids."""
+    from pyspark.sql.window import Window
+
+    w = F.min("doc_id").over(Window.partitionBy("cluster"))
+    return out.withColumn("cmin", w).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cmin").cast("long").alias("canon_cluster"))
+
+
+def q_kmeans_planted(spark, sf_dir):
+    """pyspark.ml KMeans on planted blobs: the recovered partition must be
+    exactly the analytic one (oracle: vec_id % 3 after min-id relabel)."""
+    from ifeatureomega_cli_spark.analysis import kmeans
+
+    return _canon_clusters(kmeans(_planted_blob_features(spark, sf_dir), 3))
+
+
+def q_agglomerative_planted(spark, sf_dir):
+    """Ward-linkage sample-fit + distributed 1-NN assign on planted blobs."""
+    from ifeatureomega_cli_spark.analysis import agglomerative
+
+    return _canon_clusters(agglomerative(
+        _planted_blob_features(spark, sf_dir), n_clusters=3, max_rows=512))
+
+
+def q_spectral_planted(spark, sf_dir):
+    """Normalized-Laplacian spectral clustering on planted blobs."""
+    from ifeatureomega_cli_spark.analysis import spectral
+
+    return _canon_clusters(spectral(
+        _planted_blob_features(spark, sf_dir), n_clusters=3, max_rows=512))
+
+
+def q_scd2_enrich(spark, sf_dir):
+    """SCD2 point-in-time enrichment (the streaming enricher's join shape,
+    run in batch) vs DuckDB's independent ASOF JOIN — verifies the interval
+    reshape + range join reproduce as-of semantics."""
+    from ifeatureomega_cli_spark.streaming.enrich import (
+        streaming_asof_enrich, to_scd2)
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "value")
+                 .dropDuplicates(["user_id", "ts"]))
+    scd2 = to_scd2(purchases, on="user_id", ts="ts")
+    out = streaming_asof_enrich(clicks, scd2, on="user_id", ts="ts")
+    return out.select(
+        "event_id", "user_id", _tss(F.col("ts")).alias("ts"),
+        _tss(F.col("matched_ts")).alias("matched_ts"),
+        _r(F.col("value")).alias("purchase_value"))
+
+
 def q_pca_planted(spark, sf_dir):
     """PCA oracle on an analytically rank-1 feature matrix: features =
     [v, 2v, const] → the top principal axis is exactly ±[1,2,0]/√5, so
@@ -801,6 +872,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "struct_shell_aac": q_struct_shell_aac,
         "struct_network": q_struct_network,
         "struct_hse": q_struct_hse,
+        "kmeans_planted": q_kmeans_planted,
+        "agglomerative_planted": q_agglomerative_planted,
+        "spectral_planted": q_spectral_planted,
+        "scd2_enrich": q_scd2_enrich,
         "impute_mean": q_impute_mean,
         "zscore_norm": q_zscore_norm,
         "minmax_norm": q_minmax_norm,
@@ -913,6 +988,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(vec_id AS BIGINT) AS doc_id,
                    CAST(vec_id % 3 AS BIGINT) AS canon_cluster
             FROM embeddings
+        """,
+        "kmeans_planted": """
+            SELECT CAST(vec_id AS BIGINT) AS doc_id,
+                   CAST(vec_id % 3 AS BIGINT) AS canon_cluster
+            FROM embeddings
+        """,
+        "agglomerative_planted": """
+            SELECT CAST(vec_id AS BIGINT) AS doc_id,
+                   CAST(vec_id % 3 AS BIGINT) AS canon_cluster
+            FROM embeddings
+        """,
+        "spectral_planted": """
+            SELECT CAST(vec_id AS BIGINT) AS doc_id,
+                   CAST(vec_id % 3 AS BIGINT) AS canon_cluster
+            FROM embeddings
+        """,
+        "scd2_enrich": """
+            SELECT l.event_id, l.user_id,
+                   strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS matched_ts,
+                   ROUND(r.value, 6) AS purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') l
+            ASOF LEFT JOIN (
+              SELECT DISTINCT ON (user_id, ts) user_id, ts, value
+              FROM events WHERE event_type='purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "struct_shell_aac": """
             WITH res AS (
