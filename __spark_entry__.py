@@ -685,6 +685,34 @@ def q_scd2_enrich(spark, sf_dir):
         _r(F.col("value")).alias("purchase_value"))
 
 
+def q_ivf_planted(spark, sf_dir):
+    """End-to-end IVF oracle: blobs planted along the three coordinate AXES
+    (cosine-separable by construction), analytic unit-basis centroids →
+    cell = blob = vec_id % 3, so assign + probe + exact verify are all
+    SQL-derivable.  n_probe=1 exercises the pruning honestly: the oracle
+    searches ONLY the query's own blob."""
+    import numpy as np
+
+    from ifeatureomega_cli_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    e = lambda i: F.element_at("embedding", i).cast("double")  # noqa: E731
+    axis = lambda r: F.when(F.col("vec_id") % 3 == r, F.lit(60.0)).otherwise(F.lit(0.0))  # noqa: E731
+    corpus = emb.select(
+        "vec_id",
+        F.array(axis(0) + e(1), axis(1) + e(2), axis(2) + e(3)).alias("embedding"))
+    cents = np.eye(3)
+    assigned = ivf_assign(corpus, cents)
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(assigned, queries, cents, k=10, n_probe=1)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _r(F.col("cosine"), 5).alias("cosine_r"),
+        F.col("rk").cast("int").alias("rk"))
+
+
 def q_pca_planted(spark, sf_dir):
     """PCA oracle on an analytically rank-1 feature matrix: features =
     [v, 2v, const] → the top principal axis is exactly ±[1,2,0]/√5, so
@@ -876,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agglomerative_planted": q_agglomerative_planted,
         "spectral_planted": q_spectral_planted,
         "scd2_enrich": q_scd2_enrich,
+        "ivf_planted": q_ivf_planted,
         "impute_mean": q_impute_mean,
         "zscore_norm": q_zscore_norm,
         "minmax_norm": q_minmax_norm,
@@ -1003,6 +1032,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(vec_id AS BIGINT) AS doc_id,
                    CAST(vec_id % 3 AS BIGINT) AS canon_cluster
             FROM embeddings
+        """,
+        "ivf_planted": """
+            WITH c AS (
+              SELECT vec_id, CAST(vec_id % 3 AS INTEGER) AS blob,
+                     [CASE WHEN vec_id % 3 = 0 THEN 60.0 ELSE 0.0 END + embedding[1]::DOUBLE,
+                      CASE WHEN vec_id % 3 = 1 THEN 60.0 ELSE 0.0 END + embedding[2]::DOUBLE,
+                      CASE WHEN vec_id % 3 = 2 THEN 60.0 ELSE 0.0 END + embedding[3]::DOUBLE] AS v
+              FROM embeddings)
+            SELECT query_id, vec_id, cosine_r, CAST(rk AS INTEGER) AS rk
+            FROM (
+              SELECT q.vec_id AS query_id, t.vec_id AS vec_id,
+                     ROUND(list_cosine_similarity(q.v, t.v), 5) AS cosine_r,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v, t.v) DESC,
+                                t.vec_id ASC) AS rk
+              FROM (SELECT * FROM c WHERE vec_id < 5) q
+              JOIN c t ON t.blob = q.blob)
+            WHERE rk <= 10
         """,
         "scd2_enrich": """
             SELECT l.event_id, l.user_id,
