@@ -136,3 +136,39 @@ def test_brute_force_topk_scan_pruned(spark):
     for schema in m:
         cols = {c.split(":")[0] for c in schema.split(",") if ":" in c}
         assert cols <= {"vec_id", "embedding"}, cols
+
+
+def test_scd2_enrich_is_keyed_join_not_cartesian(spark):
+    """The SCD2 range join must compile to an equi-join on the entity key
+    (hash or sort-merge, broadcastable) with the interval bounds as
+    residual conditions — a regression to BroadcastNestedLoop/Cartesian
+    would be O(rows × versions) at scale."""
+    from ifeatureomega_cli_spark.streaming.enrich import (
+        streaming_asof_enrich, to_scd2)
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "value")
+             .dropDuplicates(["user_id", "ts"]))
+    plan = _plan(streaming_asof_enrich(
+        clicks, to_scd2(purch, on="user_id", ts="ts"),
+        on="user_id", ts="ts"))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan), plan
+
+
+def test_structure_descriptor_single_group_exchange(spark):
+    """Structure shell composition: one Exchange keyed on pdb_id feeding
+    FlatMapGroupsInPandas — no second shuffle, no collect."""
+    from ifeatureomega_cli_spark.operators.structure import (
+        residue_shell_composition)
+    from ifeatureomega_cli_spark.sources.pdb import read_pdb, residue_table
+
+    res = residue_table(read_pdb(
+        spark, "/root/reference/data_examples/1iir.pdb"))
+    plan = _plan(residue_shell_composition(res, "AAC"))
+    assert _nodes(plan, "FlatMapGroupsInPandas") == 1, plan
+    assert plan.count("hashpartitioning(pdb_id") >= 1, plan
