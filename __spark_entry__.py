@@ -664,6 +664,27 @@ def q_spectral_planted(spark, sf_dir):
         _planted_blob_features(spark, sf_dir), n_clusters=3, max_rows=512))
 
 
+def q_bisecting_planted(spark, sf_dir):
+    """BisectingKMeans (the reference's MiniBatchKMeans stand-in) on
+    planted blobs.  (GMM/hcluster/MCL probed and excluded: GMM's soft
+    boundaries misassign occasional points, hcluster's inconsistency cut
+    legitimately fragments equal-height tight blobs, MCL's corrcoef graph
+    degenerates on 3-dim rows — their semantics stay ARI-pinned in
+    pytest.)"""
+    from ifeatureomega_cli_spark.analysis import minibatch_kmeans
+
+    return _canon_clusters(minibatch_kmeans(
+        _planted_blob_features(spark, sf_dir), 3))
+
+
+def q_meanshift_planted(spark, sf_dir):
+    """MeanShift (estimate_bandwidth + bin seeding) on planted blobs."""
+    from ifeatureomega_cli_spark.analysis import meanshift
+
+    return _canon_clusters(meanshift(
+        _planted_blob_features(spark, sf_dir), max_rows=512))
+
+
 def q_scd2_enrich(spark, sf_dir):
     """SCD2 point-in-time enrichment (the streaming enricher's join shape,
     run in batch) vs DuckDB's independent ASOF JOIN — verifies the interval
@@ -903,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_planted": q_kmeans_planted,
         "agglomerative_planted": q_agglomerative_planted,
         "spectral_planted": q_spectral_planted,
+        "bisecting_planted": q_bisecting_planted,
+        "meanshift_planted": q_meanshift_planted,
         "scd2_enrich": q_scd2_enrich,
         "ivf_planted": q_ivf_planted,
         "impute_mean": q_impute_mean,
@@ -1029,6 +1052,16 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "spectral_planted": """
+            SELECT CAST(vec_id AS BIGINT) AS doc_id,
+                   CAST(vec_id % 3 AS BIGINT) AS canon_cluster
+            FROM embeddings
+        """,
+        "bisecting_planted": """
+            SELECT CAST(vec_id AS BIGINT) AS doc_id,
+                   CAST(vec_id % 3 AS BIGINT) AS canon_cluster
+            FROM embeddings
+        """,
+        "meanshift_planted": """
             SELECT CAST(vec_id AS BIGINT) AS doc_id,
                    CAST(vec_id % 3 AS BIGINT) AS canon_cluster
             FROM embeddings
