@@ -695,9 +695,10 @@ def q_scd2_enrich(spark, sf_dir):
     ev = _events(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts")
+    # deterministic equal-ts collapse (max value) so the oracle's pick is
+    # identical by construction, not by dataset luck
     purchases = (ev.filter(F.col("event_type") == "purchase")
-                 .select("user_id", "ts", "value")
-                 .dropDuplicates(["user_id", "ts"]))
+                 .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
     scd2 = to_scd2(purchases, on="user_id", ts="ts")
     out = streaming_asof_enrich(clicks, scd2, on="user_id", ts="ts")
     return out.select(
@@ -1091,8 +1092,9 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(r.value, 6) AS purchase_value
             FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') l
             ASOF LEFT JOIN (
-              SELECT DISTINCT ON (user_id, ts) user_id, ts, value
-              FROM events WHERE event_type='purchase') r
+              SELECT user_id, ts, MAX(value) AS value
+              FROM events WHERE event_type='purchase'
+              GROUP BY user_id, ts) r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "struct_shell_aac": """

@@ -313,14 +313,17 @@ class StructureDataset:
     def __init__(self, spark: SparkSession, source: str | DataFrame):
         from ifeatureomega_cli_spark.sources.pdb import read_pdb, read_pdb_dir
 
+        import os as _os
+
         self.spark = spark
         if isinstance(source, DataFrame):
             self.atoms = source
-        elif any(ch in str(source) for ch in "*?[") or not str(
-                source).lower().endswith((".pdb", ".cif")):
-            self.atoms = read_pdb_dir(spark, str(source))
-        else:
+        elif _os.path.isfile(str(source)):
+            # any single existing file parses directly (.pdb/.ent fixed
+            # width, .cif by extension) — never silently filtered away
             self.atoms = read_pdb(spark, str(source))
+        else:
+            self.atoms = read_pdb_dir(spark, str(source))
         self.encodings: DataFrame | None = None
         self.error_msg: str | None = None
         self._params: dict[str, dict] = {}
@@ -369,6 +372,7 @@ class StructureDataset:
             raise KeyError(
                 f"unknown structure descriptor {name!r}; known: {self._TYPES}")
         self.encodings = out
+        self._last = (name, dict(cfg))  # so to_csv names match this run
         return out
 
     def feature_names(self, name: str, params: dict | None = None) -> list[str]:
@@ -388,12 +392,19 @@ class StructureDataset:
                     "clustering_coefficient", "closeness", "centrality"]
         raise KeyError(name)
 
-    def to_csv(self, path: str, name: str | None = None) -> None:
+    def to_csv(self, path: str, name: str | None = None,
+               params: dict | None = None) -> None:
+        """Column names come from the LAST get_descriptor call's resolved
+        config by default, so per-call `params` overrides never produce
+        misnamed / null-padded columns; pass name/params explicitly to
+        override."""
         if self.encodings is None:
             raise ValueError("run get_descriptor first")
         cols = self.encodings.columns
         if "features" in cols:
-            names = self.feature_names(name) if name else None
+            if name is None and params is None and getattr(self, "_last", None):
+                name, params = self._last
+            names = self.feature_names(name, params) if name else None
             sinks.write_csv(
                 self.encodings.select(F.col("sample").alias("doc_id"),
                                       "features"), path, names=names)

@@ -569,6 +569,12 @@ def _mk_aaindex_positional(cfg, L):
         if p not in names_all:  # the reference's .index(p) raises too
             raise KeyError(f"unknown AAindex accession {p!r}")
         sel.append(names_all.index(p))
+    if np.isnan(vals[sel]).any():
+        bad = [cfg["aaindex"].split(";")[i] for i, s in enumerate(sel)
+               if np.isnan(vals[s]).any()]
+        # the reference fails on NA-bearing accessions (float('NA') raises
+        # in its row parse); surface that instead of emitting silent NaNs
+        raise ValueError(f"AAindex accession(s) with NA entries: {bad}")
     table = np.zeros((21, len(sel)))
     table[:20, :] = vals[sel].T
 

@@ -209,11 +209,13 @@ def knn_features(
     knn_features_distributed — the tiled all-pairs twin that never
     materializes the training table on the driver.
 
-    `train_sample_fraction` (the approximate mode for training sets where
-    even tiled O(n_query · n_train) pair volume is unaffordable) routes to
-    the distributed twin's sampled estimator — see its docstring for why
-    sampling, not LSH pruning, is the consistent estimator here."""
-    if train_sample_fraction is not None:
+    `train_sample_fraction` ∈ (0, 1) (the approximate mode for training
+    sets where even tiled O(n_query · n_train) pair volume is unaffordable)
+    routes to the distributed twin's sampled estimator — see its docstring
+    for why sampling, not LSH pruning, is the consistent estimator here.
+    None or ≥ 1.0 means exact, keeping the broadcast fast path for small
+    training sets."""
+    if train_sample_fraction is not None and train_sample_fraction < 1.0:
         return knn_features_distributed(
             df, seq_type, tokens_col, label_col, purpose_col, id_col, out_col,
             train_sample_fraction=train_sample_fraction)

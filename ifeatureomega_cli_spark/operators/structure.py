@@ -131,15 +131,21 @@ def residue_shell_composition(
             classes = np.array([aa_index[a] for a in aas], dtype=np.int64)
         else:
             classes = np.array([AA_GROUPS[a] for a in aas], dtype=np.int64)
-        D = _pairdist(X)
+        # icode'd residues are distance SOURCES but not targets — the
+        # reference's model[chain][resseq] int-key lookup skips them
+        # (sources/pdb.residue_table docstring)
+        is_t = (pdf["icode"].fillna("") == "").to_numpy() \
+            if "icode" in pdf.columns else np.ones(len(pdf), dtype=bool)
+        D = _pairdist(X[is_t], X)
         feats = _shell_comp(D, classes, n_classes, starts, step,
                             cumulative, count_all_rows=True)
+        t = pdf[is_t]
         return pd.DataFrame({
-            "pdb_id": pdf["pdb_id"].to_numpy(),
-            "chain": pdf["chain"].to_numpy(),
-            "resseq": pdf["resseq"].to_numpy(),
-            "sample": (pdf["chain"].astype(str) + "_" + pdf["resname"]
-                       + "_" + pdf["resseq"].astype(str)).to_numpy(),
+            "pdb_id": t["pdb_id"].to_numpy(),
+            "chain": t["chain"].to_numpy(),
+            "resseq": t["resseq"].to_numpy(),
+            "sample": (t["chain"].astype(str) + "_" + t["resname"]
+                       + "_" + t["resseq"].astype(str)).to_numpy(),
             "features": list(feats),
         })
 
@@ -231,18 +237,24 @@ def network_metrics(residues: DataFrame, cutoff: float = 11.0) -> DataFrame:
         v = V[:, int(np.argmax(w))]
         v = v * np.sign(v[np.argmax(np.abs(v))] or 1.0)
         eig = dict(enumerate(v / (np.linalg.norm(v) + 1e-300)))
+        # icode'd residues are graph NODES but not output targets (see
+        # residue_table docstring)
+        is_t = (pdf["icode"].fillna("") == "").to_numpy() \
+            if "icode" in pdf.columns else np.ones(n, dtype=bool)
+        idx = np.nonzero(is_t)[0]
+        t = pdf[is_t]
         return pd.DataFrame({
-            "pdb_id": pdf["pdb_id"].to_numpy(),
-            "chain": pdf["chain"].to_numpy(),
-            "resseq": pdf["resseq"].to_numpy(),
-            "sample": (pdf["resname"] + "_" + pdf["chain"].astype(str)
-                       + pdf["resseq"].astype(str)).to_numpy(),
-            "degree": [G.degree(i) for i in range(n)],
-            "degree_centrality": [deg_c[i] for i in range(n)],
-            "betweenness": [btw[i] for i in range(n)],
-            "clustering_coefficient": [clus[i] for i in range(n)],
-            "closeness": [close[i] for i in range(n)],
-            "centrality": [eig[i] for i in range(n)],
+            "pdb_id": t["pdb_id"].to_numpy(),
+            "chain": t["chain"].to_numpy(),
+            "resseq": t["resseq"].to_numpy(),
+            "sample": (t["resname"] + "_" + t["chain"].astype(str)
+                       + t["resseq"].astype(str)).to_numpy(),
+            "degree": [G.degree(int(i)) for i in idx],
+            "degree_centrality": [deg_c[int(i)] for i in idx],
+            "betweenness": [btw[int(i)] for i in idx],
+            "clustering_coefficient": [clus[int(i)] for i in idx],
+            "closeness": [close[int(i)] for i in idx],
+            "centrality": [eig[int(i)] for i in idx],
         })
 
     return residues.groupBy("pdb_id").applyInPandas(
@@ -295,23 +307,30 @@ def hse(atoms: DataFrame, kind: str = "CA", radius: float = 12.0) -> DataFrame:
                          ca.iloc[0][["x", "y", "z"]].to_numpy(dtype=np.float64),
                          cb.iloc[0][["x", "y", "z"]].to_numpy(dtype=np.float64)
                          if len(cb) else None,
-                         ca.iloc[0]["pdb_id"]))
+                         ca.iloc[0]["pdb_id"],
+                         (icode or "")))
         if not rows:
             return pd.DataFrame(columns=["pdb_id", "chain", "resseq",
                                          "sample", "hse_up", "hse_down",
                                          "angle"])
-        chains = np.array([r[0] for r in rows])
-        resseqs = np.array([r[1] for r in rows])
+        # every CA (incl. insertion-code residues) counts as a sphere
+        # neighbor; targets and backbone-neighbor lookups use only
+        # icode == '' residues so 100 vs 100A never alias (groupby above
+        # is sorted, so icode '' precedes 'A' — r[6] below is the icode)
         CA = np.stack([r[3] for r in rows])
+        main = [r for r in rows if r[6] == ""]
+        chains = np.array([r[0] for r in main])
+        resseqs = np.array([r[1] for r in main])
+        CA_main = np.stack([r[3] for r in main]) if main else CA[:0]
         out = []
-        for i, (chain, resseq, resname, ca_i, cb_i, pdb_id) in enumerate(rows):
+        for i, (chain, resseq, resname, ca_i, cb_i, pdb_id, _ic) in enumerate(main):
             # pseudo-CB from backbone neighbors at sequence distance 1
             prev = np.nonzero((chains == chain) & (resseqs == resseq - 1))[0]
             nxt = np.nonzero((chains == chain) & (resseqs == resseq + 1))[0]
             u_pseudo = None
             if len(prev) and len(nxt):
-                d1 = CA[prev[0]] - ca_i
-                d2 = CA[nxt[0]] - ca_i
+                d1 = CA_main[prev[0]] - ca_i
+                d2 = CA_main[nxt[0]] - ca_i
                 d1 = d1 / np.linalg.norm(d1)
                 d2 = d2 / np.linalg.norm(d2)
                 b = -(d1 + d2)

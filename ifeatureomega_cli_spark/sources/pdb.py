@@ -113,10 +113,12 @@ def parse_cif_text(text: str, pdb_id: str) -> pd.DataFrame:
             in_loop_header, in_data = False, True  # first data row
         elif not in_data:
             continue
+        if s.startswith(("_", "data_")):
+            break  # a new section ends the atom_site loop
         toks = [t[1:-1] if t[0] in "'\"" else t
                 for t in _CIF_TOKEN.findall(s)]
         if len(toks) != len(tags):
-            break
+            continue  # malformed/wrapped row — PERMISSIVE skip, keep parsing
         r = dict(zip(tags, toks))
         model = r.get("pdbx_PDB_model_num", "1")
         if first_model is None:
@@ -178,7 +180,7 @@ def read_pdb_dir(spark: SparkSession, path_glob: str) -> DataFrame:
                 yield pd.concat(out, ignore_index=True)
 
     files = (spark.read.format("binaryFile")
-             .option("pathGlobFilter", "*.{pdb,cif}").load(path_glob)
+             .option("pathGlobFilter", "*.{pdb,cif,ent}").load(path_glob)
              .select("path", "content"))
     return files.mapInPandas(gen, schema=ATOM_SCHEMA)
 
@@ -196,8 +198,14 @@ def residue_table(atoms: DataFrame) -> DataFrame:
     """One row per standard residue that has a CA or CB atom, with the
     representative side-chain coordinate (CB if present, else CA) — the
     reference's residue selection (ref :9160-9166) and rep-atom rule
-    (:9180, :9669).  Output: (pdb_id, chain, resseq, resname, aa, x, y, z).
-    """
+    (:9180, :9669).  Output: (pdb_id, chain, resseq, icode, resname, aa,
+    x, y, z).
+
+    Insertion-code residues (icode ≠ '') are KEPT as rows so they count as
+    distance sources/graph nodes exactly as the reference's residue list
+    does; the reference's target lookup `model[chain][resseq]` uses a bare
+    int key and therefore silently skips icode'd residues as TARGETS —
+    descriptors replicate that by filtering targets to icode == ''."""
     from pyspark.sql import functions as F
 
     res = (atoms.filter((F.col("hetflag") == " ")
@@ -210,5 +218,5 @@ def residue_table(atoms: DataFrame) -> DataFrame:
     aa_map = F.create_map(*[F.lit(v) for kv in AA_3TO1.items() for v in kv])
     return (res.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") == 1)
-            .select("pdb_id", "chain", "resseq", "resname",
+            .select("pdb_id", "chain", "resseq", "icode", "resname",
                     aa_map[F.col("resname")].alias("aa"), "x", "y", "z"))

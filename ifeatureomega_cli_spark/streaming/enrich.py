@@ -36,12 +36,12 @@ def to_scd2(
     last-ignorenulls picks the final right row at equal ts)."""
     value_cols = value_cols or [c for c in right.columns if c not in (on, ts)]
     w = Window.partitionBy(on).orderBy(ts)
-    # collapse equal-ts versions to the last one, as the batch join sees it
+    # collapse equal-ts versions deterministically (last by value order)
     dedup = (right
              .withColumn("__rn", F.row_number().over(
-                 Window.partitionBy(on, ts).orderBy(*[F.col(c) for c in value_cols])))
-             .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(on, ts)))
-             .filter(F.col("__rn") == F.col("__n")).drop("__rn", "__n"))
+                 Window.partitionBy(on, ts).orderBy(
+                     *[F.col(c).desc() for c in value_cols])))
+             .filter(F.col("__rn") == 1).drop("__rn"))
     return dedup.select(
         F.col(on), F.col(ts).alias("valid_from"),
         F.lead(ts).over(w).alias("valid_to"),

@@ -315,3 +315,97 @@ def test_cif_round_trip_matches_pdb(spark, tmp_path):
     p.write_text("\n".join(lines))
     st = StructureDataset(spark, str(p))
     assert st.get_descriptor("AAC_type1").count() > 100
+
+
+def test_cif_malformed_row_skipped_not_truncated(spark):
+    """A malformed _atom_site data row mid-loop must be skipped, not end
+    the parse (the round-3 review caught a `break` silently truncating the
+    structure)."""
+    from ifeatureomega_cli_spark.sources.pdb import parse_cif_text
+
+    tags = ["group_PDB", "id", "type_symbol", "label_atom_id",
+            "label_alt_id", "label_comp_id", "auth_asym_id", "auth_seq_id",
+            "pdbx_PDB_ins_code", "Cartn_x", "Cartn_y", "Cartn_z",
+            "occupancy", "B_iso_or_equiv", "pdbx_PDB_model_num"]
+    lines = ["data_test", "loop_"] + [f"_atom_site.{t}" for t in tags]
+    row = "ATOM {i} C CA . ALA A {i} . 1.0 2.0 3.0 1.0 0.0 1"
+    lines.append(row.format(i=1))
+    lines.append("ATOM 2 C CA . ALA A 2 .")  # truncated/wrapped row
+    lines.append(row.format(i=3))
+    lines.append("#")
+    out = parse_cif_text("\n".join(lines), "test")
+    assert out["serial"].tolist() == [1, 3]
+    # a new section tag still terminates the loop
+    lines2 = lines[:-2] + ["_cell.length_a 10.0", row.format(i=9)]
+    out2 = parse_cif_text("\n".join(lines2), "test")
+    assert out2["serial"].tolist() == [1]
+
+
+def test_insertion_code_residues_sources_not_targets(spark):
+    """Residues 100 and 100A: 100A counts as a distance source / graph
+    node / HSE sphere neighbour but never emits its own output row (the
+    reference's model[chain][resseq] int-key lookup skips it), and never
+    aliases 100's backbone-neighbour lookup."""
+    from ifeatureomega_cli_spark.operators.structure import (
+        hse, network_metrics, residue_shell_composition)
+    from ifeatureomega_cli_spark.sources.pdb import residue_table
+
+    cols = ("pdb_id string, record string, serial long, atom_name string, "
+            "altloc string, resname string, chain string, resseq long, "
+            "icode string, x double, y double, z double, occupancy double, "
+            "bfactor double, element string, hetflag string")
+    mk = lambda serial, resseq, icode, x, y=0.0: (  # noqa: E731
+        "t", "ATOM", serial, "CA", "", "ALA", "A", resseq, icode,
+        x, y, 0.0, 1.0, 0.0, "C", " ")
+    atoms = spark.createDataFrame([
+        mk(1, 99, "", 0.0),
+        mk(2, 100, "", 4.0, 1.0),  # bent so the pseudo-CB is defined
+        mk(3, 100, "A", 4.5),      # insertion-code residue
+        mk(4, 101, "", 8.0),
+    ], cols)
+    res = residue_table(atoms)
+    assert res.count() == 4  # all four are rows (sources)
+
+    shell = residue_shell_composition(res, "AAC").toPandas()
+    assert len(shell) == 3  # 100A emits no target row
+    assert set(shell["sample"]) == {"A_ALA_99", "A_ALA_100", "A_ALA_101"}
+    # 100A IS counted as a source: residue 99 sees ALA at 4.0 AND 4.5 in
+    # shell [3,5) → freq A = 1.0 with 2 rows in shell; verify via type2
+    # cumulative count at last shell = 4 residues → A fraction 1.0
+    t2 = (residue_shell_composition(res, "AAC", type2=True).toPandas()
+          .set_index("sample"))
+    assert t2.loc["A_ALA_99"]["features"][-20] == 1.0  # shell9, A
+
+    net = network_metrics(res, cutoff=11.0).toPandas()
+    assert len(net) == 3
+    # node degrees include edges to 100A: residue 99 connects to 100,
+    # 100A, 101 → degree 3 (n=4 nodes)
+    assert net.set_index("resseq").loc[99, "degree"] == 3
+
+    out = hse(atoms, kind="CA").toPandas().set_index("resseq")
+    assert list(out.index) == [100]  # only 100 has both main neighbors
+    # 100A at 0.5 Å is inside the 12 Å sphere → 3 neighbors counted
+    assert out.loc[100, "hse_up"] + out.loc[100, "hse_down"] == 3
+
+
+def test_structure_dataset_ent_file_and_missing(spark, tmp_path):
+    """A single .ent file (classic PDB archive extension) parses via the
+    fixed-width path instead of being silently filtered to zero rows."""
+    import shutil
+
+    from ifeatureomega_cli_spark.api import StructureDataset
+
+    p = tmp_path / "pdb1iir.ent"
+    shutil.copy(REF_PDB, p)
+    st = StructureDataset(spark, str(p))
+    assert st.get_descriptor("AAC_type1").count() > 100
+
+
+def test_aaindex_na_accession_raises(spark):
+    """Selecting an AAindex accession with NA cells raises (the reference
+    fails on them too) instead of emitting silent NaNs."""
+    from ifeatureomega_cli_spark.functions.registry import DESCRIPTORS
+
+    spec = DESCRIPTORS["protein:AAIndex"]
+    with pytest.raises(ValueError, match="AVBF000101"):
+        spec.kernel({"aaindex": "ANDN920101;AVBF000101"}, 31)
