@@ -99,11 +99,31 @@ def _pairdist(X: np.ndarray, Y: np.ndarray | None = None) -> np.ndarray:
     return np.sqrt(dx * dx + dy * dy + dz * dz)
 
 
+# target-chunk size for the per-structure distance matrices: memory per
+# chunk ≈ TARGET_CHUNK × n_sources × 8 B (plus the shell mask), so a 50k-atom
+# virus capsid peaks at ~1.6 GB/task instead of the 20 GB a full
+# (targets × sources) matrix would need.  Values are unaffected — each
+# target row's shell counts are independent.
+TARGET_CHUNK = 4096
+
+
+def _chunked_shell_feats(X_t, X_s, classes, n_classes, starts, step,
+                         cumulative, count_all_rows, chunk=TARGET_CHUNK):
+    out = []
+    for lo in range(0, len(X_t), chunk):
+        D = _pairdist(X_t[lo: lo + chunk], X_s)
+        out.append(_shell_comp(D, classes, n_classes, starts, step,
+                               cumulative, count_all_rows))
+    return np.concatenate(out, axis=0) if out else np.zeros(
+        (0, len(starts) * n_classes))
+
+
 def residue_shell_composition(
     residues: DataFrame,
     kind: str = "AAC",
     type2: bool = False,
     shell: tuple[int, int, int] = (3, 20, 2),
+    target_chunk: int = TARGET_CHUNK,
 ) -> DataFrame:
     """AAC/GAAC_type1/2 (ref :9333-9444): for every residue, the AA (or
     group) composition of residues whose representative atom (CB else CA)
@@ -136,9 +156,9 @@ def residue_shell_composition(
         # (sources/pdb.residue_table docstring)
         is_t = (pdf["icode"].fillna("") == "").to_numpy() \
             if "icode" in pdf.columns else np.ones(len(pdf), dtype=bool)
-        D = _pairdist(X[is_t], X)
-        feats = _shell_comp(D, classes, n_classes, starts, step,
-                            cumulative, count_all_rows=True)
+        feats = _chunked_shell_feats(X[is_t], X, classes, n_classes, starts,
+                                     step, cumulative, count_all_rows=True,
+                                     chunk=target_chunk)
         t = pdf[is_t]
         return pd.DataFrame({
             "pdb_id": t["pdb_id"].to_numpy(),
@@ -159,6 +179,7 @@ def atom_shell_composition(
     atoms: DataFrame,
     type2: bool = False,
     shell: tuple[int, int, int] = (1, 10, 1),
+    target_chunk: int = TARGET_CHUNK,
 ) -> DataFrame:
     """AC_type1/2 (ref :9245-9284, :9577-9632): for every CA-named atom,
     the C/N/O/S element composition of non-water atoms per distance shell.
@@ -180,9 +201,9 @@ def atom_shell_composition(
         if not is_target.any():
             return pd.DataFrame(columns=["pdb_id", "chain", "serial",
                                          "sample", "features"])
-        D = _pairdist(X[is_target], X)
-        feats = _shell_comp(D, classes, 4, starts, step, type2,
-                            count_all_rows=False)
+        feats = _chunked_shell_feats(X[is_target], X, classes, 4, starts,
+                                     step, type2, count_all_rows=False,
+                                     chunk=target_chunk)
         t = pdf[is_target]
         return pd.DataFrame({
             "pdb_id": t["pdb_id"].to_numpy(),
