@@ -204,7 +204,13 @@ def _ivf_topk_distributed(
     one vectorized Arrow pass scores each pair.  Carrying the query vector on
     the probe rows doubles vector bytes through the join relative to a
     re-join on query_id afterwards, but saves that second shuffle — the
-    right trade while n_probe is small."""
+    right trade while n_probe is small.
+
+    Scale note: the join key is `cell`, so shuffle parallelism is bounded
+    by n_cells and popular cells skew their reducers — size n_cells ABOVE
+    the cluster's target parallelism (the standard IVF sizing rule,
+    n_cells ≈ √corpus, does this naturally) and keep AQE skew-join on
+    (session default) so oversized cells are split at runtime."""
     C = centroids
 
     def probe_gen(batches):

@@ -308,7 +308,12 @@ def hse(atoms: DataFrame, kind: str = "CA", radius: float = 12.0) -> DataFrame:
     Bio.PDB is not importable in this container, so parity with its exact
     output is asserted by construction properties (up+down = neighbor
     count; synthetic geometries with hand-computable splits) rather than a
-    golden diff — see tests/test_structure.py."""
+    golden diff — see tests/test_structure.py.
+
+    Scale note: the per-residue Python loop is O(n) numpy work per target
+    (O(n²) per structure) — fine through multi-thousand-residue proteins;
+    for mega-structures batch the targets like _chunked_shell_feats if it
+    ever shows up in profiles."""
     if kind not in ("CA", "CB"):
         raise ValueError("kind must be CA or CB")
 
