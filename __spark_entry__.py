@@ -431,13 +431,62 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    """Rolling-hash document fingerprints (rows-only: xxhash64 ≠ DuckDB hash)."""
+    """Rolling-hash document fingerprints, md5 digest variant — md5 is
+    engine-portable, so the DuckDB oracle recomputes the winnowing min
+    digest value-for-value (the xxhash64 default is the perf path; the
+    plan shape is identical)."""
     from ifeatureomega_cli_spark.operators.textstats import fingerprint
 
-    out = fingerprint(_docs(spark, sf_dir))
+    out = fingerprint(_docs(spark, sf_dir), digest="md5")
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"), "fingerprint",
         F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
+def _planted_clone_docs(spark, sf_dir):
+    """Deterministic dedup fixture derived only from doc_id: every doc gets
+    12 words unique to it (cross-doc shingle sets disjoint → est. Jaccard
+    0), and every doc_id % 10 == 0 gets an exact clone at doc_id + 1000000
+    (identical text → identical minhash/simhash signature).  The true
+    near-dup pair set is therefore analytic."""
+    base = _docs(spark, sf_dir).select("doc_id")
+    text = F.concat_ws(" ", *[
+        F.concat(F.lit("w"), F.col("doc_id").cast("string"), F.lit(f"x{j}"))
+        for j in range(12)])
+    base = base.select("doc_id", text.alias("text"))
+    clones = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return base.unionByName(clones)
+
+
+def q_minhash_planted(spark, sf_dir):
+    """End-to-end MinHash-LSH oracle on the planted-clone corpus: the full
+    shingle → minhash → band-bucket → verify pipeline must output exactly
+    the planted clone pairs with est_jaccard 1.0 (identical docs agree on
+    all 64 hashes; disjoint docs share no shingle, so no band can ever
+    reach the 0.8 signature-agreement threshold)."""
+    from ifeatureomega_cli_spark.operators.dedup import minhash_dedup
+
+    out = minhash_dedup(_planted_clone_docs(spark, sf_dir),
+                        threshold=0.8, bands=8)
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        _r(F.col("est_jaccard")).alias("est_jaccard"),
+    )
+
+
+def q_simhash_planted(spark, sf_dir):
+    """End-to-end SimHash oracle on the planted-clone corpus: clone pairs
+    have identical 64-bit simhashes (Hamming 0); disjoint-vocabulary docs
+    sit ~32 bits apart, unreachable at max_hamming=3."""
+    from ifeatureomega_cli_spark.operators.dedup import simhash_dup_pairs
+
+    out = simhash_dup_pairs(_planted_clone_docs(spark, sf_dir),
+                            max_hamming=3)
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        F.col("hamming").cast("int").alias("hamming"),
     )
 
 
@@ -802,6 +851,44 @@ def q_struct_shell_aac(spark, sf_dir):
         _r(F.col("freq")).alias("freq"))
 
 
+def q_struct_ss8(spark, sf_dir):
+    """SS8_type1 shell composition (ref :9445-9476) on the pseudo-structure
+    with deterministic DSSP letters (vec_id % 8 indexes the 8-state
+    alphabet); the DuckDB oracle recomputes the shell tallies in SQL."""
+    from ifeatureomega_cli_spark.operators.structure import (
+        SS8_STATES, residue_shell_composition)
+
+    ss_arr = F.array(*[F.lit(s) for s in SS8_STATES])
+    res = _synthetic_residues(spark, sf_dir).withColumn(
+        "ss", ss_arr[(F.col("resseq") % 8).cast("int")])
+    out = residue_shell_composition(res, "SS8", ss_col="ss")
+    return out.select(
+        F.col("resseq").cast("long").alias("vec_id"),
+        F.posexplode(F.col("features")).alias("pos", "freq"),
+    ).filter(F.col("freq") > 0).select(
+        "vec_id", F.col("pos").cast("int").alias("pos"),
+        _r(F.col("freq")).alias("freq"))
+
+
+def q_struct_ss3(spark, sf_dir):
+    """SS3_type1 (ref :9511-9543) on the same letters — exercises the
+    reference's 8-letter-dict quirk end-to-end: T/S/- residues collapse to
+    'C', which has no tally slot, so they feed shell denominators only."""
+    from ifeatureomega_cli_spark.operators.structure import (
+        SS8_STATES, residue_shell_composition)
+
+    ss_arr = F.array(*[F.lit(s) for s in SS8_STATES])
+    res = _synthetic_residues(spark, sf_dir).withColumn(
+        "ss", ss_arr[(F.col("resseq") % 8).cast("int")])
+    out = residue_shell_composition(res, "SS3", ss_col="ss")
+    return out.select(
+        F.col("resseq").cast("long").alias("vec_id"),
+        F.posexplode(F.col("features")).alias("pos", "freq"),
+    ).filter(F.col("freq") > 0).select(
+        "vec_id", F.col("pos").cast("int").alias("pos"),
+        _r(F.col("freq")).alias("freq"))
+
+
 def q_struct_network(spark, sf_dir):
     """Structure contact-network degree/centrality/clustering (ref
     :9633-9690) on the same pseudo-structure; betweenness/closeness/
@@ -912,7 +999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_bigram": q_char_bigram,
         "char_group_comp": q_char_group_comp,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_planted": q_minhash_planted,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_planted": q_simhash_planted,
         "fingerprint": q_fingerprint,
         "ivf_topk": q_ivf_topk,
         "knn_vote": q_knn_vote,
@@ -920,6 +1009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_planted": q_dbscan_planted,
         "pca_planted": q_pca_planted,
         "struct_shell_aac": q_struct_shell_aac,
+        "struct_ss8": q_struct_ss8,
+        "struct_ss3": q_struct_ss3,
         "struct_network": q_struct_network,
         "struct_hse": q_struct_hse,
         "kmeans_planted": q_kmeans_planted,
@@ -1121,6 +1212,68 @@ def oracle_sql() -> dict[str, str]:
               SELECT t, shell, SUM(n) AS tt FROM cnt GROUP BY t, shell)
             SELECT CAST(cnt.t AS BIGINT) AS vec_id,
                    CAST(cnt.shell * 20 + cnt.aa_idx AS INTEGER) AS pos,
+                   ROUND(n::DOUBLE / tt, 6) AS freq
+            FROM cnt JOIN tot ON cnt.t = tot.t AND cnt.shell = tot.shell
+        """,
+        "struct_ss8": """
+            WITH res AS (
+              SELECT vec_id, CAST(vec_id % 8 AS INTEGER) AS slot,
+                     embedding[1]::DOUBLE * 40 AS x,
+                     embedding[2]::DOUBLE * 40 AS y,
+                     embedding[3]::DOUBLE * 40 AS z
+              FROM embeddings
+            ), pair AS (
+              SELECT a.vec_id AS t, b.slot AS slot,
+                     sqrt(((a.x - b.x) * (a.x - b.x)
+                           + (a.y - b.y) * (a.y - b.y))
+                          + (a.z - b.z) * (a.z - b.z)) AS d
+              FROM res a JOIN res b ON a.vec_id != b.vec_id
+            ), shelled AS (
+              SELECT t, slot,
+                     CAST(floor((d - 3) / 2) AS INTEGER) AS shell
+              FROM pair WHERE d >= 3 AND d < 21
+            ), cnt AS (
+              SELECT t, shell, slot, COUNT(*) AS n
+              FROM shelled GROUP BY t, shell, slot
+            ), tot AS (
+              SELECT t, shell, SUM(n) AS tt FROM cnt GROUP BY t, shell)
+            SELECT CAST(cnt.t AS BIGINT) AS vec_id,
+                   CAST(cnt.shell * 8 + cnt.slot AS INTEGER) AS pos,
+                   ROUND(n::DOUBLE / tt, 6) AS freq
+            FROM cnt JOIN tot ON cnt.t = tot.t AND cnt.shell = tot.shell
+        """,
+        "struct_ss3": """
+            -- SS3 quirk: letters T/S/- collapse to 'C', which the
+            -- reference's 8-letter tally dict lacks -> slot -1 rows count
+            -- toward shell denominators (tot) but never numerators (cnt)
+            WITH res AS (
+              SELECT vec_id,
+                     CASE CAST(vec_id % 8 AS INTEGER)
+                          WHEN 0 THEN 0 WHEN 3 THEN 0 WHEN 4 THEN 0
+                          WHEN 1 THEN 2 WHEN 2 THEN 2
+                          ELSE -1 END AS slot,
+                     embedding[1]::DOUBLE * 40 AS x,
+                     embedding[2]::DOUBLE * 40 AS y,
+                     embedding[3]::DOUBLE * 40 AS z
+              FROM embeddings
+            ), pair AS (
+              SELECT a.vec_id AS t, b.slot AS slot,
+                     sqrt(((a.x - b.x) * (a.x - b.x)
+                           + (a.y - b.y) * (a.y - b.y))
+                          + (a.z - b.z) * (a.z - b.z)) AS d
+              FROM res a JOIN res b ON a.vec_id != b.vec_id
+            ), shelled AS (
+              SELECT t, slot,
+                     CAST(floor((d - 3) / 2) AS INTEGER) AS shell
+              FROM pair WHERE d >= 3 AND d < 21
+            ), cnt AS (
+              SELECT t, shell, slot, COUNT(*) AS n
+              FROM shelled WHERE slot >= 0 GROUP BY t, shell, slot
+            ), tot AS (
+              SELECT t, shell, COUNT(*) AS tt
+              FROM shelled GROUP BY t, shell)
+            SELECT CAST(cnt.t AS BIGINT) AS vec_id,
+                   CAST(cnt.shell * 8 + cnt.slot AS INTEGER) AS pos,
                    ROUND(n::DOUBLE / tt, 6) AS freq
             FROM cnt JOIN tot ON cnt.t = tot.t AND cnt.shell = tot.shell
         """,
@@ -1443,6 +1596,43 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS lang_pred,
                    ROUND(score_en, 6) AS score_en, ROUND(score_de, 6) AS score_de
             FROM s
+        """,
+        "minhash_planted": """
+            -- analytic truth for the planted-clone corpus: exactly the
+            -- clone pairs, est_jaccard 1.0 (identical docs agree on every
+            -- minhash; disjoint-vocabulary docs agree on none)
+            SELECT CAST(doc_id AS BIGINT) AS id_a,
+                   CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+                   CAST(1.0 AS DOUBLE) AS est_jaccard
+            FROM documents WHERE doc_id % 10 = 0
+        """,
+        "simhash_planted": """
+            SELECT CAST(doc_id AS BIGINT) AS id_a,
+                   CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+                   CAST(0 AS INTEGER) AS hamming
+            FROM documents WHERE doc_id % 10 = 0
+        """,
+        "fingerprint": """
+            -- winnowing fingerprint, md5 digest variant: min (lexicographic)
+            -- md5 over sliding 8-word windows of the lowercased text; docs
+            -- with < 8 words fall back to md5(text)
+            WITH w AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower(text), '\\s+') AS ws
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, unnest(range(1, len(ws) - 6)) AS i
+              FROM w WHERE len(ws) >= 8
+            ), h AS (
+              SELECT idx.doc_id,
+                     md5(array_to_string(w.ws[idx.i : idx.i + 7], ' ')) AS hv
+              FROM idx JOIN w USING (doc_id)
+            )
+            SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+                   COALESCE(MIN(h.hv), md5(w.text)) AS fingerprint,
+                   CAST(GREATEST(len(w.ws) - 7, 0) AS BIGINT) AS n_windows
+            FROM w LEFT JOIN h ON h.doc_id = w.doc_id
+            GROUP BY w.doc_id, w.text, len(w.ws)
         """,
         "ngram_jaccard": """
             WITH w AS (

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 _MERSENNE = (1 << 61) - 1
 
@@ -407,20 +407,28 @@ def embedding_dup_pairs(
         keys = (signs.astype(np.int64) << np.arange(n_planes)[None, :]).sum(axis=1)
         return pd.Series(keys)
 
+    # in-bucket verify: Arrow-batched normalized row-dot (same kernel shape
+    # as similarity._cos) — interpreted F.aggregate/F.zip_with higher-order
+    # expressions measured ~100× slower per pair, and dense buckets make
+    # this the hot loop at corpus scale
+    @pandas_udf(DoubleType())
+    def _pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        Am = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+        Bm = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+        Am = Am / (np.linalg.norm(Am, axis=1, keepdims=True) + 1e-300)
+        Bm = Bm / (np.linalg.norm(Bm, axis=1, keepdims=True) + 1e-300)
+        return pd.Series(np.einsum("ij,ij->i", Am, Bm))
+
     with_b = df.select(F.col(id_col), F.col(vec_col), _bucket(F.col(vec_col)).alias("bucket"))
     a, b = with_b.alias("a"), with_b.alias("b")
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
-    dot = F.aggregate(
-        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            (dot / (norm(F.col(f"a.{vec_col}")) * norm(F.col(f"b.{vec_col}")))).alias("cosine"),
+            _pair_cos(F.col(f"a.{vec_col}"),
+                      F.col(f"b.{vec_col}")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -53,9 +53,16 @@ def _shell_edges(shell: tuple[int, int, int]) -> np.ndarray:
     return np.arange(shell[0], shell[1] + 1, shell[2])
 
 
+# DSSP 8-state letters in the reference's group_list order (:9461, :9529)
+SS8_STATES = ["H", "B", "E", "G", "I", "T", "S", "-"]
+# 8-state → 3-state collapse (ref :9054-9063 AA_HEC)
+AA_HEC = {"H": "H", "B": "E", "E": "E", "G": "H", "I": "H",
+          "T": "C", "S": "C", "-": "C"}
+
+
 def shell_feature_names(kind: str, shell: tuple[int, int, int]) -> list[str]:
-    keys = {"AAC": list(_AA), "GAAC": GROUP_NAMES,
-            "AC": list(_ELEMENTS)}[kind]
+    keys = {"AAC": list(_AA), "GAAC": GROUP_NAMES, "AC": list(_ELEMENTS),
+            "SS8": SS8_STATES, "SS3": SS8_STATES}[kind]
     return [f"shell_{m+1}.{k}"
             for m in range(len(_shell_edges(shell))) for k in keys]
 
@@ -100,19 +107,41 @@ def _pairdist(X: np.ndarray, Y: np.ndarray | None = None) -> np.ndarray:
 
 
 # target-chunk size for the per-structure distance matrices: memory per
-# chunk ≈ TARGET_CHUNK × n_sources × 8 B (plus the shell mask), so a 50k-atom
-# virus capsid peaks at ~1.6 GB/task instead of the 20 GB a full
-# (targets × sources) matrix would need.  Values are unaffected — each
-# target row's shell counts are independent.
-TARGET_CHUNK = 4096
+# chunk ≈ TARGET_CHUNK × n_candidates × 8 B per temporary.  256 keeps the
+# working set near L2/LLC — measured 8-15× faster than 4096 on a 20k-residue
+# chain (the big chunks thrash DRAM with ~650 MB temporaries).  Values are
+# unaffected — each target row's shell counts are independent.
+TARGET_CHUNK = 256
+
+
+def _aabb_candidates(Xc: np.ndarray, X_s: np.ndarray,
+                     reach: float) -> np.ndarray:
+    """Indices of source rows inside the chunk's axis-aligned bounding box
+    grown by `reach` (the max interaction distance).  Any pair beyond
+    `reach` on ANY axis is beyond `reach` in euclidean distance, so this
+    prunes sources without changing which pairs pass the distance tests —
+    results stay bit-identical (the same per-pair expressions run on a
+    candidate superset; counts are order-free integer sums).  Targets
+    arrive in (chain, resseq) order, which is spatially coherent along a
+    protein chain, so chunk boxes are tight: cost drops from O(chunk·n)
+    to O(chunk·local density) on big structures."""
+    lo = Xc.min(axis=0) - reach
+    hi = Xc.max(axis=0) + reach
+    m = ((X_s[:, 0] >= lo[0]) & (X_s[:, 0] <= hi[0])
+         & (X_s[:, 1] >= lo[1]) & (X_s[:, 1] <= hi[1])
+         & (X_s[:, 2] >= lo[2]) & (X_s[:, 2] <= hi[2]))
+    return np.nonzero(m)[0]
 
 
 def _chunked_shell_feats(X_t, X_s, classes, n_classes, starts, step,
                          cumulative, count_all_rows, chunk=TARGET_CHUNK):
+    reach = float(starts[-1] + step)
     out = []
     for lo in range(0, len(X_t), chunk):
-        D = _pairdist(X_t[lo: lo + chunk], X_s)
-        out.append(_shell_comp(D, classes, n_classes, starts, step,
+        Xc = X_t[lo: lo + chunk]
+        cand = _aabb_candidates(Xc, X_s, reach)
+        D = _pairdist(Xc, X_s[cand])
+        out.append(_shell_comp(D, classes[cand], n_classes, starts, step,
                                cumulative, count_all_rows))
     return np.concatenate(out, axis=0) if out else np.zeros(
         (0, len(starts) * n_classes))
@@ -124,32 +153,61 @@ def residue_shell_composition(
     type2: bool = False,
     shell: tuple[int, int, int] = (3, 20, 2),
     target_chunk: int = TARGET_CHUNK,
+    ss_col: str | None = None,
 ) -> DataFrame:
-    """AAC/GAAC_type1/2 (ref :9333-9444): for every residue, the AA (or
-    group) composition of residues whose representative atom (CB else CA)
+    """AAC/GAAC/SS8/SS3_type1/2 (ref :9333-9576): for every residue, the
+    class composition of residues whose representative atom (CB else CA)
     falls in each distance shell [s, s+step) — cumulative (−∞, s+step) for
     type2, which therefore includes the target itself at distance 0.
     Denominator = ALL residues in the shell (:9351).
 
+    kind="AAC"/"GAAC": class = amino acid / reference AA group.
+    kind="SS8"/"SS3": class = secondary-structure state; `ss_col` names a
+    column carrying the per-residue DSSP 8-state letter (H B E G I T S -).
+    The DSSP binary itself is absent from this container, so the letters
+    must be user-supplied (precomputed DSSP runs, an SS predictor, ...);
+    given them, the features are exactly the reference's SS8/SS3_type1/2
+    (:9445-9576).  Reference quirk replicated faithfully: SS3 collapses
+    letters with AA_HEC (:9054) to {H,E,C} but still tallies into the
+    8-letter dict (:9529), so its 'C' residues count toward shell
+    DENOMINATORS while no numerator slot receives them — B/G/I/T/S/-
+    feature slots are structurally zero and only H/E carry signal.  Both
+    kinds emit 8 features/shell named per SS8_STATES.  Letters outside the
+    8-state alphabet likewise count toward denominators only (:9466
+    membership test).
+
     Input: residue_table() output (pdb_id, chain, resseq, resname, aa,
-    x, y, z).  Output: one row per residue with `sample` formatted
-    chain_resname_resseq like the reference index (:9209) and a features
-    array ordered per shell_feature_names(kind, shell)."""
-    if kind not in ("AAC", "GAAC"):
-        raise ValueError("kind must be AAC or GAAC")
-    n_classes = 20 if kind == "AAC" else 5
+    x, y, z) [+ ss_col].  Output: one row per residue with `sample`
+    formatted chain_resname_resseq like the reference index (:9209) and a
+    features array ordered per shell_feature_names(kind, shell)."""
+    if kind not in ("AAC", "GAAC", "SS8", "SS3"):
+        raise ValueError("kind must be AAC, GAAC, SS8 or SS3")
+    if kind in ("SS8", "SS3") and not ss_col:
+        raise ValueError(f"kind={kind} needs ss_col (per-residue DSSP "
+                         "8-state letter; no DSSP binary in this container)")
+    n_classes = {"AAC": 20, "GAAC": 5, "SS8": 8, "SS3": 8}[kind]
     starts = _shell_edges(shell)
     step = shell[2]
     cumulative = type2
     aa_index = {a: i for i, a in enumerate(_AA)}
+    ss8_index = {s: i for i, s in enumerate(SS8_STATES)}
+    # SS3: tally the COLLAPSED letter into the 8-letter slot table —
+    # H→slot H, E→slot E, C→no slot (the reference's dict-membership miss)
+    ss3_index = {s8: ss8_index.get(AA_HEC[s8], -1) for s8 in SS8_STATES}
 
     def per_structure(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["chain", "resseq"], kind="stable")
         X = pdf[["x", "y", "z"]].to_numpy(dtype=np.float64)
-        aas = pdf["aa"].to_numpy()
-        if kind == "AAC":
+        if kind in ("SS8", "SS3"):
+            idx_map = ss8_index if kind == "SS8" else ss3_index
+            classes = np.array([idx_map.get(s, -1)
+                                for s in pdf[ss_col].fillna("-")],
+                               dtype=np.int64)
+        elif kind == "AAC":
+            aas = pdf["aa"].to_numpy()
             classes = np.array([aa_index[a] for a in aas], dtype=np.int64)
         else:
+            aas = pdf["aa"].to_numpy()
             classes = np.array([AA_GROUPS[a] for a in aas], dtype=np.int64)
         # icode'd residues are distance SOURCES but not targets — the
         # reference's model[chain][resseq] int-key lookup skips them
@@ -220,15 +278,34 @@ def atom_shell_composition(
                "features array<double>")
 
 
-def network_metrics(residues: DataFrame, cutoff: float = 11.0) -> DataFrame:
+def network_metrics(residues: DataFrame, cutoff: float = 11.0,
+                    on_disconnected: str = "skip") -> DataFrame:
     """Network-based index (ref :9633-9690): residue contact graph (edge iff
     rep-atom distance ≤ cutoff, default 11 Å :9075) → per-residue degree,
     degree centrality, betweenness, clustering coefficient, closeness, and
     eigenvector centrality (networkx, as the reference uses).
 
     The reference also computes nx.diameter / average_shortest_path_length
-    on the way (unused in its output) — which makes the whole descriptor
-    FAIL on a disconnected graph; replicated by raising ValueError."""
+    on the way (unused in its output) — which makes the descriptor FAIL on
+    a disconnected contact graph (common for multi-chain complexes whose
+    chains sit > cutoff apart).  The reference fails ONLY that structure
+    (error_msg + return False → no output rows for it), so in a
+    distributed corpus run the parity-preserving behavior is
+    on_disconnected="skip" (default): that structure contributes zero
+    rows and every other structure still computes.  Pass "raise" to get
+    the strict single-structure ValueError instead (one bad structure
+    then aborts the whole job — only sensible for interactive use).
+
+    Known deviation from the reference on insertion-code structures (e.g.
+    antibody numbering): the reference names graph nodes
+    resname_chain+resseq WITHOUT icode, so icode'd residues sharing a
+    resseq collapse into one node (and its output emits duplicate target
+    rows) — arguably a bug.  Here icode'd residues stay distinct graph
+    NODES (distance sources) but only icode=='' residues are output
+    targets, so degrees/centralities can differ from the reference on
+    such structures."""
+    if on_disconnected not in ("skip", "raise"):
+        raise ValueError("on_disconnected must be 'skip' or 'raise'")
     import networkx as nx
 
     def per_structure(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -241,6 +318,19 @@ def network_metrics(residues: DataFrame, cutoff: float = 11.0) -> DataFrame:
         iu, ju = np.nonzero(np.triu(D <= cutoff, k=1))
         G.add_edges_from(zip(iu.tolist(), ju.tolist()))
         if n and not nx.is_connected(G):
+            if on_disconnected == "skip":
+                return pd.DataFrame({
+                    "pdb_id": pd.Series(dtype=str),
+                    "chain": pd.Series(dtype=str),
+                    "resseq": pd.Series(dtype=np.int64),
+                    "sample": pd.Series(dtype=str),
+                    "degree": pd.Series(dtype=np.int64),
+                    "degree_centrality": pd.Series(dtype=np.float64),
+                    "betweenness": pd.Series(dtype=np.float64),
+                    "clustering_coefficient": pd.Series(dtype=np.float64),
+                    "closeness": pd.Series(dtype=np.float64),
+                    "centrality": pd.Series(dtype=np.float64),
+                })
             raise ValueError(
                 "contact graph disconnected at cutoff "
                 f"{cutoff} — the reference's nx.diameter raises here too")
@@ -291,107 +381,153 @@ def hse(atoms: DataFrame, kind: str = "CA", radius: float = 12.0) -> DataFrame:
     algorithm: Hamelryck, Proteins 59:38-48, 2005).
 
     For each residue, neighbors = other residues' CA atoms within `radius`
-    of this CA.  A side-chain direction vector u splits them: neighbors at
-    angle(u, CA_j − CA_i) ≤ 90° count as `hse_up`, the rest `hse_down`.
+    of this CA.  A side-chain direction vector u splits them: neighbors on
+    u's side of the plane through CA (plane dot > 0) count as `hse_up`,
+    the rest `hse_down`.
 
     * kind="CB": u = CB − CA (real side chain); GLY (no CB) uses the CA
       variant's pseudo direction.  Third value = 0.0 (Bio.PDB reports the
       pCB–CB angle only for the CA variant).
-    * kind="CA": u = pseudo-CB from backbone geometry: with neighbors
-      CA(i−1), CA(i+1) in the same chain at sequence distance 1,
-      d1 = CA(i−1)−CA(i), d2 = CA(i+1)−CA(i), u = −(d̂1 + d̂2) (the
-      bisector points away from the side chain).  Third value = angle(u,
-      CB−CA) in radians when a real CB exists, else NaN.  Chain-terminal
-      residues (no i±1) get no row, as Bio.PDB's polypeptide iteration
-      drops them.
+    * kind="CA": u = pseudo-CB bisector from backbone geometry: with
+      neighbors CA(i−1), CA(i+1) in the same chain at sequence distance 1,
+      d1 = CA(i−1)−CA(i), d2 = CA(i+1)−CA(i), u = −(d̂1 + d̂2) (points away
+      from the side chain).  Third value = angle(u, CB−CA) in radians when
+      a real CB exists, else NaN.  Chain-terminal residues (no i±1) get no
+      row, as Bio.PDB's polypeptide iteration drops them.
+
+    Float determinism: the half-sphere plane test uses the UNNORMALIZED
+    direction vector and every dot product / norm is computed with explicit
+    elementwise numpy ops in the fixed order ((x·x + y·y) + z·z) — no BLAS
+    matvec, whose summation order can vary with SIMD kernel selection —
+    so the DuckDB correctness oracle (same expression tree in SQL,
+    __spark_entry__.py q_struct_hse) reproduces the doubles bit-for-bit.
+    Normalizing u cannot change the sign of the plane dot except within
+    one ulp of zero; using the unnormalized vector on both sides removes
+    even that hazard.
 
     Bio.PDB is not importable in this container, so parity with its exact
     output is asserted by construction properties (up+down = neighbor
     count; synthetic geometries with hand-computable splits) rather than a
     golden diff — see tests/test_structure.py.
 
-    Scale note: the per-residue Python loop is O(n) numpy work per target
-    (O(n²) per structure) — fine through multi-thousand-residue proteins;
-    for mega-structures batch the targets like _chunked_shell_feats if it
-    ever shows up in profiles."""
+    Scale: targets are processed in TARGET_CHUNK batches against the
+    AABB-pruned CA candidate set (same pattern as _chunked_shell_feats) —
+    O(chunk·local density) work and memory, no per-residue Python loop:
+    a 20k-residue chain computes in ~1 s of vectorized numpy vs ~10 min
+    for the round-3 per-target loop."""
     if kind not in ("CA", "CB"):
         raise ValueError("kind must be CA or CB")
 
     def per_structure(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(columns=["pdb_id", "chain", "resseq",
+                                      "sample", "hse_up", "hse_down",
+                                      "angle"])
         pdf = pdf[(pdf["hetflag"] == " ")
-                  & pdf["atom_name"].isin(["CA", "CB"])]
-        rows = []
-        # one row per (chain, resseq): CA + optional CB coords
-        for (chain, resseq, icode), grp in pdf.groupby(
-                ["chain", "resseq", "icode"], sort=True):
-            ca = grp[grp["atom_name"] == "CA"]
-            cb = grp[grp["atom_name"] == "CB"]
-            if len(ca) == 0:
-                continue
-            rows.append((chain, resseq,
-                         ca.iloc[0]["resname"],
-                         ca.iloc[0][["x", "y", "z"]].to_numpy(dtype=np.float64),
-                         cb.iloc[0][["x", "y", "z"]].to_numpy(dtype=np.float64)
-                         if len(cb) else None,
-                         ca.iloc[0]["pdb_id"],
-                         (icode or "")))
-        if not rows:
-            return pd.DataFrame(columns=["pdb_id", "chain", "resseq",
-                                         "sample", "hse_up", "hse_down",
-                                         "angle"])
+                  & pdf["atom_name"].isin(["CA", "CB"])].copy()
+        if not len(pdf):
+            return empty
+        # NULL icode from user-supplied atom tables (the bundled readers
+        # always emit '') must not drop residues: pandas groupby/merge
+        # treats NaN keys as non-matching — normalize first
+        pdf["icode"] = pdf["icode"].fillna("")
+        key = ["chain", "resseq", "icode"]
+        ca = (pdf[pdf["atom_name"] == "CA"]
+              .drop_duplicates(subset=key, keep="first")
+              .sort_values(key, kind="stable").reset_index(drop=True))
+        if not len(ca):
+            return empty
+        cb = (pdf[pdf["atom_name"] == "CB"]
+              .drop_duplicates(subset=key, keep="first"))
+        res = ca.merge(cb[key + ["x", "y", "z"]], on=key, how="left",
+                       suffixes=("", "_cb"))
         # every CA (incl. insertion-code residues) counts as a sphere
         # neighbor; targets and backbone-neighbor lookups use only
-        # icode == '' residues so 100 vs 100A never alias (groupby above
-        # is sorted, so icode '' precedes 'A' — r[6] below is the icode)
-        CA = np.stack([r[3] for r in rows])
-        main = [r for r in rows if r[6] == ""]
-        chains = np.array([r[0] for r in main])
-        resseqs = np.array([r[1] for r in main])
-        CA_main = np.stack([r[3] for r in main]) if main else CA[:0]
-        out = []
-        for i, (chain, resseq, resname, ca_i, cb_i, pdb_id, _ic) in enumerate(main):
-            # pseudo-CB from backbone neighbors at sequence distance 1
-            prev = np.nonzero((chains == chain) & (resseqs == resseq - 1))[0]
-            nxt = np.nonzero((chains == chain) & (resseqs == resseq + 1))[0]
-            u_pseudo = None
-            if len(prev) and len(nxt):
-                d1 = CA_main[prev[0]] - ca_i
-                d2 = CA_main[nxt[0]] - ca_i
-                d1 = d1 / np.linalg.norm(d1)
-                d2 = d2 / np.linalg.norm(d2)
-                b = -(d1 + d2)
-                nb = np.linalg.norm(b)
-                if nb > 0:
-                    u_pseudo = b / nb
-            if kind == "CA":
-                if u_pseudo is None:
-                    continue  # chain terminus — Bio.PDB emits no row
-                u = u_pseudo
-                if cb_i is not None:
-                    v = cb_i - ca_i
-                    cosang = float(u @ v / (np.linalg.norm(v) + 1e-300))
-                    angle = float(np.arccos(np.clip(cosang, -1.0, 1.0)))
-                else:
-                    angle = float("nan")
-            else:
-                if cb_i is not None:
-                    u = cb_i - ca_i
-                    u = u / np.linalg.norm(u)
-                elif u_pseudo is not None:
-                    u = u_pseudo
-                else:
-                    continue
-                angle = 0.0
-            d = CA - ca_i[None, :]
-            dist = np.sqrt((d * d).sum(axis=1))
+        # icode == '' residues so 100 vs 100A never alias
+        CAx = res["x"].to_numpy(dtype=np.float64)
+        CAy = res["y"].to_numpy(dtype=np.float64)
+        CAz = res["z"].to_numpy(dtype=np.float64)
+        m = res[res["icode"] == ""].reset_index(drop=True)
+        if not len(m):
+            return empty
+        mx = m["x"].to_numpy(dtype=np.float64)
+        my = m["y"].to_numpy(dtype=np.float64)
+        mz = m["z"].to_numpy(dtype=np.float64)
+        has_cb = m["x_cb"].notna().to_numpy()
+        vx = m["x_cb"].to_numpy(dtype=np.float64) - mx
+        vy = m["y_cb"].to_numpy(dtype=np.float64) - my
+        vz = m["z_cb"].to_numpy(dtype=np.float64) - mz
+        # backbone neighbors at sequence distance ±1 (same chain, icode '')
+        pos = {(c, r): i for i, (c, r) in
+               enumerate(zip(m["chain"], m["resseq"]))}
+        n_m = len(m)
+        prev_i = np.full(n_m, -1, dtype=np.int64)
+        next_i = np.full(n_m, -1, dtype=np.int64)
+        for i, (c, r) in enumerate(zip(m["chain"], m["resseq"])):
+            prev_i[i] = pos.get((c, r - 1), -1)
+            next_i[i] = pos.get((c, r + 1), -1)
+        has_bb = (prev_i >= 0) & (next_i >= 0)
+        p = np.where(prev_i >= 0, prev_i, 0)
+        nx_ = np.where(next_i >= 0, next_i, 0)
+        # bisector b = -(d1/|d1| + d2/|d2|), all elementwise fixed-order
+        d1x, d1y, d1z = mx[p] - mx, my[p] - my, mz[p] - mz
+        d2x, d2y, d2z = mx[nx_] - mx, my[nx_] - my, mz[nx_] - mz
+        with np.errstate(invalid="ignore", divide="ignore"):
+            n1 = np.sqrt(d1x * d1x + d1y * d1y + d1z * d1z)
+            n2 = np.sqrt(d2x * d2x + d2y * d2y + d2z * d2z)
+            bx = -(d1x / n1 + d2x / n2)
+            by = -(d1y / n1 + d2y / n2)
+            bz = -(d1z / n1 + d2z / n2)
+            nb = np.sqrt(bx * bx + by * by + bz * bz)
+        has_pseudo = has_bb & np.where(np.isfinite(nb), nb > 0, False)
+        nan = float("nan")
+        if kind == "CA":
+            valid = has_pseudo
+            ux, uy, uz = bx, by, bz            # unnormalized plane vector
+            with np.errstate(invalid="ignore", divide="ignore"):
+                nv = np.sqrt(vx * vx + vy * vy + vz * vz)
+                cosang = ((bx / nb) * vx + (by / nb) * vy
+                          + (bz / nb) * vz) / (nv + 1e-300)
+            angle = np.where(
+                has_cb,
+                np.arccos(np.clip(np.where(has_cb, cosang, 0.0), -1.0, 1.0)),
+                nan)
+        else:
+            valid = has_cb | has_pseudo
+            ux = np.where(has_cb, vx, bx)
+            uy = np.where(has_cb, vy, by)
+            uz = np.where(has_cb, vz, bz)
+            angle = np.zeros(n_m)
+        idx = np.nonzero(valid)[0]
+        if not len(idx):
+            return empty
+        ups = np.zeros(len(idx), dtype=np.int64)
+        downs = np.zeros(len(idx), dtype=np.int64)
+        XS = np.stack([CAx, CAy, CAz], axis=1)
+        for lo in range(0, len(idx), TARGET_CHUNK):
+            t = idx[lo: lo + TARGET_CHUNK]
+            cand = _aabb_candidates(
+                np.stack([mx[t], my[t], mz[t]], axis=1), XS, radius)
+            dx = CAx[cand][None, :] - mx[t][:, None]
+            dy = CAy[cand][None, :] - my[t][:, None]
+            dz = CAz[cand][None, :] - mz[t][:, None]
+            dist = np.sqrt(dx * dx + dy * dy + dz * dz)
             near = (dist <= radius) & (dist > 0)
-            up = int(((d[near] @ u) > 0).sum())
-            down = int(near.sum() - up)
-            out.append((pdb_id, chain, int(resseq),
-                        f"{chain}_{resname}_{resseq}", up, down, angle))
-        return pd.DataFrame(out, columns=["pdb_id", "chain", "resseq",
-                                          "sample", "hse_up", "hse_down",
-                                          "angle"])
+            dot = dx * ux[t][:, None] + dy * uy[t][:, None] \
+                + dz * uz[t][:, None]
+            up = (near & (dot > 0)).sum(axis=1)
+            ups[lo: lo + TARGET_CHUNK] = up
+            downs[lo: lo + TARGET_CHUNK] = near.sum(axis=1) - up
+        t = m.iloc[idx]
+        return pd.DataFrame({
+            "pdb_id": t["pdb_id"].to_numpy(),
+            "chain": t["chain"].to_numpy(),
+            "resseq": t["resseq"].to_numpy(dtype=np.int64),
+            "sample": (t["chain"].astype(str) + "_" + t["resname"]
+                       + "_" + t["resseq"].astype(str)).to_numpy(),
+            "hse_up": ups,
+            "hse_down": downs,
+            "angle": angle[idx],
+        })
 
     return atoms.groupBy("pdb_id").applyInPandas(
         per_structure,

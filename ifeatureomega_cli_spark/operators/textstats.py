@@ -102,25 +102,37 @@ def language_id(
 
 def fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    window: int = 8,
+    window: int = 8, digest: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing-style document fingerprint: min rolling word-window hash.
 
-    Two docs sharing long word runs collide; fully JVM-side (xxhash64 over
-    sliding word windows via transform/slice)."""
+    Two docs sharing long word runs collide; fully JVM-side (digest over
+    sliding word windows via transform/slice).
+
+    digest="xxhash64" (default): 64-bit int fingerprint, numeric min —
+    the fast path.  digest="md5": lowercase-hex string fingerprint,
+    LEXICOGRAPHIC min — ~2× the bytes, but md5 is engine-portable
+    (DuckDB/Trino/Postgres compute the identical digest), which makes the
+    whole winnowing pipeline cross-checkable value-for-value by an
+    external SQL oracle; same plan shape either way."""
+    if digest not in ("xxhash64", "md5"):
+        raise ValueError("digest must be 'xxhash64' or 'md5'")
     words = F.split(F.lower(F.col(text_col)), "\\s+")
+    h = (F.xxhash64 if digest == "xxhash64"
+         else (lambda c: F.md5(c.cast("binary"))))
     hashes = F.filter(
         F.transform(
             words,
             lambda w, i: F.when(
                 i <= F.size(words) - window,
-                F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, window))),
+                h(F.concat_ws(" ", F.slice(words, i + 1, window))),
             ),
         ),
         lambda x: x.isNotNull(),
     )
     return df.select(
         F.col(id_col),
-        F.coalesce(F.array_min(hashes), F.xxhash64(text_col)).alias("fingerprint"),
+        F.coalesce(F.array_min(hashes),
+                   h(F.col(text_col))).alias("fingerprint"),
         F.size(hashes).alias("n_windows"),
     )

@@ -9,7 +9,8 @@ documented:
 * altloc: Bio.PDB keeps every altloc as a DisorderedAtom and yields the
   highest-occupancy child on iteration; this reader keeps altloc ∈ {' ','A'}
   (the standard first conformer).  Results differ only for files whose
-  B-conformer has higher occupancy — rare, and flagged by `n_altloc_dropped`.
+  B-conformer has higher occupancy — rare, and observable per file via
+  `altloc_drop_stats(spark, glob)` → (pdb_id, n_altloc_dropped).
 * model: only MODEL 1 is kept, matching the reference's `structure[0]`.
 * hetfield: ATOM → ' '; HETATM → 'W' for waters (HOH/WAT/DOD), else 'H'
   (Bio.PDB uses 'H_<resname>'; only the water/non-water distinction is ever
@@ -183,6 +184,90 @@ def read_pdb_dir(spark: SparkSession, path_glob: str) -> DataFrame:
              .option("pathGlobFilter", "*.{pdb,cif,ent}").load(path_glob)
              .select("path", "content"))
     return files.mapInPandas(gen, schema=ATOM_SCHEMA)
+
+
+def altloc_drop_stats(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Observability for the altloc policy: per file, how many ATOM/HETATM
+    records of model 1 carry a non-first altloc (∉ {' ', 'A'} / {'.', 'A'})
+    and are therefore dropped by the readers.  Same distributed binaryFile
+    scan as read_pdb_dir; returns (pdb_id, n_altloc_dropped)."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                text = bytes(content).decode("utf-8", "replace")
+                pdb_id = os.path.basename(p)[:4].lower()
+                n = 0
+                if p.lower().endswith(".cif"):
+                    n = _cif_altloc_dropped(text)
+                else:
+                    in_model = 0
+                    for line in text.splitlines():
+                        rec = line[0:6]
+                        if rec == "MODEL ":
+                            in_model += 1
+                            if in_model > 1:
+                                break
+                        elif rec == "ENDMDL":
+                            break
+                        elif rec in ("ATOM  ", "HETATM") \
+                                and len(line) > 16 \
+                                and line[16] not in (" ", "A"):
+                            n += 1
+                out.append((pdb_id, n))
+            if out:
+                yield pd.DataFrame(out,
+                                   columns=["pdb_id", "n_altloc_dropped"])
+
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.{pdb,cif,ent}").load(path_glob)
+             .select("path", "content"))
+    return files.mapInPandas(
+        gen, schema="pdb_id string, n_altloc_dropped long")
+
+
+def _cif_altloc_dropped(text: str) -> int:
+    """Count model-1 _atom_site rows with a non-first altloc in an mmCIF."""
+    import re
+    tok = re.compile(r"'[^']*'|\"[^\"]*\"|\S+")
+    tags: list[str] = []
+    in_loop_header = in_data = False
+    first_model = None
+    n = 0
+    for line in text.splitlines():
+        s = line.strip()
+        if not s or s.startswith("#"):
+            if in_data:
+                break
+            continue
+        if s == "loop_":
+            tags, in_loop_header, in_data = [], True, False
+            continue
+        if in_loop_header and s.startswith("_"):
+            if s.startswith("_atom_site."):
+                tags.append(s.split(".")[-1].split()[0])
+            else:
+                in_loop_header, tags = False, []
+            continue
+        if in_loop_header and tags:
+            in_loop_header, in_data = False, True
+        elif not in_data:
+            continue
+        if s.startswith(("_", "data_")):
+            break
+        toks = [t[1:-1] if t[0] in "'\"" else t for t in tok.findall(s)]
+        if len(toks) != len(tags):
+            continue
+        r = dict(zip(tags, toks))
+        model = r.get("pdbx_PDB_model_num", "1")
+        if first_model is None:
+            first_model = model
+        if model != first_model:
+            continue
+        if r.get("label_alt_id", ".") not in (".", "?", "A"):
+            n += 1
+    return n
 
 
 # 3-letter → 1-letter map (ref iFeatureOmegaCLI.py:9009-9031)

@@ -10,13 +10,17 @@ operators/structure.py:
     Network-based index              network_metrics() (networkx, as ref)
     HSE_CA, HSE_CB                   hse() (Hamelryck 2005 geometry)
 
+ROUND-4 SCOPE CHANGE: SS3/SS8 type1/2 (4 more types) are now IMPLEMENTED
+for user-supplied secondary-structure letters —
+residue_shell_composition(kind="SS8"/"SS3", ss_col=...) computes exactly
+the reference's shell features (ref :9445-9576, incl. the SS3
+8-letter-dict quirk) given a column of DSSP 8-state letters.  Only the
+DSSP BINARY itself (which produces those letters, :9154) remains
+unavailable; secondary_structure_descriptor() below raises with that
+pointer when no ss_col is supplied.
+
 STILL out of scope, with reasons:
 
-* SS3/SS8 type1/2 (4 types): need per-residue secondary-structure letters
-  from the DSSP binary (ref iFeatureOmegaCLI.py:9154) — the shell math is
-  the same as residue_shell_composition, but there is no input without
-  DSSP.  When DSSP letters are available as a column, pass them through
-  residue_shell_composition with a custom class mapping.
 * Residue depth: needs the MSMS surface binary (:9290).
 * Ligand descriptors: need RDKit (`chem/*`, :9891-9907) — per-molecule
   scalar maps; the Spark design is one `mapInPandas` over a
@@ -41,11 +45,25 @@ from ifeatureomega_cli_spark.sources.pdb import (  # noqa: F401
     read_pdb, read_pdb_dir, residue_table)
 
 
-def secondary_structure_descriptor(df, name: str, **params):
-    """SS3/SS8 type1/2 — blocked on the DSSP binary."""
-    raise NotImplementedError(
-        _MSG.format(name=f"structure descriptor {name!r}",
-                    dep="the DSSP binary", ref="9154, 9445-9576"))
+def secondary_structure_descriptor(df, name: str, ss_col: str | None = None,
+                                   **params):
+    """SS3/SS8 type1/2 over a residue table.
+
+    With `ss_col` (per-residue DSSP 8-state letters, user-supplied):
+    delegates to residue_shell_composition — the full reference feature
+    set (:9445-9576).  Without it: the DSSP binary that would compute the
+    letters is unavailable, so raise with the citation."""
+    kinds = {"SS3_type1": ("SS3", False), "SS3_type2": ("SS3", True),
+             "SS8_type1": ("SS8", False), "SS8_type2": ("SS8", True)}
+    if name not in kinds:
+        raise KeyError(f"unknown SS descriptor {name!r}; one of {sorted(kinds)}")
+    if not ss_col:
+        raise NotImplementedError(
+            _MSG.format(name=f"structure descriptor {name!r} without ss_col",
+                        dep="the DSSP binary", ref="9154, 9445-9576"))
+    kind, type2 = kinds[name]
+    return residue_shell_composition(df, kind=kind, type2=type2,
+                                     ss_col=ss_col, **params)
 
 
 def residue_depth(df, **params):

@@ -155,13 +155,27 @@ def test_network_metrics_path_graph(spark):
     assert out["sample"].tolist() == ["ALA_A1", "ALA_A2", "ALA_A3", "ALA_A4"]
 
 
-def test_network_metrics_disconnected_raises(spark):
+def test_network_metrics_disconnected(spark):
+    """Default: a disconnected structure contributes zero rows (the
+    reference fails only that structure — error_msg + return False), so
+    one bad multi-chain complex cannot abort a corpus-scale run; other
+    structures in the same job still compute.  on_disconnected="raise"
+    restores the strict error."""
     from ifeatureomega_cli_spark.operators.structure import network_metrics
 
-    rows = [("A", 1, "ALA", "A", 0.0, 0.0, 0.0),
-            ("A", 2, "GLY", "G", 100.0, 0.0, 0.0)]
+    bad = [("A", 1, "ALA", "A", 0.0, 0.0, 0.0),
+           ("A", 2, "GLY", "G", 100.0, 0.0, 0.0)]
+    good = [("A", i + 1, "ALA", "A", 10.0 * i, 0.0, 0.0) for i in range(4)]
+    # two structures in one job: 'bad' disconnected, 'good' a P4 path
+    import pyspark.sql.functions as SF
+    both = (_mk_residues(spark, bad).withColumn("pdb_id", SF.lit("bad"))
+            .unionByName(_mk_residues(spark, good)
+                         .withColumn("pdb_id", SF.lit("good"))))
+    out = network_metrics(both, cutoff=11.0).toPandas()
+    assert set(out["pdb_id"]) == {"good"} and len(out) == 4
     with pytest.raises(Exception):  # Py4J wraps the ValueError
-        network_metrics(_mk_residues(spark, rows), cutoff=11.0).collect()
+        network_metrics(_mk_residues(spark, bad), cutoff=11.0,
+                        on_disconnected="raise").collect()
 
 
 def test_hse_hand_computed(spark):
@@ -430,3 +444,259 @@ def test_shell_composition_chunked_equivalence(spark):
     A = np.stack(one["features"].to_numpy())
     B = np.stack(tiled["features"].to_numpy())
     assert np.array_equal(A, B)
+
+
+def test_hse_null_icode_not_dropped(spark):
+    """User-supplied atoms with NULL icode (the schema allows it; the
+    bundled readers always emit '') must behave exactly like icode='' —
+    pandas groupby/merge silently drop NaN keys unless normalized."""
+    from ifeatureomega_cli_spark.operators.structure import hse
+
+    cols = ("pdb_id string, record string, serial long, atom_name string, "
+            "altloc string, resname string, chain string, resseq long, "
+            "icode string, x double, y double, z double, occupancy double, "
+            "bfactor double, element string, hetflag string")
+    mk = lambda serial, name, resseq, x, y, z: (  # noqa: E731
+        "t", "ATOM", serial, name, "", "ALA", "A", resseq, None, x, y, z,
+        1.0, 0.0, name[0], " ")
+    atoms = spark.createDataFrame([
+        mk(1, "CA", 1, 0.0, 0.0, 0.0),
+        mk(2, "CA", 2, 4.0, 1.0, 0.0),
+        mk(3, "CA", 3, 8.0, 0.0, 0.0),
+        mk(4, "CB", 2, 4.0, 2.0, 0.0),
+    ], cols)
+    out = hse(atoms, kind="CA").toPandas().set_index("resseq")
+    assert list(out.index) == [2]
+    assert out.loc[2, "hse_up"] == 0 and out.loc[2, "hse_down"] == 2
+
+
+def test_hse_vectorized_matches_loop_reference(spark):
+    """The chunked vectorized kernel must equal a straightforward
+    per-residue loop (the round-3 implementation's semantics) bit-for-bit
+    on a 600-residue random-walk chain, across both variants and a chunk
+    size that forces multiple batches."""
+    from ifeatureomega_cli_spark.operators import structure as S
+    from ifeatureomega_cli_spark.operators.structure import hse
+
+    rng = np.random.default_rng(7)
+    steps = rng.normal(size=(600, 3))
+    steps = 3.8 * steps / np.linalg.norm(steps, axis=1, keepdims=True)
+    ca = np.cumsum(steps, axis=0)
+    cb_off = rng.normal(size=(600, 3))
+    cols = ("pdb_id string, record string, serial long, atom_name string, "
+            "altloc string, resname string, chain string, resseq long, "
+            "icode string, x double, y double, z double, occupancy double, "
+            "bfactor double, element string, hetflag string")
+    rows = []
+    for i in range(600):
+        rows.append(("t", "ATOM", 2 * i, "CA", "", "ALA", "A", i, "",
+                     float(ca[i, 0]), float(ca[i, 1]), float(ca[i, 2]),
+                     1.0, 0.0, "C", " "))
+        if i % 7:  # some GLY-like residues without CB
+            rows.append(("t", "ATOM", 2 * i + 1, "CB", "", "ALA", "A", i,
+                         "", float(ca[i, 0] + cb_off[i, 0]),
+                         float(ca[i, 1] + cb_off[i, 1]),
+                         float(ca[i, 2] + cb_off[i, 2]), 1.0, 0.0, "C", " "))
+    atoms = spark.createDataFrame(rows, cols)
+
+    cbpos = ca + cb_off
+
+    def loop_ref(kind):
+        out = {}
+        for i in range(600):
+            v = cbpos[i] - ca[i]
+            d1 = ca[i - 1] - ca[i] if i > 0 else None
+            d2 = ca[i + 1] - ca[i] if i < 599 else None
+            b = None
+            if d1 is not None and d2 is not None:
+                n1 = np.sqrt(d1[0] * d1[0] + d1[1] * d1[1] + d1[2] * d1[2])
+                n2 = np.sqrt(d2[0] * d2[0] + d2[1] * d2[1] + d2[2] * d2[2])
+                b = np.array([-(d1[0] / n1 + d2[0] / n2),
+                              -(d1[1] / n1 + d2[1] / n2),
+                              -(d1[2] / n1 + d2[2] / n2)])
+                if not np.sqrt(b[0] * b[0] + b[1] * b[1]
+                               + b[2] * b[2]) > 0:
+                    b = None
+            has_cb = bool(i % 7)
+            if kind == "CA":
+                if b is None:
+                    continue
+                u = b
+                if has_cb:
+                    nb = np.sqrt(b[0] * b[0] + b[1] * b[1] + b[2] * b[2])
+                    cosang = ((b[0] / nb) * v[0] + (b[1] / nb) * v[1]
+                              + (b[2] / nb) * v[2]) / (
+                        np.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+                        + 1e-300)
+                    angle = float(np.arccos(np.clip(cosang, -1, 1)))
+                else:
+                    angle = float("nan")
+            else:
+                if has_cb:
+                    u = v
+                elif b is not None:
+                    u = b
+                else:
+                    continue
+                angle = 0.0
+            d = ca - ca[i]
+            dist = np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2 + d[:, 2] ** 2)
+            near = (dist <= 12.0) & (dist > 0)
+            dots = (d[near, 0] * u[0] + d[near, 1] * u[1]
+                    + d[near, 2] * u[2])
+            out[i] = (int((dots > 0).sum()),
+                      int(near.sum() - (dots > 0).sum()), angle)
+        return out
+
+    for kind in ("CA", "CB"):
+        got = (hse(atoms, kind=kind).toPandas()
+               .set_index("resseq").sort_index())
+        want = loop_ref(kind)
+        assert set(got.index) == set(want)
+        for i in got.index:
+            u, dn, ang = want[i]
+            assert got.loc[i, "hse_up"] == u, (kind, i)
+            assert got.loc[i, "hse_down"] == dn, (kind, i)
+            ga = got.loc[i, "angle"]
+            assert (np.isnan(ga) and np.isnan(ang)) or ga == ang, (kind, i)
+    # multi-chunk path: identical output with a tiny chunk size
+    old = S.TARGET_CHUNK
+    try:
+        S.TARGET_CHUNK = 64
+        got2 = (hse(atoms, kind="CA").toPandas()
+                .set_index("resseq").sort_index())
+    finally:
+        S.TARGET_CHUNK = old
+    got1 = hse(atoms, kind="CA").toPandas().set_index("resseq").sort_index()
+    pd.testing.assert_frame_equal(got1, got2)
+
+
+def test_hse_oracle_margin_sf001():
+    """Guard the driver oracle's float boundaries: on the sf0.001
+    pseudo-protein every half-sphere plane dot and every 12 Å distance
+    test must clear zero/the-cutoff by far more than accumulated ulp
+    error, so the Spark kernel and the DuckDB oracle can never disagree
+    on a boundary regardless of evaluation order."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    df = con.execute(
+        "SELECT vec_id, embedding[1]::DOUBLE*40 x, embedding[2]::DOUBLE*40 y,"
+        " embedding[3]::DOUBLE*40 z FROM embeddings ORDER BY vec_id").df()
+    X = df[["x", "y", "z"]].to_numpy()
+    n = len(X)
+    d1 = X[:-2] - X[1:-1]
+    d2 = X[2:] - X[1:-1]
+    b = -(d1 / np.linalg.norm(d1, axis=1, keepdims=True)
+          + d2 / np.linalg.norm(d2, axis=1, keepdims=True))
+    min_dot, min_dist = np.inf, np.inf
+    for k, i in enumerate(range(1, n - 1)):
+        d = X - X[i]
+        dist = np.sqrt((d * d).sum(1))
+        near = (dist <= 12.0) & (dist > 0)
+        min_dist = min(min_dist, np.abs(dist[dist > 0] - 12.0).min())
+        if near.any():
+            min_dot = min(min_dot, np.abs(d[near] @ b[k]).min())
+    assert min_dot > 1e-7, min_dot
+    assert min_dist > 1e-7, min_dist
+
+
+def test_altloc_drop_stats(spark, tmp_path):
+    """Per-file observability of the altloc policy: 1iir has some non-'A'
+    altloc lines; a synthetic file with a B conformer counts exactly 1."""
+    from ifeatureomega_cli_spark.sources.pdb import (
+        altloc_drop_stats, read_pdb)
+    import shutil
+
+    d = tmp_path / "pdbs"
+    d.mkdir()
+    shutil.copy(REF_PDB, d / "1iir.pdb")
+    # synthetic: one A and one B conformer of the same atom
+    atom = ("ATOM      1  CA {alt}ALA A   1      11.000  22.000  33.000"
+            "  0.50 10.00           C  \n")
+    (d / "2syn.pdb").write_text(atom.format(alt="A") + atom.format(alt="B"))
+    with open(REF_PDB) as f:
+        n_expected = sum(1 for line in f
+                         if line[0:6] in ("ATOM  ", "HETATM")
+                         and len(line) > 16 and line[16] not in (" ", "A"))
+    out = (altloc_drop_stats(spark, str(d)).toPandas()
+           .set_index("pdb_id")["n_altloc_dropped"])
+    assert out["2syn"] == 1
+    assert out["1iir"] == n_expected
+    # and the reader really dropped them: only the A conformer survives
+    pdf = read_pdb(spark, str(d / "2syn.pdb")).toPandas()
+    assert len(pdf) == 1 and pdf["altloc"].iloc[0] == "A"
+
+
+def test_ss_shell_composition_hand_computed(spark):
+    """Residues on the x-axis at 0, 4, 8, 16 with DSSP letters -, H, B, T.
+    Target at x=0: shell_1 [3,5) = {H at 4}, shell_3 [7,9) = {B at 8},
+    shell_7 [15,17) = {T at 16}.  SS8 type1 puts 1.0 in exactly those
+    (shell, letter) slots.  SS3 collapses H→H, B→E, T→C — and the
+    reference's 8-letter tally dict (:9529) has no 'C' key, so the T shell
+    contributes DENOMINATOR only: its fractions are all zero."""
+    from ifeatureomega_cli_spark.operators.structure import (
+        residue_shell_composition, shell_feature_names)
+
+    rows = [("A", 1, "GLY", "G", 0.0, 0.0, 0.0, "-"),
+            ("A", 2, "ALA", "A", 4.0, 0.0, 0.0, "H"),
+            ("A", 3, "LEU", "L", 8.0, 0.0, 0.0, "B"),
+            ("A", 4, "PHE", "F", 16.0, 0.0, 0.0, "T")]
+    df = spark.createDataFrame(
+        [("test",) + r for r in rows],
+        "pdb_id string, chain string, resseq long, resname string, "
+        "aa string, x double, y double, z double, ss string")
+    names8 = shell_feature_names("SS8", (3, 20, 2))
+    out8 = (residue_shell_composition(df, "SS8", ss_col="ss").toPandas()
+            .set_index("sample"))
+    f8 = dict(zip(names8, out8.loc["A_GLY_1"]["features"]))
+    assert f8["shell_1.H"] == 1.0
+    assert f8["shell_3.B"] == 1.0
+    assert f8["shell_7.T"] == 1.0
+    assert {k for k, v in f8.items() if v} == {
+        "shell_1.H", "shell_3.B", "shell_7.T"}
+    # SS3: H→H slot, B→E slot, T→C → no slot (denominator-only)
+    out3 = (residue_shell_composition(df, "SS3", ss_col="ss").toPandas()
+            .set_index("sample"))
+    f3 = dict(zip(names8, out3.loc["A_GLY_1"]["features"]))
+    assert f3["shell_1.H"] == 1.0
+    assert f3["shell_3.E"] == 1.0
+    assert {k for k, v in f3.items() if v} == {"shell_1.H", "shell_3.E"}
+    # shell_7 has one (T) resident but zero in every slot — quirk pinned
+    assert all(f3[f"shell_7.{s}"] == 0.0
+               for s in ["H", "B", "E", "G", "I", "T", "S", "-"])
+    # type2 cumulative: target itself ('-') counts from shell 1 → SS8
+    # shell_1 splits 1/2 '-' + 1/2 H
+    out8c = (residue_shell_composition(df, "SS8", type2=True, ss_col="ss")
+             .toPandas().set_index("sample"))
+    f8c = dict(zip(names8, out8c.loc["A_GLY_1"]["features"]))
+    assert f8c["shell_1.H"] == 0.5 and f8c["shell_1.-"] == 0.5
+    # SS3 type2 last shell: 4 residents {-,H,B,T} → H 1/4 (H), E 1/4 (B),
+    # '-'→C and T→C denominator-only
+    out3c = (residue_shell_composition(df, "SS3", type2=True, ss_col="ss")
+             .toPandas().set_index("sample"))
+    f3c = dict(zip(names8, out3c.loc["A_GLY_1"]["features"]))
+    assert f3c["shell_9.H"] == 0.25 and f3c["shell_9.E"] == 0.25
+    assert sum(f3c[f"shell_9.{s}"]
+               for s in ["B", "G", "I", "T", "S", "-"]) == 0.0
+
+
+def test_ss_facade_and_validation(spark):
+    from ifeatureomega_cli_spark import structure_ligand as SL
+    from ifeatureomega_cli_spark.operators.structure import (
+        residue_shell_composition)
+
+    rows = [("t", "A", 1, "ALA", "A", 0.0, 0.0, 0.0, "H"),
+            ("t", "A", 2, "GLY", "G", 4.0, 0.0, 0.0, "E")]
+    df = spark.createDataFrame(
+        rows, "pdb_id string, chain string, resseq long, resname string, "
+        "aa string, x double, y double, z double, ss string")
+    out = SL.secondary_structure_descriptor(df, "SS8_type1", ss_col="ss")
+    assert out.count() == 2
+    with pytest.raises(ValueError):
+        residue_shell_composition(df, "SS8")  # ss_col required
+    with pytest.raises(KeyError):
+        SL.secondary_structure_descriptor(df, "SS5_type1", ss_col="ss")
