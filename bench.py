@@ -214,18 +214,26 @@ def main() -> None:
     if run_sf1 == "1":
         sf1_dir = _build_sf10x(spark, SF_DIR)
         sf1_timings: dict[str, float] = {}
+        # descriptor throughput at 10× rows — timed FIRST (before the heavy
+        # pair joins churn executor memory and the page cache) and with the
+        # same untimed warm-up pass the sf0.1 headline gets: round 3's
+        # official sf1 fused number (40.3 s) vs its isolated probes (~28 s)
+        # was exactly this in-session interference
+        seqs1 = _seq_table(spark, n_docs * 10)
+        seqs1.count()
+        extract_many(seqs1, DESCS).select("doc_id", *out_cols).write.mode(
+            "overwrite").format("noop").save()   # warm (untimed)
+        t1 = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            extract_many(seqs1, DESCS).select("doc_id", *out_cols).write.mode(
+                "overwrite").format("noop").save()
+            t1 = time.perf_counter() - t0
+        sf1_timings["descriptors_fused"] = round(t1, 3)
         for name in SF1_QUERIES:
             t0 = time.perf_counter()
             qs[name](spark, sf1_dir).count()
             sf1_timings[name] = round(time.perf_counter() - t0, 3)
-        # descriptor throughput at 10× rows
-        seqs1 = _seq_table(spark, n_docs * 10)
-        seqs1.count()
-        t0 = time.perf_counter()
-        extract_many(seqs1, DESCS).select("doc_id", *out_cols).write.mode(
-            "overwrite").format("noop").save()
-        t1 = time.perf_counter() - t0
-        sf1_timings["descriptors_fused"] = round(t1, 3)
         # ratio vs linear extrapolation from the base run (10× data → 10×
         # time would be 1.0; embedding_dup_exact is inherently O(n²) so its
         # "linear" bar is 100×)

@@ -298,13 +298,13 @@ def hcluster(df: DataFrame, t: float = 1.0,
 def affinity_propagation(df: DataFrame,
                          features_col: str = "features",
                          id_col: str = "doc_id", max_rows: int = 1024,
-                         seed: int = 42, damping: float = 0.9) -> DataFrame:
-    """ref :10114-10128 (sklearn AffinityPropagation defaults).
+                         seed: int = 42, damping: float = 0.5) -> DataFrame:
+    """ref :10114-10128 (sklearn AffinityPropagation defaults, incl.
+    damping=0.5 — the reference's parameterization).
 
-    Parity caveat: the reference runs at sklearn's default damping=0.5; the
-    default HERE is 0.9 because 0.5 can oscillate without sklearn's exact
-    noise RNG (see np_cluster.affinity_propagation).  Pass damping=0.5 for
-    the reference's parameterization."""
+    Convergence caveat (shared with the reference, see
+    np_cluster.affinity_propagation): damping 0.5 can oscillate on
+    near-symmetric data; pass damping≈0.9 to force convergence there."""
     return _sample_fit_assign(
         df, lambda X: NC.affinity_propagation(X, damping=damping, seed=seed),
         features_col, id_col, max_rows, seed)

@@ -266,20 +266,23 @@ def dbscan(X: np.ndarray, eps: float = 0.5, min_samples: int = 5):
 # ---------------------------------------------------------------------------
 
 
-def affinity_propagation(X: np.ndarray, damping: float = 0.9,
+def affinity_propagation(X: np.ndarray, damping: float = 0.5,
                          max_iter: int = 300, convergence_iter: int = 15,
                          seed: int = 42) -> np.ndarray:
-    """Affinity propagation (ref :10114-10128; sklearn defaults except
-    damping — 0.5 oscillates on symmetric data like tight equal blobs
-    without sklearn's exact noise RNG, so the default here is 0.9, which is
-    inside sklearn's accepted [0.5, 1) range and converges).
+    """Affinity propagation (ref :10114-10128; sklearn defaults, including
+    damping=0.5 — the reference's ``AffinityPropagation()``
+    parameterization.  The message-update equations below are
+    term-for-term sklearn's `_affinity_propagation` loop).
 
-    KNOWN DEVIATION from reference parity: the reference's
-    ``AffinityPropagation()`` runs at damping=0.5 with sklearn's exact noise
-    RNG; even where 0.5 converges here, the converged exemplar set (and so
-    the labels) can differ from the reference's.  Callers wanting the
-    reference's parameterization pass damping=0.5 explicitly (exposed
-    through analysis.affinity_propagation / Analysis.APC)."""
+    CONVERGENCE caveat, inherent to the algorithm and shared with the
+    reference: at damping 0.5 the exemplar set can oscillate on
+    near-symmetric data (e.g. equal well-separated blobs oscillate
+    between n/3·{1,2,3} exemplars here, exactly as sklearn emits
+    ConvergenceWarning and returns the last iterate on the same input) —
+    pass damping≈0.9 for a converged clustering on such data.  Remaining
+    parity deviation is RNG-level only: sklearn's symmetry-breaking noise
+    stream differs, so where multiple fixed points exist the converged
+    exemplar set can differ from the reference's."""
     S = -_pairwise_sq(X)
     n = len(S)
     S = S.copy()

@@ -76,9 +76,13 @@ def _py_shingles(text: str, n: int) -> set[str]:
 
 def _parallelize(df: DataFrame) -> DataFrame:
     """Small dimension tables often arrive as ONE parquet file/partition;
-    spread the rows so the signature UDFs use every core."""
+    spread the rows so the signature UDFs use every core.  A big corpus
+    (partitions ≥ defaultParallelism) passes through untouched — no
+    gratuitous shuffle.  Streaming DataFrames can't expose a partition
+    count (`.rdd` raises on them), so they repartition unconditionally:
+    micro-batches are the exact single-source-partition case this guards."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if df.isStreaming or df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 

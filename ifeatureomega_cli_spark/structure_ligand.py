@@ -74,7 +74,20 @@ def residue_depth(df, **params):
 
 
 def ligand_descriptor(df, name: str, **params):
-    """Molecular descriptors / fingerprints over a SMILES table."""
+    """Molecular descriptors / fingerprints over a (mol_id, smiles) table.
+
+    The Spark pipeline (reader, schema, invalid-SMILES skipping, Arrow
+    batching, 23-family registry) is IMPLEMENTED in operators/ligand.py
+    and verified with a deterministic stub kernel; only the per-molecule
+    chemistry itself still needs RDKit.  This facade keeps the honest
+    error for chemistry-less environments while routing to the real
+    plumbing when a stub run is acceptable (pass allow_stub=True)."""
+    from ifeatureomega_cli_spark.operators.ligand import (
+        _rdkit_or_none, ligand_descriptors)
+    if params.pop("allow_stub", False) or _rdkit_or_none() is not None:
+        return ligand_descriptors(df, name, **params)
     raise NotImplementedError(
-        _MSG.format(name=f"ligand descriptor {name!r}", dep="RDKit",
+        _MSG.format(name=f"ligand descriptor {name!r} (numeric values)",
+                    dep="RDKit (plumbing is ready: operators/ligand.py; "
+                        "pass allow_stub=True for the deterministic stub)",
                     ref="9788-9949"))

@@ -89,10 +89,14 @@ def test_dbscan_blobs_and_noise(spark, blobs):
 
 
 def test_affinity_propagation_blobs(spark, blobs):
+    """damping=0.9 converges on the symmetric-blob fixture; the 0.5
+    DEFAULT is sklearn/reference parity and oscillates on this input
+    exactly as sklearn does (see np_cluster.affinity_propagation) — the
+    default path is exercised in test_affinity_propagation_damping_exposed."""
     from ifeatureomega_cli_spark.analysis import affinity_propagation
 
     df, truth = blobs
-    lab = _labels(affinity_propagation(df), len(truth))
+    lab = _labels(affinity_propagation(df, damping=0.9), len(truth))
     assert ari(truth, lab) >= 0.9
 
 
@@ -293,12 +297,12 @@ def test_linkage_matches_naive_lance_williams():
 
 
 def test_affinity_propagation_damping_exposed(spark, blobs, monkeypatch):
-    """ADVICE: the reference runs sklearn's damping=0.5 default; our 0.9
-    deviation is documented, and the knob must flow from the DataFrame API
-    down to the numpy kernel so callers CAN request 0.5.  (0.5 itself can
-    oscillate on symmetric blobs without sklearn's exact noise RNG — that is
-    the documented reason for the 0.9 default — so the assertion here is
-    plumbing, plus unchanged quality at the default.)"""
+    """The DEFAULT is now sklearn's damping=0.5 (the reference's exact
+    parameterization); the knob must flow from the DataFrame API down to
+    the numpy kernel so callers can force-converge with 0.9 on
+    oscillation-prone data.  The default path must run deterministically
+    end-to-end even when it does not converge (sklearn behavior: return
+    the last iterate)."""
     from ifeatureomega_cli_spark import analysis as A
     from ifeatureomega_cli_spark.functions import np_cluster as NC
 
@@ -306,13 +310,15 @@ def test_affinity_propagation_damping_exposed(spark, blobs, monkeypatch):
     seen = {}
     real = NC.affinity_propagation
 
-    def spy(X, damping=0.9, **kw):
+    def spy(X, damping=0.5, **kw):
         seen["damping"] = damping
         return real(X, damping=damping, **kw)
 
     monkeypatch.setattr(NC, "affinity_propagation", spy)
-    A.affinity_propagation(df, max_rows=120, damping=0.5).count()
-    assert seen["damping"] == 0.5
+    A.affinity_propagation(df, max_rows=120, damping=0.9).count()
+    assert seen["damping"] == 0.9
     monkeypatch.undo()
-    out = A.affinity_propagation(df, max_rows=120)  # default unchanged
-    assert ari(_labels(out, len(truth)), truth) >= 0.9
+    # default (0.5): runs, deterministic across invocations
+    a = _labels(A.affinity_propagation(df, max_rows=120), len(truth))
+    b = _labels(A.affinity_propagation(df, max_rows=120), len(truth))
+    assert (a == b).all()
