@@ -889,6 +889,39 @@ def q_struct_ss3(spark, sf_dir):
         _r(F.col("freq")).alias("freq"))
 
 
+def q_struct_depth(spark, sf_dir):
+    """Residue depth (ref :9286-9307) on the pseudo-structure with a
+    deterministic pseudo-surface (embedding dims 4-6 × 40): single-atom
+    residues make residue_depth = ca_depth = the min vertex distance, so
+    the DuckDB oracle recomputes it exactly (min is evaluation-order-free,
+    and the distance expression tree matches the kernel's)."""
+    from ifeatureomega_cli_spark.operators.structure import residue_depth
+
+    emb = _emb(spark, sf_dir)
+    res3_arr = F.array(*[F.lit(_AA3[c]) for c in _AA])
+    idx = (F.col("vec_id") % 20).cast("int")
+    e = lambda i: F.element_at("embedding", i).cast("double")  # noqa: E731
+    atoms = emb.select(
+        F.lit("synthetic").alias("pdb_id"), F.lit("ATOM").alias("record"),
+        F.col("vec_id").alias("serial"), F.lit("CA").alias("atom_name"),
+        F.lit("").alias("altloc"), res3_arr[idx].alias("resname"),
+        F.lit("A").alias("chain"), F.col("vec_id").alias("resseq"),
+        F.lit("").alias("icode"),
+        (e(1) * 40).alias("x"), (e(2) * 40).alias("y"),
+        (e(3) * 40).alias("z"),
+        F.lit(1.0).alias("occupancy"), F.lit(0.0).alias("bfactor"),
+        F.lit("C").alias("element"), F.lit(" ").alias("hetflag"))
+    surface = emb.select(
+        F.lit("synthetic").alias("pdb_id"),
+        (e(4) * 40).alias("x"), (e(5) * 40).alias("y"),
+        (e(6) * 40).alias("z"))
+    out = residue_depth(atoms, surface)
+    return out.select(
+        F.col("resseq").cast("long").alias("vec_id"),
+        _r(F.col("residue_depth")).alias("residue_depth"),
+        _r(F.col("ca_depth")).alias("ca_depth"))
+
+
 def q_struct_network(spark, sf_dir):
     """Structure contact-network degree/centrality/clustering (ref
     :9633-9690) on the same pseudo-structure; betweenness/closeness/
@@ -1011,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "struct_shell_aac": q_struct_shell_aac,
         "struct_ss8": q_struct_ss8,
         "struct_ss3": q_struct_ss3,
+        "struct_depth": q_struct_depth,
         "struct_network": q_struct_network,
         "struct_hse": q_struct_hse,
         "kmeans_planted": q_kmeans_planted,
@@ -1214,6 +1248,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cnt.shell * 20 + cnt.aa_idx AS INTEGER) AS pos,
                    ROUND(n::DOUBLE / tt, 6) AS freq
             FROM cnt JOIN tot ON cnt.t = tot.t AND cnt.shell = tot.shell
+        """,
+        "struct_depth": """
+            WITH res AS (
+              SELECT vec_id,
+                     embedding[1]::DOUBLE * 40 AS x,
+                     embedding[2]::DOUBLE * 40 AS y,
+                     embedding[3]::DOUBLE * 40 AS z
+              FROM embeddings
+            ), surf AS (
+              SELECT embedding[4]::DOUBLE * 40 AS x,
+                     embedding[5]::DOUBLE * 40 AS y,
+                     embedding[6]::DOUBLE * 40 AS z
+              FROM embeddings
+            ), mind AS (
+              SELECT r.vec_id,
+                     MIN(sqrt(((s.x - r.x) * (s.x - r.x)
+                               + (s.y - r.y) * (s.y - r.y))
+                              + (s.z - r.z) * (s.z - r.z))) AS d
+              FROM res r CROSS JOIN surf s
+              GROUP BY r.vec_id)
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   ROUND(d, 6) AS residue_depth,
+                   ROUND(d, 6) AS ca_depth
+            FROM mind
         """,
         "struct_ss8": """
             WITH res AS (

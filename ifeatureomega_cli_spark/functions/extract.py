@@ -95,20 +95,59 @@ def extract_many(
     tokens_col: str = "tokens",
     length: int | None = None,
     dtype: str = "float64",
+    fuse: bool = True,
 ) -> DataFrame:
-    """Fuse several descriptors in one pass — one UDF per descriptor but a
-    single scan/stage; output columns named after each descriptor."""
-    cols: list[Column] = [F.col(c) for c in df.columns]
+    """Several descriptors in one pass, one output column per descriptor.
+
+    fuse=True (default): ONE struct-returning Arrow UDF computes every
+    descriptor per batch — the Ragged batch structure (a Python-loop
+    int64 flatten of the tokens column) is built ONCE instead of once per
+    descriptor, and the tokens column crosses the Arrow boundary once.
+    With 10 descriptors that removes 9 redundant flatten passes — the
+    dominant per-batch memory traffic besides the kernels themselves.
+    fuse=False keeps the one-UDF-per-descriptor plan (Catalyst still
+    merges them into a single ArrowEvalPython node; each UDF rebuilds the
+    Ragged) — retained for A/B measurement and single-descriptor parity
+    with `extract`."""
     L = length or 0
     if not L and any(get_spec(n).equal_length for n in names):
         L = _discover_length(df, "n_tok")  # ONE agg job shared by all
-    for name in names:
+    out_names = [n.split(":", 1)[-1].replace(" ", "_") for n in names]
+    if fuse:
+        udf = fused_struct_udf(names, params, L, dtype=dtype)
+        packed = df.withColumn("__feats", udf(F.col(tokens_col)))
+        cols = [F.col(c) for c in df.columns] + [
+            F.col(f"__feats.{o}").alias(o) for o in out_names]
+        return packed.select(*cols)
+    cols: list[Column] = [F.col(c) for c in df.columns]
+    for name, out in zip(names, out_names):
         p = (params or {}).get(name)
         cols.append(descriptor_udf(name, p, L, dtype=dtype)(
-            F.col(tokens_col)).alias(
-            name.split(":", 1)[-1].replace(" ", "_")
-        ))
+            F.col(tokens_col)).alias(out))
     return df.select(*cols)
+
+
+def fused_struct_udf(names: list[str], params: dict[str, dict] | None = None,
+                     length: int = 0, dtype: str = "float64"):
+    """ONE Arrow UDF returning a struct with one array field per
+    descriptor: shared Ragged build, shared Arrow input, named outputs."""
+    from pyspark.sql.types import FloatType, StructField, StructType
+
+    kerns = [get_spec(n).kernel((params or {}).get(n), length) for n in names]
+    out_names = [n.split(":", 1)[-1].replace(" ", "_") for n in names]
+    elem = DoubleType() if dtype == "float64" else FloatType()
+    cast = (lambda a: a) if dtype == "float64" \
+        else (lambda a: a.astype(np.float32))
+    schema = StructType([
+        StructField(o, ArrayType(elem)) for o in out_names])
+
+    @pandas_udf(schema)
+    def _udf(tokens: pd.Series) -> pd.DataFrame:
+        r = Ragged.from_arrays(tokens.to_numpy())
+        return pd.DataFrame(
+            {o: list(cast(k(r))) for o, k in zip(out_names, kerns)})
+
+    return _udf
 
 
 def fused_udf(names: list[str], params: dict[str, dict] | None = None,

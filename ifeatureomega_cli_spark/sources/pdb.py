@@ -305,3 +305,40 @@ def residue_table(atoms: DataFrame) -> DataFrame:
             .filter(F.col("__rk") == 1)
             .select("pdb_id", "chain", "resseq", "icode", "resname",
                     aa_map[F.col("resname")].alias("aa"), "x", "y", "z"))
+
+
+def read_msms_vert(spark: SparkSession, path_glob: str) -> DataFrame:
+    """MSMS `.vert` surface files → (pdb_id, x, y, z) vertex table.
+
+    The reference's Residue depth descriptor (iFeatureOmegaCLI.py:9286-9307)
+    shells out to the MSMS binary via Bio.PDB ResidueDepth; the binary is
+    not available here, but its OUTPUT format is published plain text
+    (Sanner et al., Biopolymers 38:305-320, 1996): 2 comment lines, one
+    count line, then one vertex per line `x y z nx ny nz ...` — so
+    precomputed surfaces are first-class inputs.  pdb_id = file stem's
+    first 4 chars, matching read_pdb_dir."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                pdb_id = os.path.basename(p)[:4].lower()
+                lines = (bytes(content).decode("utf-8", "replace")
+                         .splitlines())
+                for line in lines[3:]:
+                    parts = line.split()
+                    if len(parts) < 3:
+                        continue
+                    try:
+                        out.append((pdb_id, float(parts[0]),
+                                    float(parts[1]), float(parts[2])))
+                    except ValueError:
+                        continue
+            if out:
+                yield pd.DataFrame(out, columns=["pdb_id", "x", "y", "z"])
+
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.vert").load(path_glob)
+             .select("path", "content"))
+    return files.mapInPandas(
+        gen, schema="pdb_id string, x double, y double, z double")

@@ -19,9 +19,15 @@ DSSP BINARY itself (which produces those letters, :9154) remains
 unavailable; secondary_structure_descriptor() below raises with that
 pointer when no ss_col is supplied.
 
-STILL out of scope, with reasons:
+Residue depth (round 4) follows the same pattern: the MSMS binary is
+absent, but its .vert output format is published text —
+sources/pdb.read_msms_vert reads precomputed surfaces and
+operators/structure.residue_depth computes the reference's mean-of-min
+distances over them.  All 14 structure feature types now have a real
+computation path; only the DSSP/MSMS binaries that produce SS letters /
+surface vertices remain external inputs.
 
-* Residue depth: needs the MSMS surface binary (:9290).
+STILL out of scope, with reasons:
 * Ligand descriptors: need RDKit (`chem/*`, :9891-9907) — per-molecule
   scalar maps; the Spark design is one `mapInPandas` over a
   `(mol_id, smiles)` table wrapping RDKit when it exists.
@@ -66,11 +72,23 @@ def secondary_structure_descriptor(df, name: str, ss_col: str | None = None,
                                      ss_col=ss_col, **params)
 
 
-def residue_depth(df, **params):
-    """Residue depth — blocked on the MSMS surface binary."""
-    raise NotImplementedError(
-        _MSG.format(name="residue depth", dep="the MSMS binary",
-                    ref="9286-9307"))
+def residue_depth(df, surface=None, **params):
+    """Residue depth over an atoms table + surface point cloud.
+
+    With `surface` (a (pdb_id, x, y, z) DataFrame — e.g. precomputed MSMS
+    vertices via sources.pdb.read_msms_vert): delegates to
+    operators.structure.residue_depth, the full reference computation
+    (:9286-9307).  Without it: the MSMS binary that would compute the
+    surface is unavailable, so raise with the citation."""
+    if surface is None:
+        raise NotImplementedError(
+            _MSG.format(name="residue depth without a surface table",
+                        dep="the MSMS binary (or precomputed .vert files "
+                            "via sources.pdb.read_msms_vert)",
+                        ref="9286-9307"))
+    from ifeatureomega_cli_spark.operators.structure import (
+        residue_depth as _rd)
+    return _rd(df, surface, **params)
 
 
 def ligand_descriptor(df, name: str, **params):

@@ -700,3 +700,77 @@ def test_ss_facade_and_validation(spark):
         residue_shell_composition(df, "SS8")  # ss_col required
     with pytest.raises(KeyError):
         SL.secondary_structure_descriptor(df, "SS5_type1", ss_col="ss")
+
+
+def test_residue_depth_hand_computed(spark, tmp_path):
+    """Surface = 4 points on the z=10 plane; residue 1 has two atoms at
+    z=0 and z=2 under a surface point → min dists 10 and 8, mean 9;
+    CA (z=0) depth 10.  Residue 2 (no CA) → ca_depth NaN.  HETATM and
+    non-AA rows excluded (Bio.PDB is_aa)."""
+    from ifeatureomega_cli_spark.operators.structure import residue_depth
+
+    cols = ("pdb_id string, record string, serial long, atom_name string, "
+            "altloc string, resname string, chain string, resseq long, "
+            "icode string, x double, y double, z double, occupancy double, "
+            "bfactor double, element string, hetflag string")
+    mk = lambda serial, name, resseq, x, y, z, res="ALA", het=" ": (  # noqa: E731
+        "t", "ATOM", serial, name, "", res, "A", resseq, "", x, y, z,
+        1.0, 0.0, name[0], het)
+    atoms = spark.createDataFrame([
+        mk(1, "CA", 1, 0.0, 0.0, 0.0),
+        mk(2, "CB", 1, 0.0, 0.0, 2.0),
+        mk(3, "N", 2, 50.0, 0.0, 4.0, res="GLY"),
+        mk(4, "O", 3, 0.0, 0.0, 0.0, res="HOH", het="W"),   # water: skip
+        mk(5, "CA", 4, 0.0, 0.0, 0.0, res="UNK"),           # non-AA: skip
+    ], cols)
+    surface = spark.createDataFrame(
+        [("t", 0.0, 0.0, 10.0), ("t", 50.0, 0.0, 10.0),
+         ("t", 200.0, 200.0, 10.0), ("t", -200.0, 0.0, 10.0)],
+        "pdb_id string, x double, y double, z double")
+    out = (residue_depth(atoms, surface).toPandas()
+           .set_index("resseq").sort_index())
+    assert list(out.index) == [1, 2]
+    assert out.loc[1, "residue_depth"] == 9.0
+    assert out.loc[1, "ca_depth"] == 10.0
+    assert out.loc[2, "residue_depth"] == 6.0
+    assert np.isnan(out.loc[2, "ca_depth"])
+    assert out.loc[1, "sample"] == "A_1"
+
+
+def test_msms_vert_reader_and_depth_pipeline(spark, tmp_path):
+    """.vert text (2 comment + 1 count line, then x y z nx ny nz ...) reads
+    distributed; end-to-end depth over 1iir atoms with a synthetic sphere
+    surface stays positive and finite for every residue."""
+    from ifeatureomega_cli_spark.operators.structure import residue_depth
+    from ifeatureomega_cli_spark.sources.pdb import read_msms_vert, read_pdb
+
+    atoms = read_pdb(spark, REF_PDB)
+    ca = atoms.toPandas()
+    ca = ca[(ca["hetflag"] == " ") & (ca["atom_name"] == "CA")]
+    center = ca[["x", "y", "z"]].mean().to_numpy()
+    r = 60.0
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(500, 3))
+    pts = center + r * pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    d = tmp_path / "surf"
+    d.mkdir()
+    lines = ["# MSMS solvent excluded surface", "#", "500 0 0.0 0.0"]
+    lines += [f"{p[0]:.3f} {p[1]:.3f} {p[2]:.3f} 0.0 0.0 1.0 0 0 1"
+              for p in pts]
+    (d / "1iir.vert").write_text("\n".join(lines) + "\n")
+    surf = read_msms_vert(spark, str(d))
+    sp = surf.toPandas()
+    assert len(sp) == 500 and set(sp["pdb_id"]) == {"1iir"}
+    out = residue_depth(atoms, surf).toPandas()
+    assert len(out) > 100
+    assert (out["residue_depth"] > 0).all()
+    assert np.isfinite(out["residue_depth"]).all()
+    # every CA depth ≤ 2×radius and ≥ (r − max dist from center)
+    assert (out["ca_depth"].dropna() < 2 * r).all()
+
+
+def test_residue_depth_facade(spark):
+    from ifeatureomega_cli_spark import structure_ligand as SL
+
+    with pytest.raises(NotImplementedError):
+        SL.residue_depth(None)
