@@ -300,9 +300,14 @@ class StructureDataset:
     s.display_feature_types()               →  same
 
     Accepts a single .pdb path, a glob of many (distributed parse — one
-    task per file), or a pre-parsed atoms DataFrame.  SS3/SS8 (DSSP) and
-    Residue depth (MSMS) raise NotImplementedError with the citation, as
-    documented in structure_ligand.py.
+    task per file), or a pre-parsed atoms DataFrame.  SS3/SS8 need
+    per-residue DSSP letters and Residue depth needs a surface point
+    cloud — the DSSP/MSMS binaries that produce them are not bundled, so
+    attach precomputed inputs first
+    (`attach_secondary_structure(df)` with (pdb_id, chain, resseq, ss);
+    `attach_surface(df)` with (pdb_id, x, y, z) — e.g. from
+    sources.pdb.read_msms_vert); without them those descriptors raise
+    NotImplementedError with the citation.
     """
 
     _TYPES = ["AAC_type1", "AAC_type2", "GAAC_type1", "GAAC_type2",
@@ -327,6 +332,22 @@ class StructureDataset:
         self.encodings: DataFrame | None = None
         self.error_msg: str | None = None
         self._params: dict[str, dict] = {}
+        self._ss: DataFrame | None = None
+        self._surface: DataFrame | None = None
+
+    def attach_secondary_structure(self, ss: DataFrame) -> "StructureDataset":
+        """Attach per-residue DSSP 8-state letters: (pdb_id, chain,
+        resseq[, icode], ss) — from precomputed DSSP runs or a
+        predictor.  Enables SS3/SS8_type1/2."""
+        self._ss = ss
+        return self
+
+    def attach_surface(self, surface: DataFrame) -> "StructureDataset":
+        """Attach a molecular-surface point cloud: (pdb_id, x, y, z) —
+        e.g. sources.pdb.read_msms_vert over precomputed MSMS .vert
+        files.  Enables Residue depth."""
+        self._surface = surface
+        return self
 
     def import_parameters(self, path: str) -> bool:
         """Reference Structure_parameters_setting.json verbatim
@@ -365,9 +386,22 @@ class StructureDataset:
             out = network_metrics(residue_table(self.atoms),
                                   cutoff=float(cfg.get("distance", 11)))
         elif name in ("SS3_type1", "SS3_type2", "SS8_type1", "SS8_type2"):
-            return SL.secondary_structure_descriptor(self.atoms, name)
+            if self._ss is None:
+                return SL.secondary_structure_descriptor(self.atoms, name)
+            res = residue_table(self.atoms)
+            keys = [k for k in ("pdb_id", "chain", "resseq", "icode")
+                    if k in self._ss.columns]
+            res = res.join(self._ss.select(*keys, "ss"), keys, "left")
+            out = residue_shell_composition(
+                res, kind=name.split("_")[0],
+                type2=name.endswith("type2"),
+                shell=tuple(cfg.get("shell", (3, 20, 2))), ss_col="ss")
         elif name == "Residue depth":
-            return SL.residue_depth(self.atoms)
+            if self._surface is None:
+                return SL.residue_depth(self.atoms)
+            from ifeatureomega_cli_spark.operators.structure import (
+                residue_depth as _rd)
+            out = _rd(self.atoms, self._surface)
         else:
             raise KeyError(
                 f"unknown structure descriptor {name!r}; known: {self._TYPES}")
@@ -390,6 +424,11 @@ class StructureDataset:
         if name == "Network-based index":
             return ["degree", "degree_centrality", "betweenness",
                     "clustering_coefficient", "closeness", "centrality"]
+        if name.startswith(("SS3", "SS8")):
+            return shell_feature_names(name.split("_")[0],
+                                       tuple(cfg.get("shell", (3, 20, 2))))
+        if name == "Residue depth":
+            return ["Residue_depth", "CA_depth"]  # ref :9303 column names
         raise KeyError(name)
 
     def to_csv(self, path: str, name: str | None = None,

@@ -774,3 +774,43 @@ def test_residue_depth_facade(spark):
 
     with pytest.raises(NotImplementedError):
         SL.residue_depth(None)
+
+
+def test_structure_facade_ss_and_depth_attach(spark):
+    """StructureDataset completes the 14-type surface once precomputed
+    DSSP letters / MSMS vertices are attached; without them the honest
+    NotImplementedError (with the binary citation) still fires."""
+    from pyspark.sql import functions as F
+
+    from ifeatureomega_cli_spark.api import StructureDataset
+    from ifeatureomega_cli_spark.sources.pdb import read_pdb
+
+    atoms = read_pdb(spark, REF_PDB)
+    st = StructureDataset(spark, atoms)
+    with pytest.raises(NotImplementedError):
+        st.get_descriptor("SS8_type1")
+    with pytest.raises(NotImplementedError):
+        st.get_descriptor("Residue depth")
+    # synthetic letters: every residue helix
+    res = (atoms.filter("hetflag = ' ' AND atom_name = 'CA'")
+           .select("pdb_id", "chain", "resseq").distinct()
+           .withColumn("ss", F.lit("H")))
+    out = st.attach_secondary_structure(res).get_descriptor("SS8_type1")
+    pdf = out.toPandas()
+    assert len(pdf) > 100
+    feats = np.stack(pdf["features"].to_numpy()).reshape(len(pdf), 9, 8)
+    # all-H letters → occupied shells put everything in the H slot
+    occupied = feats.sum(axis=2) > 0
+    assert np.allclose(feats[:, :, 0][occupied], 1.0)
+    assert st.feature_names("SS8_type1")[0] == "shell_1.H"
+    # surface attach → depth computes
+    ca = atoms.toPandas()
+    ca = ca[(ca["hetflag"] == " ") & (ca["atom_name"] == "CA")]
+    center = ca[["x", "y", "z"]].mean()
+    surf = spark.createDataFrame(
+        [("1iir", float(center["x"]) + 60.0, float(center["y"]),
+          float(center["z"]))],
+        "pdb_id string, x double, y double, z double")
+    dep = st.attach_surface(surf).get_descriptor("Residue depth").toPandas()
+    assert len(dep) > 100 and (dep["residue_depth"] > 0).all()
+    assert st.feature_names("Residue depth") == ["Residue_depth", "CA_depth"]
