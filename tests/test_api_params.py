@@ -174,3 +174,33 @@ def test_extract_float32_output(spark):
     b = np.array(f32["features"].tolist())
     assert b.dtype == np.float32 or np.allclose(a, b, rtol=1e-6)
     assert np.allclose(a, b.astype(np.float64), rtol=1e-6, atol=1e-6)
+
+
+def test_extract_many_struct_fuse_bit_identical(spark):
+    """The round-4 default (one struct-returning Arrow UDF, shared Ragged)
+    must be BIT-identical to the per-descriptor UDF path across the
+    kernel archetypes — composition, gapped pairs, autocorrelation,
+    CTD, pseudo-composition, positional (equal-length), cross-alphabet."""
+    from ifeatureomega_cli_spark.functions.extract import extract_many
+
+    names = ["protein:AAC", "protein:DPC type 1", "protein:CKSAAP type 1",
+             "protein:GAAC", "protein:CKSAAGP type 1", "protein:Moran",
+             "protein:Geary", "protein:CTDC", "protein:CTDD",
+             "protein:PAAC", "protein:APAAC", "protein:QSOrder",
+             "protein:ASDC", "protein:binary", "protein:EAAC"]
+    outs = [n.split(":", 1)[-1].replace(" ", "_") for n in names]
+    sdf = spark.read.parquet(
+        os.path.join(FIXDIR, "peptide_tokens.parquet")).limit(60)
+    a = (extract_many(sdf, names, fuse=True).select("doc_id", *outs)
+         .toPandas().set_index("doc_id").sort_index())
+    b = (extract_many(sdf, names, fuse=False).select("doc_id", *outs)
+         .toPandas().set_index("doc_id").sort_index())
+    for c in outs:
+        av = np.array(a[c].tolist())
+        bv = np.array(b[c].tolist())
+        assert av.shape == bv.shape and np.array_equal(
+            av, bv, equal_nan=True), c
+    # float32 narrowing flows through the fused path too
+    f32 = (extract_many(sdf, names[:3], dtype="float32").select(outs[0])
+           .toPandas())
+    assert np.asarray(f32.iloc[0, 0]).dtype == np.float32
