@@ -109,6 +109,8 @@ def extract_many(
     merges them into a single ArrowEvalPython node; each UDF rebuilds the
     Ragged) — retained for A/B measurement and single-descriptor parity
     with `extract`."""
+    if not names:
+        return df
     L = length or 0
     if not L and any(get_spec(n).equal_length for n in names):
         L = _discover_length(df, "n_tok")  # ONE agg job shared by all

@@ -161,8 +161,12 @@ def descriptor_stub(smiles: str, family: str) -> np.ndarray:
 
 def read_smiles(spark: SparkSession, path: str) -> DataFrame:
     """One SMILES per line (the reference's input format, :9869) →
-    (mol_id, smiles); mol_id is the 0-based line number, matching the
-    reference's positional index.  Needs no chemistry library.
+    (mol_id, smiles); mol_id is the 0-based index among NON-BLANK lines.
+    Documented deviation: the reference keeps interior blank lines as ''
+    entries (RDKit parses '' to an empty-but-valid Mol, so they survive
+    into mol_list, :9869-9876); here blank lines are dropped — an empty
+    molecule has no meaningful descriptors.  Needs no chemistry
+    library.
 
     Scale note: the global line-number window is a single-partition sort —
     correct for the reference's dimension-table-sized SMILES lists; for a

@@ -175,7 +175,10 @@ def residue_shell_composition(
     feature slots are structurally zero and only H/E carry signal.  Both
     kinds emit 8 features/shell named per SS8_STATES.  Letters outside the
     8-state alphabet likewise count toward denominators only (:9466
-    membership test).
+    membership test).  Residues with a NULL/missing letter are treated as
+    '-' (DSSP's no-assignment marker) — the reference never faces this
+    case because it aborts unless DSSP returned a letter for every
+    residue (:9173).
 
     Input: residue_table() output (pdb_id, chain, resseq, resname, aa,
     x, y, z) [+ ss_col].  Output: one row per residue with `sample`
@@ -554,6 +557,11 @@ def residue_depth(atoms: DataFrame, surface: DataFrame) -> DataFrame:
     strings (both rows kept, as the reference's DataFrame index does);
     non-amino-acid residues are skipped (Bio.PDB is_aa test → resname in
     the 20-AA table).
+
+    A structure with atoms but NO surface rows yields zero output rows
+    (observable as a row-count drop) — the reference fails that structure
+    outright when MSMS errors (:9292-9294), so skipping is the
+    corpus-safe analogue of its single-structure failure.
 
     Execution: atoms and surface cogrouped per pdb_id — each structure's
     depth is one vectorized task; distances are computed in TARGET_CHUNK
