@@ -814,3 +814,109 @@ def test_structure_facade_ss_and_depth_attach(spark):
     dep = st.attach_surface(surf).get_descriptor("Residue depth").toPandas()
     assert len(dep) > 100 and (dep["residue_depth"] > 0).all()
     assert st.feature_names("Residue depth") == ["Residue_depth", "CA_depth"]
+
+
+def test_ss_shells_match_bruteforce_random(spark):
+    """Randomized cross-check: SS8/SS3 type1/2 shell fractions equal a
+    per-residue brute-force loop on 120 random residues with random
+    letters (covers AABB pruning + chunking + the SS3 collapse quirk)."""
+    from ifeatureomega_cli_spark.operators import structure as S
+    from ifeatureomega_cli_spark.operators.structure import (
+        AA_HEC, SS8_STATES, residue_shell_composition)
+
+    rng = np.random.default_rng(11)
+    n = 120
+    X = rng.uniform(-15, 15, size=(n, 3))
+    letters = [SS8_STATES[i] for i in rng.integers(0, 8, n)]
+    rows = [("t", "A", i, "ALA", "A",
+             float(X[i, 0]), float(X[i, 1]), float(X[i, 2]), letters[i])
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "pdb_id string, chain string, resseq long, resname string, "
+        "aa string, x double, y double, z double, ss string")
+    starts = list(range(3, 21, 2))
+    ss8_idx = {s: i for i, s in enumerate(SS8_STATES)}
+
+    def brute(kind, type2):
+        out = np.zeros((n, 9 * 8))
+        for i in range(n):
+            d = np.sqrt(((X - X[i]) ** 2).sum(1))
+            for m, s in enumerate(starts):
+                sel = (d < s + 2) if type2 else ((d >= s) & (d < s + 2))
+                # self (d=0) is only reachable in type2's cumulative shells,
+                # matching the kernel (type1 shells start at 3)
+                idxs = np.nonzero(sel)[0]
+                cnt = np.zeros(8)
+                tot = 0
+                for j in idxs:
+                    tot += 1
+                    let = letters[j] if kind == "SS8" else AA_HEC[letters[j]]
+                    if let in ss8_idx:
+                        cnt[ss8_idx[let]] += 1
+                if tot:
+                    out[i, m * 8:(m + 1) * 8] = cnt / tot
+        return out
+
+    old = S.TARGET_CHUNK
+    try:
+        S.TARGET_CHUNK = 32  # force multi-chunk + AABB path
+        for kind in ("SS8", "SS3"):
+            for type2 in (False, True):
+                got = (residue_shell_composition(
+                    df, kind, type2=type2, ss_col="ss",
+                    target_chunk=32).toPandas()
+                    .set_index("resseq").sort_index())
+                G = np.stack(got["features"].to_numpy())
+                B = brute(kind, type2)
+                assert np.allclose(G, B), (kind, type2)
+    finally:
+        S.TARGET_CHUNK = old
+
+
+def test_residue_depth_matches_bruteforce_random(spark):
+    """Randomized cross-check on multi-atom residues incl. the chunked
+    min-distance path and the atom-mean."""
+    from ifeatureomega_cli_spark.operators import structure as S
+    from ifeatureomega_cli_spark.operators.structure import residue_depth
+
+    rng = np.random.default_rng(13)
+    n_res, n_surf = 40, 300
+    cols = ("pdb_id string, record string, serial long, atom_name string, "
+            "altloc string, resname string, chain string, resseq long, "
+            "icode string, x double, y double, z double, occupancy double, "
+            "bfactor double, element string, hetflag string")
+    atom_rows = []
+    coords = {}
+    serial = 0
+    for i in range(n_res):
+        k = int(rng.integers(1, 5))
+        pts = rng.uniform(-20, 20, size=(k, 3))
+        coords[i] = pts
+        for j in range(k):
+            name = "CA" if j == 0 and i % 3 else f"C{j}"
+            atom_rows.append(("t", "ATOM", serial, name, "", "ALA", "A", i,
+                              "", float(pts[j, 0]), float(pts[j, 1]),
+                              float(pts[j, 2]), 1.0, 0.0, "C", " "))
+            serial += 1
+    SURF = rng.uniform(-30, 30, size=(n_surf, 3))
+    atoms = spark.createDataFrame(atom_rows, cols)
+    surf = spark.createDataFrame(
+        [("t", float(p[0]), float(p[1]), float(p[2])) for p in SURF],
+        "pdb_id string, x double, y double, z double")
+    old = S.TARGET_CHUNK
+    try:
+        S.TARGET_CHUNK = 16
+        out = (residue_depth(atoms, surf).toPandas()
+               .set_index("resseq").sort_index())
+    finally:
+        S.TARGET_CHUNK = old
+    assert len(out) == n_res
+    for i in range(n_res):
+        pts = coords[i]
+        mins = np.sqrt(((pts[:, None, :] - SURF[None, :, :]) ** 2)
+                       .sum(-1)).min(axis=1)
+        assert np.isclose(out.loc[i, "residue_depth"], mins.mean()), i
+        if i % 3:  # residues with a CA
+            assert np.isclose(out.loc[i, "ca_depth"], mins[0]), i
+        else:
+            assert np.isnan(out.loc[i, "ca_depth"]), i
