@@ -571,15 +571,16 @@ def test_hse_vectorized_matches_loop_reference(spark):
     pd.testing.assert_frame_equal(got1, got2)
 
 
-def test_hse_oracle_margin_sf001():
-    """Guard the driver oracle's float boundaries: on the sf0.001
-    pseudo-protein every half-sphere plane dot and every 12 Å distance
-    test must clear zero/the-cutoff by far more than accumulated ulp
-    error, so the Spark kernel and the DuckDB oracle can never disagree
-    on a boundary regardless of evaluation order."""
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                "/root/testdata/sf0.01"])
+def test_hse_oracle_margin(sf):
+    """Guard the driver oracle's float boundaries at BOTH the test SF and
+    the driver's correctness-gate SF (0.01): every half-sphere plane dot
+    and every 12 Å distance test must clear zero/the-cutoff by far more
+    than accumulated ulp error, so the Spark kernel and the DuckDB oracle
+    can never disagree on a boundary regardless of evaluation order."""
     import duckdb
 
-    sf = "/root/testdata/sf0.001"
     con = duckdb.connect()
     con.execute("CREATE VIEW embeddings AS SELECT * FROM "
                 f"read_parquet('{sf}/embeddings.parquet')")
