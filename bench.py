@@ -209,6 +209,47 @@ def main() -> None:
         "descriptors_fused_f32_sec": t_desc_f32,
     }
 
+    # -- structure kernels (round 4): 20k-residue single chain ----------
+    # separate key (not in `queries`/total) so the headline stays
+    # comparable across rounds; pins the chunk+AABB kernel throughput
+    import numpy as _np
+
+    from ifeatureomega_cli_spark.operators.structure import (
+        hse, residue_shell_composition)
+    rng = _np.random.default_rng(0)
+    steps = rng.normal(size=(20000, 3))
+    steps = 3.8 * steps / _np.linalg.norm(steps, axis=1, keepdims=True)
+    ca = _np.cumsum(steps, axis=0)
+    aa = "ACDEFGHIKLMNPQRSTVWY"
+    res_rows = [("b", "A", i, "ALA", aa[i % 20],
+                 float(ca[i, 0]), float(ca[i, 1]), float(ca[i, 2]))
+                for i in range(20000)]
+    res_df = spark.createDataFrame(
+        res_rows, "pdb_id string, chain string, resseq long, "
+        "resname string, aa string, x double, y double, z double"
+    ).coalesce(1).cache()
+    res_df.count()
+    atom_rows = [("b", "ATOM", i, "CA", "", "ALA", "A", i, "",
+                  float(ca[i, 0]), float(ca[i, 1]), float(ca[i, 2]),
+                  1.0, 0.0, "C", " ") for i in range(20000)]
+    atoms_df = spark.createDataFrame(
+        atom_rows, "pdb_id string, record string, serial long, "
+        "atom_name string, altloc string, resname string, chain string, "
+        "resseq long, icode string, x double, y double, z double, "
+        "occupancy double, bfactor double, element string, hetflag string"
+    ).coalesce(1).cache()
+    atoms_df.count()
+    t0 = time.perf_counter()
+    residue_shell_composition(res_df, "AAC").count()
+    t_shell = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    hse(atoms_df, kind="CA").count()
+    t_hse = round(time.perf_counter() - t0, 3)
+    result["structure_20k"] = {"shell_aac_sec": t_shell, "hse_ca_sec": t_hse,
+                               "residues": 20000}
+    res_df.unpersist()
+    atoms_df.unpersist()
+
     # -- 10× section (≈ sf1): constant-factor watch on the pair joins ----
     run_sf1 = os.environ.get("SPARK_GRAFT_SF1", "1" if sf == 0.1 else "0")
     if run_sf1 == "1":
