@@ -46,8 +46,21 @@ def cmd_extract(args) -> int:
     out = extract(df, args.descriptor, params)
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
-    print(json.dumps({"rows": n, "seconds": round(time.time() - t0, 2),
-                      "descriptor": args.descriptor, "output": args.output}))
+    seconds = round(time.time() - t0, 2)
+    # --repeat: re-run the extract+write to steady state and report the
+    # LAST timing too — first-run numbers under spark-submit include
+    # executor registration + python-worker cold spawn, which is exactly
+    # what a scaling A/B must exclude
+    last = seconds
+    for _ in range(max(0, args.repeat - 1)):
+        t0 = time.time()
+        extract(df, args.descriptor, params).write.mode(
+            "overwrite").parquet(args.output)
+        last = round(time.time() - t0, 2)
+    print(json.dumps({"rows": n, "seconds": seconds,
+                      "steady_seconds": last,
+                      "descriptor": args.descriptor,
+                      "output": args.output}))
     return 0
 
 
@@ -190,6 +203,8 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--params", default=None, help="JSON dict of parameters")
     p.add_argument("--fasta", action="store_true")
+    p.add_argument("--repeat", type=int, default=1,
+                   help="re-run the extract to steady state; report last")
     p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("checkpoint-extract")
