@@ -28,11 +28,13 @@ def test_cli_extract_and_asof(spark, tmp_path, capsys):
 
     rc = cli.main([
         "extract", "--input", os.path.join(FIXDIR, "peptide_tokens.parquet"),
-        "--descriptor", "protein:GAAC", "--output", str(tmp_path / "f"),
+        "--descriptor", "protein:GAAC", "--repeat", "2",
+        "--output", str(tmp_path / "f"),
     ])
     assert rc == 0
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["rows"] == 300
+    assert info["steady_seconds"] <= info["seconds"] * 3  # present + sane
     feats = spark.read.parquet(str(tmp_path / "f"))
     assert len(feats.select("features").head()[0]) == 5
 
