@@ -393,23 +393,31 @@ def embedding_dup_pairs(
     n_planes: int = 16,
     seed: int = 42,
     dim: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold.
 
-    Random-hyperplane LSH (n_planes signs → one bucket key) prunes to
-    same-bucket candidates; exact cosine verifies.  For recall-critical use,
-    union several plane sets (seed+i)."""
+    Random-hyperplane LSH: `n_tables` independent plane sets, each of
+    `n_planes` signs → one bucket key per table; a pair is a candidate if
+    it collides in ANY table (the standard multi-table recall boost — the
+    per-true-pair miss probability drops from p to p^n_tables); exact
+    cosine verifies in one Arrow pass.  Tables share one
+    (table, bucket)-keyed shuffle, so they add linear work, not a
+    cross-table join; the candidate union is deduplicated BEFORE the
+    verify so each surviving pair is scored once."""
     if dim is None:
         dim = len(df.select(vec_col).head()[0])
     rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_planes, dim))
+    planes = rng.normal(size=(n_tables, n_planes, dim))
 
-    @pandas_udf(LongType())
-    def _bucket(vecs: pd.Series) -> pd.Series:
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        signs = (m @ planes.T) > 0
-        keys = (signs.astype(np.int64) << np.arange(n_planes)[None, :]).sum(axis=1)
-        return pd.Series(keys)
+        # (rows, tables, planes) sign tensor → per-table packed keys
+        signs = np.einsum("rd,tpd->rtp", m, planes) > 0
+        keys = (signs.astype(np.int64)
+                << np.arange(n_planes)[None, None, :]).sum(axis=2)
+        return pd.Series(list(keys))
 
     # in-bucket verify: Arrow-batched normalized row-dot (same kernel shape
     # as similarity._cos) — interpreted F.aggregate/F.zip_with higher-order
@@ -423,16 +431,26 @@ def embedding_dup_pairs(
         Bm = Bm / (np.linalg.norm(Bm, axis=1, keepdims=True) + 1e-300)
         return pd.Series(np.einsum("ij,ij->i", Am, Bm))
 
-    with_b = df.select(F.col(id_col), F.col(vec_col), _bucket(F.col(vec_col)).alias("bucket"))
+    with_b = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(_buckets(F.col(vec_col))).alias("table", "bucket"))
     a, b = with_b.alias("a"), with_b.alias("b")
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+    cands = (
+        a.join(b, (F.col("a.table") == F.col("b.table"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            _pair_cos(F.col(f"a.{vec_col}"),
-                      F.col(f"b.{vec_col}")).alias("cosine"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
         )
+    )
+    if n_tables > 1:
+        cands = cands.dropDuplicates(["id_a", "id_b"])
+    return (
+        cands.select(
+            "id_a", "id_b",
+            _pair_cos(F.col("__va"), F.col("__vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

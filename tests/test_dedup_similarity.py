@@ -87,6 +87,15 @@ def test_embedding_dup_pairs(spark):
     expected = {(j, 100 + j) for j in range(10)}
     recall = len(found & expected) / 10
     assert recall >= 0.7, f"embedding LSH recall {recall}"
+    # multi-table union: strictly-superset candidates → recall can only
+    # rise (here: to 1.0 with 6 independent tables), and dedup-before-
+    # verify means no duplicate output pairs
+    p4 = embedding_dup_pairs(df, threshold=0.99, n_planes=8,
+                             n_tables=6).toPandas()
+    found4 = {(a, b) for a, b in zip(p4["id_a"], p4["id_b"])}
+    assert found4 >= found
+    assert len(found4 & expected) == 10
+    assert len(p4) == len(p4.drop_duplicates(["id_a", "id_b"]))
 
 
 def test_ivf_recall_vs_brute_force(spark):
