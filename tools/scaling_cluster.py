@@ -124,7 +124,11 @@ def main() -> None:
             results[1]["temporal_seconds"] / results[4]["temporal_seconds"] / 4, 3),
     }
     print(json.dumps(report))
-    with open(os.path.join(REPO, "BENCH", "scaling_cluster.json"), "w") as f:
+    # single-run output goes to its own file: BENCH/scaling_cluster.json is
+    # the CONSOLIDATED multi-run report (medians + controls) and must not
+    # be clobbered by one raw run
+    with open(os.path.join(REPO, "BENCH",
+                           "scaling_cluster_last_run.json"), "w") as f:
         json.dump(report, f, indent=2)
 
 
