@@ -289,6 +289,37 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+def q_pipeline_clean(spark, sf_dir):
+    """Composed LLM training-data cleaning pipeline, batch end-to-end:
+    quality gate (alpha_ratio ≥ 0.82, ~the corpus median, AND
+    n_words ≥ 5) → exact dedup
+    (content-digest keepers only) → per-surviving-doc token stats.  One
+    declarative plan: the gate is whole-stage-codegen JVM expressions
+    fused into the scan stage (alpha_ratio derives from text, so it
+    cannot push INTO parquet — but it costs no extra pass), the dedup
+    digest groupBy is the single wide stage, stats are JVM expressions.
+    The DuckDB oracle reruns the identical composition in SQL."""
+    from ifeatureomega_cli_spark.operators.dedup import exact_dedup
+    from ifeatureomega_cli_spark.operators.textstats import (
+        text_quality, token_count)
+
+    docs = _docs(spark, sf_dir)
+    q = text_quality(docs).filter(
+        (F.col("alpha_ratio") >= 0.82) & (F.col("n_words") >= 5)
+    ).select("doc_id")
+    clean = docs.join(q, "doc_id")
+    keepers = exact_dedup(clean).select(
+        F.col("keeper_id").alias("doc_id"),
+        F.col("n_copies"))
+    out = token_count(clean).join(keepers, "doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_tokens_est").cast("long").alias("n_tokens_est"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+    )
+
+
 def q_token_count(spark, sf_dir):
     from ifeatureomega_cli_spark.operators.textstats import token_count
 
@@ -1021,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "dedup_exact": q_dedup_exact,
+        "pipeline_clean": q_pipeline_clean,
         "dedup_norm": q_dedup_norm,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
@@ -1604,6 +1636,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders GROUP BY o_custkey) r
               JOIN customer ON o_custkey = c_custkey)
             WHERE rk <= 10
+        """,
+        "pipeline_clean": """
+            -- quality gate -> exact-dedup keepers -> token stats, composed
+            WITH gated AS (
+              SELECT doc_id, text FROM documents
+              WHERE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                    / GREATEST(length(text), 1) >= 0.82
+                AND len(string_split_regex(trim(text), '\\s+')) >= 5
+            ), keepers AS (
+              SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+              FROM gated GROUP BY md5(text)
+            )
+            SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+                   CAST(len(string_split_regex(trim(g.text), '\\s+'))
+                        AS BIGINT) AS n_ws_tokens,
+                   CAST(ceil(length(g.text) / 4.0) AS BIGINT) AS n_tokens_est,
+                   CAST(k.n_copies AS BIGINT) AS n_copies
+            FROM gated g JOIN keepers k ON k.doc_id = g.doc_id
         """,
         "dedup_exact": """
             SELECT md5(text) AS digest, CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
