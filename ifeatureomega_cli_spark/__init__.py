@@ -11,8 +11,9 @@ From-scratch engine with the descriptor capabilities of iFeatureOmega-CLI
 * point-in-time (as-of) join + windowed feature operators — backfill,
   lag/lead, sessionize — as pure DataFrame combinators;
 * training-data pipeline operators: dedup (exact / MinHash-LSH / SimHash /
-  n-gram Jaccard / embedding-cosine), ANN similarity search, text quality
-  stats, multimodal column plumbing.
+  n-gram Jaccard / embedding-cosine, plus connected-component keeper
+  resolution over the candidate pairs), ANN similarity search, text
+  quality stats, multimodal column plumbing.
 """
 
 from ifeatureomega_cli_spark.session import get_spark

@@ -88,6 +88,22 @@ def extract(
     return df.withColumn(out_col, udf(F.col(tokens_col)))
 
 
+def _out_names(names: list[str]) -> list[str]:
+    """Output column names for a descriptor list — the namespace prefix is
+    dropped, so 'protein:AAC' and 'dna:AAC' would both map to 'AAC'.  A
+    struct schema with duplicate field names silently keeps only the last
+    kernel's values; refuse up front instead."""
+    outs = [n.split(":", 1)[-1].replace(" ", "_") for n in names]
+    dupes = {o for o in outs if outs.count(o) > 1}
+    if dupes:
+        raise ValueError(
+            f"duplicate output column name(s) {sorted(dupes)} — descriptors "
+            "from different namespaces normalize to the same column; extract "
+            "them in separate calls or rename"
+        )
+    return outs
+
+
 def extract_many(
     df: DataFrame,
     names: list[str],
@@ -111,10 +127,10 @@ def extract_many(
     with `extract`."""
     if not names:
         return df
+    out_names = _out_names(names)  # refuse collisions before any job runs
     L = length or 0
     if not L and any(get_spec(n).equal_length for n in names):
         L = _discover_length(df, "n_tok")  # ONE agg job shared by all
-    out_names = [n.split(":", 1)[-1].replace(" ", "_") for n in names]
     if fuse:
         udf = fused_struct_udf(names, params, L, dtype=dtype)
         packed = df.withColumn("__feats", udf(F.col(tokens_col)))
@@ -136,7 +152,7 @@ def fused_struct_udf(names: list[str], params: dict[str, dict] | None = None,
     from pyspark.sql.types import FloatType, StructField, StructType
 
     kerns = [get_spec(n).kernel((params or {}).get(n), length) for n in names]
-    out_names = [n.split(":", 1)[-1].replace(" ", "_") for n in names]
+    out_names = _out_names(names)
     elem = DoubleType() if dtype == "float64" else FloatType()
     cast = (lambda a: a) if dtype == "float64" \
         else (lambda a: a.astype(np.float32))

@@ -87,6 +87,31 @@ def _parallelize(df: DataFrame) -> DataFrame:
     return df
 
 
+# the 31-bit Mersenne prime used by the md5-portable minhash variant:
+# products a*h stay < 2^62, exact in int64 on BOTH engines (numpy and
+# DuckDB BIGINT), so a SQL oracle can recompute signatures value-for-value
+_P31 = (1 << 31) - 1
+
+
+def minhash_params(n_hashes: int = 64, seed: int = 42,
+                   digest: str = "fast") -> tuple[np.ndarray, np.ndarray]:
+    """The seeded (a, b) universal-hash multipliers — exposed so the SQL
+    oracle can embed the identical constants."""
+    p = _P31 if digest == "md5" else _MERSENNE
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, p, size=n_hashes).astype(np.int64)
+    b = rng.randint(0, p, size=n_hashes).astype(np.int64)
+    return a, b
+
+
+def _md5_lower64(shingles: list[str]) -> np.ndarray:
+    """uint64 from bytes 8..16 (little-endian) of md5 — EXACTLY DuckDB's
+    md5_number_lower, the portability contract of the md5 digest variants."""
+    return np.array(
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+         for s in shingles], dtype=np.uint64)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -94,15 +119,21 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    digest: str = "fast",
 ) -> DataFrame:
     """(id, sig array<long>) — universal-hash minhash over word shingles.
 
     One Arrow batch computes signatures for ~2048 docs at once; shingling
     happens inside the UDF (Python string ops beat interpreted JVM lambda
-    chains by ~20× here)."""
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    chains by ~20× here).
+
+    digest="fast" (default): pd.util.hash_array shingle hashing — the
+    throughput path.  digest="md5": md5_number_lower-compatible hashing mod
+    the 31-bit Mersenne prime — ~2× slower but recomputable in ANSI-ish SQL
+    (the DuckDB oracle derives the identical signatures), the same
+    portability trade as textstats.fingerprint's md5 variant."""
+    p = _P31 if digest == "md5" else _MERSENNE
+    a, b = minhash_params(n_hashes, seed, digest)
 
     @pandas_udf(ArrayType(LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
@@ -116,12 +147,15 @@ def minhash_signatures(
             counts[i] = len(sh)
             all_sh.extend(sh)
         if not all_sh:
-            return pd.Series([[_MERSENNE] * n_hashes] * len(texts))
-        base = (pd.util.hash_array(np.array(all_sh, dtype=object))
-                .view(np.int64) & 0x7FFFFFFFFFFFFFFF) % _MERSENNE
-        sigm = (a[None, :] * base[:, None] + b[None, :]) % _MERSENNE
+            return pd.Series([[p] * n_hashes] * len(texts))
+        if digest == "md5":
+            base = (_md5_lower64(all_sh) % np.uint64(p)).astype(np.int64)
+        else:
+            base = (pd.util.hash_array(np.array(all_sh, dtype=object))
+                    .view(np.int64) & 0x7FFFFFFFFFFFFFFF) % _MERSENNE
+        sigm = (a[None, :] * base[:, None] + b[None, :]) % p
         offsets = np.concatenate(([0], np.cumsum(counts)))
-        out = np.full((len(texts), n_hashes), _MERSENNE, dtype=np.int64)
+        out = np.full((len(texts), n_hashes), p, dtype=np.int64)
         nz = counts > 0
         red = np.minimum.reduceat(sigm, offsets[:-1][nz], axis=0)
         # reduceat with repeated indices needs the nz filter above
@@ -194,12 +228,14 @@ def minhash_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    digest: str = "fast",
 ) -> DataFrame:
     """Near-dup pairs with estimated Jaccard ≥ threshold.
 
     sig agreement fraction estimates Jaccard; verification stays on the
     signatures (cheap) — swap in ngram_jaccard_pairs for exact verify."""
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, seed).cache()
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n,
+                              seed, digest).cache()
     cands = minhash_lsh_candidates(sigs, id_col, bands)
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -271,9 +307,15 @@ def ngram_jaccard_pairs(
 
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    shingle_n: int = 2,
+    shingle_n: int = 2, digest: str = "fast",
 ) -> DataFrame:
-    """64-bit SimHash over word shingles (weighted bit-vote), one UDF pass."""
+    """SimHash over word shingles (weighted bit-vote), one UDF pass.
+
+    digest="fast" (default): 64-bit, pd.util.hash_array.  digest="md5":
+    60-bit (md5_number_lower >> 4 — the top bits would overflow a signed
+    BIGINT when packed, and 60 divides evenly into 4 × 15-bit bands) so a
+    SQL oracle recomputes the signature value-for-value."""
+    n_bits = 60 if digest == "md5" else 64
 
     @pandas_udf(LongType())
     def _sim(texts: pd.Series) -> pd.Series:
@@ -286,13 +328,17 @@ def simhash_signatures(
         out = np.zeros(len(texts), dtype=np.int64)
         if not all_sh:
             return pd.Series(out)
-        hs = pd.util.hash_array(np.array(all_sh, dtype=object)).view(np.int64)
-        bits = ((hs[:, None] >> np.arange(64)[None, :]) & 1) * 2 - 1
+        if digest == "md5":
+            hs = (_md5_lower64(all_sh) >> np.uint64(4)).astype(np.int64)
+        else:
+            hs = pd.util.hash_array(
+                np.array(all_sh, dtype=object)).view(np.int64)
+        bits = ((hs[:, None] >> np.arange(n_bits)[None, :]) & 1) * 2 - 1
         offsets = np.concatenate(([0], np.cumsum(counts)))
         nz = counts > 0
         votes = np.add.reduceat(bits, offsets[:-1][nz], axis=0)
         packed = ((votes > 0).astype(np.uint64)
-                  << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                  << np.arange(n_bits, dtype=np.uint64)[None, :]).sum(
             axis=1, dtype=np.uint64).astype(np.int64)
         out[nz] = packed
         return pd.Series(out)
@@ -302,16 +348,20 @@ def simhash_signatures(
 
 def simhash_dup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    max_hamming: int = 3, shingle_n: int = 2,
+    max_hamming: int = 3, shingle_n: int = 2, digest: str = "fast",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into 4 × 16-bit keys —
-    any pair within Hamming ≤ 3 shares at least one exact band — then
-    verify Hamming distance in-bucket."""
-    sigs = simhash_signatures(df, text_col, id_col, shingle_n).cache()
+    """Near-dup pairs by SimHash: band the 64 bits into 4 × 16-bit keys
+    (md5 variant: 60 bits into 4 × 15-bit keys) — any pair within
+    Hamming ≤ 3 shares at least one exact band — then verify Hamming
+    distance in-bucket."""
+    band_bits = 15 if digest == "md5" else 16
+    mask = (1 << band_bits) - 1
+    sigs = simhash_signatures(df, text_col, id_col, shingle_n, digest).cache()
     banded = sigs.select(
         id_col, "simhash",
         F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            F.shiftrightunsigned(F.col("simhash"), band_bits * i)
+            .bitwiseAND(F.lit(mask))
             for i in range(4)
         ])).alias("band", "key"),
     )
@@ -328,6 +378,79 @@ def simhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into connected components: (id, component)
+    where component = the minimum doc id reachable through the pair graph —
+    the canonical keeper.  This is the step every production dedup needs
+    AFTER minhash/simhash/embedding candidate generation: near-dup is not
+    transitive, but dropping policy usually is (keep one doc per component).
+
+    Distributed min-label propagation (the classic log-diameter hash-join
+    loop): labels start at least(id, min neighbor) and each round takes the
+    min over neighbors' labels.  All work is equi-joins + groupBy on the
+    id — no collect, no driver-side graph.  Near-dup components are
+    near-cliques (diameter ~2), so 2-3 rounds converge; the convergence
+    test is free: labels are elementwise monotone non-increasing, so the
+    label SUM is strictly decreasing until fixpoint — one scalar agg per
+    round instead of a change-count join.  Pathological long chains
+    converge in O(diameter) rounds; raise `max_iterations` (or pre-contract
+    with exact_dedup, which removes identical-text chains) if the guard
+    trips."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (e.unionByName(e.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+             .distinct())
+    labels = (edges.groupBy("src")
+              .agg(F.min("dst").alias("nbr_min"))
+              .select(F.col("src").alias("id"),
+                      F.least("src", "nbr_min").alias("component")))
+    labels = labels.localCheckpoint(eager=True)  # cut lineage per round
+    prev_sum = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    for _ in range(max_iterations):
+        nbr = (edges.join(labels.select(F.col("id").alias("dst"),
+                                        F.col("component").alias("dst_comp")),
+                          "dst")
+               .groupBy("src").agg(F.min("dst_comp").alias("nbr_comp")))
+        new_labels = (labels.join(nbr, labels["id"] == nbr["src"], "left")
+                      .select(labels["id"],
+                              F.least("component", "nbr_comp")
+                              .alias("component")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        cur_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = new_labels
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"dedup_components did not converge in {max_iterations} rounds — "
+        "component diameter exceeds the guard; raise max_iterations")
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every non-keeper: rows of `df` whose id is in a near-dup
+    component but is not its minimum.  One components pass + one left-anti
+    equi-join; docs in no pair pass through untouched."""
+    comps = dedup_components(pairs, id_a, id_b)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
 
 
 def embedding_dup_pairs_exact(
@@ -394,6 +517,7 @@ def embedding_dup_pairs(
     seed: int = 42,
     dim: int | None = None,
     n_tables: int = 1,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold.
 
@@ -404,7 +528,16 @@ def embedding_dup_pairs(
     cosine verifies in one Arrow pass.  Tables share one
     (table, bucket)-keyed shuffle, so they add linear work, not a
     cross-table join; the candidate union is deduplicated BEFORE the
-    verify so each surviving pair is scored once."""
+    verify so each surviving pair is scored once.
+
+    Degenerate buckets — many near-identical or zero vectors, common in
+    real embedding corpora with collapsed encoders — would otherwise emit
+    O(bucket²) candidates on one hot key.  The same guard as the minhash
+    twin applies: (table, bucket) groups over `max_bucket_size` are
+    dropped via a broadcast anti join of the (small) over-limit side.  A
+    corpus region dense enough to blow the cap in EVERY table is by
+    definition one equivalence class of near-dups; route it through
+    exact_dedup / a representative-pivot pass instead of all-pairs."""
     if dim is None:
         dim = len(df.select(vec_col).head()[0])
     rng = np.random.RandomState(seed)
@@ -434,6 +567,13 @@ def embedding_dup_pairs(
     with_b = df.select(
         F.col(id_col), F.col(vec_col),
         F.posexplode(_buckets(F.col(vec_col))).alias("table", "bucket"))
+    # skew guard (ported from minhash_lsh_candidates): only the OVER-limit
+    # bucket set is guaranteed small, so broadcast that side as an anti
+    # join — the kept-buckets table grows with the corpus.
+    oversized = (with_b.groupBy("table", "bucket").count()
+                 .filter(F.col("count") > max_bucket_size))
+    with_b = with_b.join(F.broadcast(oversized.select("table", "bucket")),
+                         ["table", "bucket"], "left_anti")
     a, b = with_b.alias("a"), with_b.alias("b")
     cands = (
         a.join(b, (F.col("a.table") == F.col("b.table"))

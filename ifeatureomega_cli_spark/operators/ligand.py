@@ -122,6 +122,12 @@ def family_width(family: str) -> int:
     return _FP_WIDTHS.get(family, len(LIGAND_FAMILIES[family]))
 
 
+# set True once _rdkit_features is wired to the reference's chem/ coders;
+# ligand_descriptors refuses the RDKit path at plan time while this is
+# False so the gap never surfaces as per-task executor failures.
+HAVE_CHEM_PORT = False
+
+
 def _rdkit_or_none():
     try:
         from rdkit import Chem  # noqa: F401
@@ -205,6 +211,15 @@ def ligand_descriptors(
             f"unknown ligand family {family!r}; one of "
             f"{sorted(LIGAND_FAMILIES)}")
     Chem = _rdkit_or_none()
+    if Chem is not None and not HAVE_CHEM_PORT:
+        # fail fast at PLAN time: RDKit is importable but the chem/ coder
+        # port is not bundled, so the per-molecule path would raise inside
+        # every executor task — surface the gap before any job launches.
+        raise NotImplementedError(
+            "RDKit detected but the chem/ coder port is not bundled here; "
+            "wire the reference's chem package (constitution.py, "
+            "topology.py, ...) into _rdkit_features and set HAVE_CHEM_PORT. "
+            "Ref iFeatureOmegaCLI.py:9891-9903.")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

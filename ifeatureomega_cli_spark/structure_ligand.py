@@ -95,7 +95,7 @@ def ligand_descriptor(df, name: str, **params):
     """Molecular descriptors / fingerprints over a (mol_id, smiles) table.
 
     The Spark pipeline (reader, schema, invalid-SMILES skipping, Arrow
-    batching, 23-family registry) is IMPLEMENTED in operators/ligand.py
+    batching, 24-family registry) is IMPLEMENTED in operators/ligand.py
     and verified with a deterministic stub kernel; only the per-molecule
     chemistry itself still needs RDKit.  This facade keeps the honest
     error for chemistry-less environments while routing to the real

@@ -249,3 +249,112 @@ def test_ivf_topk_distributed_no_driver_collect(spark, monkeypatch):
                                 "vec_id", "query_id", 10, 3, "cell")
     monkeypatch.undo()
     assert out.count() > 0
+
+
+def test_embedding_dup_pairs_bucket_cap_degenerate(spark):
+    """Degenerate corpus guard (round-5): many identical vectors land in
+    ONE (table, bucket) group in every table; without the cap that is
+    O(n²) candidate pairs on a single hot key.  With the cap the oversized
+    bucket is dropped entirely — zero pairs, no blow-up — mirroring
+    minhash_lsh_candidates' stop-shingle guard."""
+    from ifeatureomega_cli_spark.operators.dedup import embedding_dup_pairs
+
+    n = 600
+    v = [1.0] * 16
+    df = spark.createDataFrame([(i, v) for i in range(n)],
+                               "vec_id long, embedding array<double>")
+    capped = embedding_dup_pairs(df, threshold=0.99, n_planes=8,
+                                 max_bucket_size=100)
+    assert capped.count() == 0
+    # sanity: with the cap lifted the same corpus is all-pairs (bounded n
+    # here keeps the test cheap; at corpus scale this is the blow-up)
+    uncapped = embedding_dup_pairs(df, threshold=0.99, n_planes=8,
+                                   max_bucket_size=10**9)
+    assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_embedding_dup_pairs_cap_keeps_planted_recall(spark):
+    """The default cap (2000) must not change the planted-pair result on a
+    normal corpus — identical output with and without the guard active."""
+    from ifeatureomega_cli_spark.operators.dedup import embedding_dup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(50, 16))
+    rows = [(i, base[i].tolist()) for i in range(50)]
+    for j in range(10):
+        rows.append((100 + j, (base[j] + rng.normal(scale=0.01, size=16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.99, n_planes=8, n_tables=6)
+    with_cap = embedding_dup_pairs(df, **kw).toPandas()
+    no_cap = embedding_dup_pairs(df, max_bucket_size=10**9, **kw).toPandas()
+    key = lambda p: set(zip(p["id_a"], p["id_b"]))
+    assert key(with_cap) == key(no_cap)
+    assert {(j, 100 + j) for j in range(10)} <= key(with_cap)
+
+
+def test_dedup_components_planted_and_random(spark):
+    """Connected-component resolution over near-dup pairs: planted shapes
+    (clique, pair, chain — the chain needs >1 propagation round) plus a
+    seeded random graph cross-checked against networkx."""
+    from ifeatureomega_cli_spark.operators.dedup import dedup_components
+
+    pairs = [(0, 1), (1, 2), (0, 2),          # clique {0,1,2}
+             (10, 11),                         # pair
+             (30, 31), (31, 32), (32, 33)]     # chain (diameter 3)
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in dedup_components(df).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10,
+                   30: 30, 31: 30, 32: 30, 33: 30}
+
+    import networkx as nx
+    rng = np.random.RandomState(7)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 200, size=(300, 2))
+             if a != b]
+    g = nx.Graph(edges)
+    want = {}
+    for comp in nx.connected_components(g):
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    df2 = spark.createDataFrame(edges, "id_a long, id_b long")
+    got2 = {r["id"]: r["component"]
+            for r in dedup_components(df2).collect()}
+    assert got2 == want
+
+
+def test_resolve_duplicates_keeps_one_per_component(spark):
+    from ifeatureomega_cli_spark.operators.dedup import resolve_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long")
+    out = resolve_duplicates(docs, pairs)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [0, 3, 4, 5, 7]  # 1,2 fold into 0; 6 into 5
+
+
+def test_dedup_components_no_driver_graph(spark, monkeypatch):
+    """The loop may collect only 1-row scalar aggs (the sum fixpoint test)
+    — never the labels or edges themselves."""
+    from tests.conftest import concrete_dataframe_cls
+
+    from ifeatureomega_cli_spark.operators.dedup import dedup_components
+
+    DataFrame = concrete_dataframe_cls()
+    df = spark.createDataFrame([(0, 1), (1, 2), (10, 11)],
+                               "id_a long, id_b long")
+    orig = DataFrame.collect
+
+    def guarded(self, *a, **k):
+        rows = orig(self, *a, **k)
+        assert len(rows) <= 1, "driver-side materialization of graph state"
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", guarded)
+    monkeypatch.setattr(DataFrame, "toPandas", lambda self, *a, **k: (_ for _ in ()).throw(
+        AssertionError("toPandas in dedup_components")))
+    out = dedup_components(df)
+    monkeypatch.undo()
+    assert out.count() == 5

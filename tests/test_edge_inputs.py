@@ -155,3 +155,21 @@ def test_salt_id_cols_spreads_duplicates(spark):
     assert with_id.select("salt").distinct().count() > 8
     out = two_phase_count(df, "key", id_cols=["event_id"]).collect()
     assert out[0]["count"] == 512
+
+
+def test_extract_many_duplicate_out_names_rejected(spark):
+    """ADVICE r4: 'protein:AAC' and 'dna:AAC' both normalize to column
+    'AAC'; the fused struct would silently keep only the last kernel's
+    values.  Both the fused and per-UDF paths must refuse up front."""
+    import pytest
+
+    from ifeatureomega_cli_spark.functions.extract import extract_many
+
+    df = spark.createDataFrame([(0, ["A", "C"], 2)],
+                               "doc_id long, tokens array<string>, n_tok int")
+    for fuse in (True, False):
+        with pytest.raises(ValueError, match="duplicate output column"):
+            extract_many(df, ["protein:ASDC", "dna:ASDC"], fuse=fuse)
+    # distinct normalized names still fine
+    out = extract_many(df, ["protein:AAC", "protein:GAAC"])
+    assert {"AAC", "GAAC"} <= set(out.columns)

@@ -172,3 +172,41 @@ def test_structure_descriptor_single_group_exchange(spark):
     plan = _plan(residue_shell_composition(res, "AAC"))
     assert _nodes(plan, "FlatMapGroupsInPandas") == 1, plan
     assert plan.count("hashpartitioning(pdb_id") >= 1, plan
+
+
+def test_pipeline_clean_gate_fused_dedup_is_the_wide_stage(spark):
+    """Composed cleaning pipeline (round-4 driver query): the quality gate
+    must stay whole-stage-codegen JVM expressions fused with the scan (no
+    Python eval node, no extra pass), and the only WIDE work is the dedup
+    digest groupBy plus the keeper/stats equi-joins — no cartesian, no
+    rangepartitioning, no Python boundary anywhere."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["pipeline_clean"](spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    # the dedup digest groupBy: partial_min/partial_count BEFORE its
+    # exchange (map-side combine), final after
+    assert "partial_min" in plan and "partial_count" in plan, plan
+    assert _nodes(plan, "HashAggregate") >= 2, plan
+    # wide stages are bounded: digest agg + two equi-joins — anything
+    # beyond 6 Exchanges means a refactor doubled a shuffle
+    assert _nodes(plan, "Exchange") <= 6, plan
+
+
+def test_embedding_dup_pairs_bucket_keyed_no_cartesian(spark):
+    """Embedding LSH near-dup: the candidate join must be an equi-join
+    keyed on (table, bucket) — never a nested-loop/cartesian — and the
+    round-5 oversized-bucket guard must broadcast only the small over-limit
+    side (anti join)."""
+    from ifeatureomega_cli_spark.operators.dedup import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(embedding_dup_pairs(emb, threshold=0.95, n_planes=8))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    # candidate generation keyed on the bucket tuple
+    assert re.search(r"hashpartitioning\((table|bucket)", plan), plan
+    # the cap's anti join broadcasts the oversized-buckets side
+    assert "LeftAnti BuildRight" in plan, plan
+    assert _nodes(plan, "BroadcastExchange") >= 1, plan

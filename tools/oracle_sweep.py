@@ -65,8 +65,16 @@ def main() -> int:
             print(name, "ROWS MISMATCH", len(s), len(o))
             continue
         bad_col = None
+        bad_kind = None
         for c in cols:
             a, b = s[c].to_numpy(), o[c].to_numpy()
+            # The round driver hashes the raw column representation, so an
+            # int64 12 vs a float64 12.0 reads as a mismatch even when the
+            # values agree (round-4 struct_hse red row).  Reproduce that
+            # strictness here: dtype *kind* must match before values do.
+            if a.dtype.kind != b.dtype.kind:
+                bad_col, bad_kind = c, f"{a.dtype} vs {b.dtype}"
+                break
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 ok = ((a == b) | (pd.isna(a) & pd.isna(b))).all()
             else:
@@ -77,6 +85,9 @@ def main() -> int:
                 break
         if bad_col is None:
             print(f"{name}: HASH-OK ({len(s)} rows)")
+        elif bad_kind is not None:
+            fails.append((name, f"dtype differs in {bad_col}: {bad_kind}"))
+            print(name, "DTYPE MISMATCH in", bad_col, bad_kind)
         else:
             fails.append((name, f"values differ in {bad_col}"))
             print(name, "VALUE MISMATCH in", bad_col)
