@@ -164,6 +164,9 @@ def cmd_dedup(args) -> int:
         out = D.minhash_dedup(df, threshold=args.threshold)
     elif args.method == "simhash":
         out = D.simhash_dup_pairs(df)
+    elif args.method == "resolve":
+        # end-to-end: minhash pairs → connected components → keepers only
+        out = D.near_dedup(df, threshold=args.threshold)
     else:  # jaccard
         out = D.ngram_jaccard_pairs(df, threshold=args.threshold)
     out.write.mode("overwrite").parquet(args.output)
@@ -241,7 +244,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("dedup")
     p.add_argument("--input", required=True, help="documents parquet")
     p.add_argument("--method", default="exact",
-                   choices=("exact", "minhash", "simhash", "jaccard"))
+                   choices=("exact", "minhash", "simhash", "jaccard",
+                            "resolve"))
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--output", required=True)

@@ -453,6 +453,22 @@ def resolve_duplicates(
     return df.join(losers, id_col, "left_anti")
 
 
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **minhash_kwargs,
+) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH candidate pairs → connected
+    components → drop every doc that is not its component's minimum id.
+    The composition a training-data pipeline actually runs; each stage is
+    the scale-safe operator documented above (banded buckets with the
+    stop-bucket cap, then the join-only component loop)."""
+    pairs = minhash_dedup(df, text_col, id_col, threshold, **minhash_kwargs)
+    return resolve_duplicates(df, pairs, id_col)
+
+
 def embedding_dup_pairs_exact(
     df: DataFrame,
     vec_col: str = "embedding",

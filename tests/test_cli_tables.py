@@ -82,6 +82,14 @@ def test_cli_analyze_and_dedup(spark, tmp_path):
     assert rc == 0
     assert spark.read.parquet(str(tmp_path / "dd")).count() > 0
 
+    n_docs = spark.read.parquet(docs_dir).count()
+    rc = cli.main(["dedup", "--input", docs_dir, "--method", "resolve",
+                   "--output", str(tmp_path / "dr")])
+    assert rc == 0
+    resolved = spark.read.parquet(str(tmp_path / "dr"))
+    assert 0 < resolved.count() <= n_docs
+    assert "text" in resolved.columns  # full rows survive, not just pairs
+
 
 def test_cli_structure(spark, tmp_path):
     from ifeatureomega_cli_spark import cli

@@ -358,3 +358,21 @@ def test_dedup_components_no_driver_graph(spark, monkeypatch):
     out = dedup_components(df)
     monkeypatch.undo()
     assert out.count() == 5
+
+
+def test_near_dedup_end_to_end(spark):
+    """Composed minhash → components → resolve on a planted-clone corpus:
+    every clone (and only clones) is dropped, keepers are the min ids."""
+    from ifeatureomega_cli_spark.operators.dedup import near_dedup
+
+    rows = []
+    for i in range(40):
+        words = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append((i, words))
+        if i % 10 == 0:            # two clones → a 3-doc component
+            rows.append((1000 + i, words))
+            rows.append((2000 + i, words))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  near_dedup(df, threshold=0.8, bands=8).collect())
+    assert kept == list(range(40))
