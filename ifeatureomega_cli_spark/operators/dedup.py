@@ -392,17 +392,17 @@ def dedup_components(
     AFTER minhash/simhash/embedding candidate generation: near-dup is not
     transitive, but dropping policy usually is (keep one doc per component).
 
-    Distributed min-label propagation (the classic log-diameter hash-join
-    loop): labels start at least(id, min neighbor) and each round takes the
-    min over neighbors' labels.  All work is equi-joins + groupBy on the
-    id — no collect, no driver-side graph.  Near-dup components are
-    near-cliques (diameter ~2), so 2-3 rounds converge; the convergence
-    test is free: labels are elementwise monotone non-increasing, so the
-    label SUM is strictly decreasing until fixpoint — one scalar agg per
-    round instead of a change-count join.  Pathological long chains
-    converge in O(diameter) rounds; raise `max_iterations` (or pre-contract
-    with exact_dedup, which removes identical-text chains) if the guard
-    trips."""
+    Distributed min-label propagation with pointer doubling (the classic
+    log-diameter hash-join loop): labels start at least(id, min neighbor);
+    each round takes the min over neighbors' labels AND shortcuts through
+    the current label's own label (label[x] ← min(label[x],
+    label[label[x]])), so even a pure path graph converges in O(log
+    diameter) rounds, not O(diameter).  All work is equi-joins + groupBy
+    on the id — no collect, no driver-side graph.  Near-dup components
+    are near-cliques, so 2-3 rounds typical; the convergence test is
+    free: labels are elementwise monotone non-increasing, so the label
+    SUM is strictly decreasing until fixpoint — one scalar agg per round
+    instead of a change-count join."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (e.unionByName(e.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
@@ -420,9 +420,17 @@ def dedup_components(
                                         F.col("component").alias("dst_comp")),
                           "dst")
                .groupBy("src").agg(F.min("dst_comp").alias("nbr_comp")))
-        new_labels = (labels.join(nbr, labels["id"] == nbr["src"], "left")
-                      .select(labels["id"],
-                              F.least("component", "nbr_comp")
+        stepped = (labels.join(nbr, labels["id"] == nbr["src"], "left")
+                   .select(labels["id"],
+                           F.least("component", "nbr_comp")
+                           .alias("component")))
+        # pointer doubling: follow the label one hop through itself
+        hop = labels.select(F.col("id").alias("cid"),
+                            F.col("component").alias("ccomp"))
+        new_labels = (stepped.join(hop, stepped["component"] == hop["cid"],
+                                   "left")
+                      .select(stepped["id"],
+                              F.least("component", "ccomp")
                               .alias("component")))
         new_labels = new_labels.localCheckpoint(eager=True)
         cur_sum = new_labels.agg(

@@ -376,3 +376,16 @@ def test_near_dedup_end_to_end(spark):
     kept = sorted(r["doc_id"] for r in
                   near_dedup(df, threshold=0.8, bands=8).collect())
     assert kept == list(range(40))
+
+
+def test_dedup_components_long_chain_log_rounds(spark):
+    """Pointer doubling: a 200-link path graph (diameter 200) must
+    converge well inside the 25-round guard — O(log d), not O(d)."""
+    from ifeatureomega_cli_spark.operators.dedup import dedup_components
+
+    n = 201
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                               "id_a long, id_b long")
+    got = dedup_components(df)  # raises RuntimeError if guard trips
+    assert got.filter(F.col("component") == 0).count() == n
+    assert got.count() == n
