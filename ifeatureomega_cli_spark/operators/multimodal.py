@@ -2,10 +2,20 @@
 metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side machinery (schemas, batch shapes, partition sizing) is real
-and tested; the actual media decoding is STUBBED — the container has no
-image/audio libraries — behind `decode_image_stub` (deterministic fake) so
-the pipeline is verifiable end-to-end.  Swap the stub for PIL/torchaudio on
-a real cluster.
+and tested.  Decoding is split honestly by what pure numpy can do:
+
+* REAL decoders (round 5, no media libraries needed): `decode_wav`
+  (RIFF/WAVE PCM 8/16-bit, any channel count) and `decode_bmp`
+  (BITMAPINFOHEADER BI_RGB 24/32-bit, bottom-up or top-down, row
+  padding) — plain container formats, parsed with numpy alone, plus real
+  feature kernels (`audio_features`: RMS/ZCR/spectral centroid via FFT;
+  `image_features`: per-channel stats + luminance histogram).
+* STUBBED: compressed codecs (JPEG/PNG/H.264...) genuinely need
+  libjpeg/ffmpeg-class dependencies — `decode_image_stub` (deterministic
+  fake) stands in, swap for PIL/torchaudio on a real cluster.
+
+`extract_media_features` auto-dispatches: payloads that ARE wav/bmp get
+the real path; everything else falls back to the stub.
 """
 
 from __future__ import annotations
@@ -36,7 +46,7 @@ MEDIA_SCHEMA = StructType([
 ])
 
 FEATURE_SCHEMA = ("media_id long, kind string, n_bytes long, "
-                  "digest string, feature array<float>")
+                  "digest string, decode_path string, feature array<float>")
 
 
 def decode_image_stub(payload: bytes, out_dim: int = 16) -> np.ndarray:
@@ -57,6 +67,129 @@ def decode_image_stub(payload: bytes, out_dim: int = 16) -> np.ndarray:
     return (raw % 1_000_003).astype(np.float32) / 1_000_003.0
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy RIFF/WAVE PCM decoder → (samples float32 in [-1, 1] of
+    shape (n_frames, n_channels), sample_rate).
+
+    Handles 8-bit (unsigned) and 16-bit (signed LE) PCM, any channel
+    count, and chunk walking (skips LIST/fact/etc. to find fmt + data).
+    Raises ValueError on anything that is not uncompressed PCM — the
+    caller falls back to the stub."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or n_channels < 1:
+        raise ValueError(f"not integer PCM (format {audio_format})")
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2")
+        samples = raw.astype(np.float32) / 32768.0
+    elif bits == 8:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        samples = (raw.astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    n_frames = len(samples) // n_channels
+    return samples[: n_frames * n_channels].reshape(
+        n_frames, n_channels), sample_rate
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-numpy BMP decoder → (height, width, 3) uint8 RGB.
+
+    Handles BITMAPINFOHEADER (and larger V4/V5 headers) with BI_RGB
+    24/32-bit pixels, bottom-up (positive height) or top-down rows, and
+    the 4-byte row padding.  Raises ValueError on palettized/compressed
+    variants — the caller falls back to the stub."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = int.from_bytes(payload[10:14], "little")
+    header_size = int.from_bytes(payload[14:18], "little")
+    if header_size < 40:
+        raise ValueError(f"unsupported DIB header size {header_size}")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bits = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bits not in (24, 32) or width <= 0 or height == 0:
+        raise ValueError(
+            f"unsupported BMP variant (bits={bits}, compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    bypp = bits // 8
+    stride = (width * bypp + 3) & ~3
+    need = data_offset + stride * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * height, offset=data_offset)
+    px = rows.reshape(height, stride)[:, : width * bypp]
+    px = px.reshape(height, width, bypp)
+    if not top_down:
+        px = px[::-1]
+    # BMP stores BGR(A); return RGB
+    return px[:, :, [2, 1, 0]].copy()
+
+
+def audio_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
+    """Real audio features from decoded PCM: [duration_sec, rms,
+    zero-crossing rate, spectral centroid (Hz)] — float32."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n = len(mono)
+    if n == 0:
+        return np.zeros(4, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(mono ** 2)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8)))))
+    spec = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+    centroid = float((spec * freqs).sum() / (spec.sum() + 1e-12))
+    return np.array([n / sample_rate, rms, zcr, centroid], dtype=np.float32)
+
+
+def image_features(rgb: np.ndarray) -> np.ndarray:
+    """Real image features from a decoded (H, W, C) uint8 array:
+    [h, w, aspect, mean/std per RGB channel, 8-bin luminance histogram
+    (density)] — 17 float32 values."""
+    h, w = rgb.shape[:2]
+    chans = rgb.reshape(-1, rgb.shape[2]).astype(np.float64)[:, :3]
+    lum = chans @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(lum, bins=8, range=(0, 256))
+    hist = hist / max(1, lum.size)
+    return np.concatenate([
+        [h, w, w / h],
+        chans.mean(axis=0), chans.std(axis=0),
+        hist,
+    ]).astype(np.float32)
+
+
+def decode_media(payload: bytes, out_dim: int = 16) -> tuple[str, np.ndarray]:
+    """Dispatch: real wav/bmp decode+features when the container matches,
+    deterministic stub otherwise.  Returns (path, feature)."""
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, rate = decode_wav(payload)
+        return "wav", audio_features(samples, rate)
+    if len(payload) >= 2 and payload[:2] == b"BM":
+        try:
+            return "bmp", image_features(decode_bmp(payload))
+        except ValueError:
+            pass  # BM magic but compressed/palettized → stub
+    return "stub", decode_image_stub(payload, out_dim)
+
+
 def extract_media_features(
     df: DataFrame, out_dim: int = 16, batch_rows: int = 256
 ) -> DataFrame:
@@ -68,36 +201,92 @@ def extract_media_features(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, digests, nbytes = [], [], []
+            feats, digests, nbytes, paths = [], [], [], []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
                 nbytes.append(len(b))
                 digests.append(hashlib.sha256(b).hexdigest() if b else "")
-                try:
-                    feats.append(decode_image_stub(b, out_dim).tolist())
-                except ValueError:
+                if not b:
+                    paths.append("empty")
                     feats.append(None)
+                    continue
+                path, feat = decode_media(b, out_dim)
+                paths.append(path)
+                feats.append(feat.tolist())
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": nbytes,
                 "digest": digests,
+                "decode_path": paths,
                 "feature": feats,
             })
 
     return df.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal RIFF/WAVE 16-bit PCM encoder (tests + synthesize_media).
+    `samples`: float in [-1, 1], shape (n_frames,) or (n_frames, ch)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    ch = samples.shape[1]
+    pcm = np.clip(samples * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * ch * 2).to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    chunks = (b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+              + b"data" + len(pcm).to_bytes(4, "little") + pcm)
+    return (b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE"
+            + chunks)
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Minimal bottom-up 24-bit BI_RGB BMP encoder (tests +
+    synthesize_media).  `rgb`: (H, W, 3) uint8."""
+    h, w = rgb.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, [2, 1, 0]].reshape(h, w * 3)
+    px = rows.tobytes()
+    dib = ((40).to_bytes(4, "little")
+           + w.to_bytes(4, "little", signed=True)
+           + h.to_bytes(4, "little", signed=True)
+           + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + len(px).to_bytes(4, "little")
+           + (2835).to_bytes(4, "little") * 2
+           + (0).to_bytes(4, "little") * 2)
+    offset = 14 + len(dib)
+    head = (b"BM" + (offset + len(px)).to_bytes(4, "little")
+            + (0).to_bytes(4, "little") + offset.to_bytes(4, "little"))
+    return head + dib + px
+
+
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests (seeded payload bytes)."""
+    """Deterministic media table for tests: REAL payloads where the pure-
+    numpy decoders apply (image → 24-bit BMP, audio → 16-bit PCM WAV) and
+    seeded opaque bytes for video (exercises the stub fallback)."""
     rng = np.random.RandomState(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.bytes(rng.randint(64, 4096))
-        rows.append((
-            i, kind, bytearray(payload),
-            (64 * (1 + i % 4), 64 * (1 + i % 3), 1 + i % 30, 16000, "fake"),
-        ))
+        if kind == "image":
+            w, h = 16 * (1 + i % 4) + (i % 3), 8 * (1 + i % 3)
+            payload = encode_bmp(
+                rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
+            meta = (w, h, 1, 0, "bmp")
+        elif kind == "audio":
+            rate = 8000
+            t = np.arange(rate // 4) / rate
+            tone = 0.5 * np.sin(2 * np.pi * (200 + 50 * (i % 7)) * t)
+            payload = encode_wav(tone, rate)
+            meta = (0, 0, 1, rate, "pcm16")
+        else:
+            payload = rng.bytes(rng.randint(64, 4096))
+            meta = (64 * (1 + i % 4), 64 * (1 + i % 3), 1 + i % 30, 16000,
+                    "fake")
+        rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -98,14 +98,22 @@ def test_sinks(spark, tmp_path):
     assert sum(1 for line in arff if line and not line.startswith("@")) == 300
 
 
-def test_multimodal_stub(spark):
+def test_multimodal_pipeline_dispatch(spark):
+    """Round 5: real decode paths for wav/bmp payloads, stub fallback for
+    opaque (video) bytes — all through the one mapInPandas pipeline."""
     from ifeatureomega_cli_spark.operators.multimodal import (
         extract_media_features, synthesize_media)
 
     media = synthesize_media(spark, n=32)
     out = extract_media_features(media, out_dim=8).toPandas()
     assert len(out) == 32
-    assert all(len(f) == 8 for f in out["feature"])
+    by_kind = out.groupby("kind")["decode_path"].unique().to_dict()
+    assert list(by_kind["image"]) == ["bmp"]
+    assert list(by_kind["audio"]) == ["wav"]
+    assert list(by_kind["video"]) == ["stub"]
+    widths = {"bmp": 17, "wav": 4, "stub": 8}
+    assert all(len(f) == widths[p]
+               for p, f in zip(out["decode_path"], out["feature"]))
     # deterministic: same payload → same digest/feature
     out2 = extract_media_features(synthesize_media(spark, n=32), out_dim=8).toPandas()
     assert (out.sort_values("media_id")["digest"].to_numpy()
