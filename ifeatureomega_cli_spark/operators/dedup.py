@@ -93,14 +93,24 @@ def _parallelize(df: DataFrame) -> DataFrame:
 _P31 = (1 << 31) - 1
 
 
+def _check_digest(digest: str) -> None:
+    if digest not in ("fast", "md5"):
+        raise ValueError(
+            f"unknown digest {digest!r}; 'fast' (pd.util.hash_array perf "
+            "path) or 'md5' (SQL-oracle-portable)")
+
+
 def minhash_params(n_hashes: int = 64, seed: int = 42,
                    digest: str = "fast") -> tuple[np.ndarray, np.ndarray]:
     """The seeded (a, b) universal-hash multipliers — exposed so the SQL
     oracle can embed the identical constants."""
+    _check_digest(digest)
     p = _P31 if digest == "md5" else _MERSENNE
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, p, size=n_hashes).astype(np.int64)
-    b = rng.randint(0, p, size=n_hashes).astype(np.int64)
+    # explicit int64: the platform-default int would reject high=2^61 on
+    # 32-bit-int_ platforms; stream is identical where both work
+    a = rng.randint(1, p, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, p, size=n_hashes, dtype=np.int64)
     return a, b
 
 
@@ -132,6 +142,7 @@ def minhash_signatures(
     the 31-bit Mersenne prime — ~2× slower but recomputable in ANSI-ish SQL
     (the DuckDB oracle derives the identical signatures), the same
     portability trade as textstats.fingerprint's md5 variant."""
+    _check_digest(digest)
     p = _P31 if digest == "md5" else _MERSENNE
     a, b = minhash_params(n_hashes, seed, digest)
 
@@ -328,6 +339,7 @@ def simhash_signatures(
     60-bit (md5_number_lower >> 4 — the top bits would overflow a signed
     BIGINT when packed, and 60 divides evenly into 4 × 15-bit bands) so a
     SQL oracle recomputes the signature value-for-value."""
+    _check_digest(digest)
     n_bits = 60 if digest == "md5" else 64
 
     @pandas_udf(LongType())
@@ -367,6 +379,7 @@ def simhash_dup_pairs(
     (md5 variant: 60 bits into 4 × 15-bit keys) — any pair within
     Hamming ≤ 3 shares at least one exact band — then verify Hamming
     distance in-bucket."""
+    _check_digest(digest)
     band_bits = 15 if digest == "md5" else 16
     mask = (1 << band_bits) - 1
     sigs = simhash_signatures(df, text_col, id_col, shingle_n, digest).cache()
@@ -601,17 +614,23 @@ def embedding_dup_pairs(
         Bm = Bm / (np.linalg.norm(Bm, axis=1, keepdims=True) + 1e-300)
         return pd.Series(np.einsum("ij,ij->i", Am, Bm))
 
-    with_b = df.select(
-        F.col(id_col), F.col(vec_col),
-        F.posexplode(_buckets(F.col(vec_col))).alias("table", "bucket"))
+    # the hyperplane projection UDF runs ONCE into a cached (id, table,
+    # bucket) table — 3 longs per row, n_tables × corpus rows — instead of
+    # re-running the Arrow matmul for the guard's groupBy, the anti-join
+    # side and both self-join aliases; vectors rejoin by id only for the
+    # verify, so the bucket-keyed shuffle never carries them
+    bucketed = df.select(
+        F.col(id_col),
+        F.posexplode(_buckets(F.col(vec_col))).alias("table", "bucket"),
+    ).cache()
     # skew guard (ported from minhash_lsh_candidates): only the OVER-limit
     # bucket set is guaranteed small, so broadcast that side as an anti
     # join — the kept-buckets table grows with the corpus.
-    oversized = (with_b.groupBy("table", "bucket").count()
+    oversized = (bucketed.groupBy("table", "bucket").count()
                  .filter(F.col("count") > max_bucket_size))
-    with_b = with_b.join(F.broadcast(oversized.select("table", "bucket")),
+    kept = bucketed.join(F.broadcast(oversized.select("table", "bucket")),
                          ["table", "bucket"], "left_anti")
-    a, b = with_b.alias("a"), with_b.alias("b")
+    a, b = kept.alias("a"), kept.alias("b")
     cands = (
         a.join(b, (F.col("a.table") == F.col("b.table"))
                & (F.col("a.bucket") == F.col("b.bucket"))
@@ -619,14 +638,15 @@ def embedding_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("__va"),
-            F.col(f"b.{vec_col}").alias("__vb"),
         )
     )
     if n_tables > 1:
         cands = cands.dropDuplicates(["id_a", "id_b"])
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
-        cands.select(
+        cands.join(va, "id_a").join(vb, "id_b")
+        .select(
             "id_a", "id_b",
             _pair_cos(F.col("__va"), F.col("__vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)

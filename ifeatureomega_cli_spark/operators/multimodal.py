@@ -89,14 +89,18 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("truncated fmt chunk")
     audio_format = int.from_bytes(fmt[0:2], "little")
     n_channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_format != 1 or n_channels < 1:
         raise ValueError(f"not integer PCM (format {audio_format})")
+    if sample_rate <= 0:
+        raise ValueError(f"invalid sample rate {sample_rate}")
     if bits == 16:
-        raw = np.frombuffer(data, dtype="<i2")
+        raw = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
         samples = raw.astype(np.float32) / 32768.0
     elif bits == 8:
         raw = np.frombuffer(data, dtype=np.uint8)
@@ -180,8 +184,11 @@ def decode_media(payload: bytes, out_dim: int = 16) -> tuple[str, np.ndarray]:
     """Dispatch: real wav/bmp decode+features when the container matches,
     deterministic stub otherwise.  Returns (path, feature)."""
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        samples, rate = decode_wav(payload)
-        return "wav", audio_features(samples, rate)
+        try:
+            samples, rate = decode_wav(payload)
+            return "wav", audio_features(samples, rate)
+        except ValueError:
+            pass  # RIFF magic but float/24-bit/truncated PCM → stub
     if len(payload) >= 2 and payload[:2] == b"BM":
         try:
             return "bmp", image_features(decode_bmp(payload))

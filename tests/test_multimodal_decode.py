@@ -121,3 +121,22 @@ def test_decode_media_dispatch():
     comp = bytearray(bmpp)
     comp[30:34] = (1).to_bytes(4, "little")
     assert decode_media(bytes(comp))[0] == "stub"
+
+
+def test_decode_media_malformed_wav_falls_back_to_stub():
+    """RIFF magic with non-decodable audio must reach the stub, never crash
+    the task: IEEE-float format tag, zero sample rate, truncated data."""
+    base = bytearray(encode_wav(np.zeros(64), 8000))
+    i = bytes(base).index(b"fmt ") + 8
+
+    float_tag = bytearray(base)
+    float_tag[i:i + 2] = (3).to_bytes(2, "little")
+    assert decode_media(bytes(float_tag))[0] == "stub"
+
+    zero_rate = bytearray(base)
+    zero_rate[i + 4:i + 8] = (0).to_bytes(4, "little")
+    assert decode_media(bytes(zero_rate))[0] == "stub"
+
+    odd = bytes(base)[:-1]  # truncated: odd-length 16-bit data chunk
+    path, feat = decode_media(odd)
+    assert path in ("wav", "stub") and feat is not None

@@ -71,8 +71,9 @@ def main() -> int:
             # The round driver hashes the raw column representation, so an
             # int64 12 vs a float64 12.0 reads as a mismatch even when the
             # values agree (round-4 struct_hse red row).  Reproduce that
-            # strictness here: dtype *kind* must match before values do.
-            if a.dtype.kind != b.dtype.kind:
+            # strictness here: the EXACT dtype must match before values do
+            # (int32 vs int64 would hash differently too).
+            if a.dtype != b.dtype:
                 bad_col, bad_kind = c, f"{a.dtype} vs {b.dtype}"
                 break
             if a.dtype.kind == "f" or b.dtype.kind == "f":
