@@ -130,8 +130,15 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
     digest: str = "fast",
+    parallelize: bool = True,
 ) -> DataFrame:
     """(id, sig array<long>) — universal-hash minhash over word shingles.
+
+    parallelize=False skips the small-input/streaming repartition — needed
+    when a STATEFUL streaming operator follows (Spark's round-robin
+    repartition of a columnar scan inside a stateful query throws
+    ColumnarBatchRow→UnsafeRow; streaming/neardedup_stream.py sets this,
+    its own groupBy exchange spreads the work anyway).
 
     One Arrow batch computes signatures for ~2048 docs at once; shingling
     happens inside the UDF (Python string ops beat interpreted JVM lambda
@@ -173,9 +180,8 @@ def minhash_signatures(
         out[nz] = red[: nz.sum()] if red.shape[0] == nz.sum() else red
         return pd.Series(list(out))
 
-    return _parallelize(df).select(
-        F.col(id_col), _sig(F.col(text_col)).alias("sig")
-    )
+    base = _parallelize(df) if parallelize else df
+    return base.select(F.col(id_col), _sig(F.col(text_col)).alias("sig"))
 
 
 def minhash_lsh_candidates(

@@ -139,3 +139,73 @@ def test_length_tier_equal_length_corpus_spreads(spark):
              .select("pid").distinct().count())
     assert pids2 >= 8
     assert out.count() == 20_000
+
+
+def test_streaming_minhash_near_dup_matches_batch(spark, tmp_path):
+    """Stateful streaming MinHash near-dup: clones arriving in LATER
+    micro-batches are paired with their originals; the deduped pair set
+    equals the batch minhash_dedup result on the closed corpus."""
+    from ifeatureomega_cli_spark.operators.dedup import minhash_dedup
+    from ifeatureomega_cli_spark.streaming.neardedup_stream import (
+        streaming_minhash_pairs)
+
+    def doc(i):
+        return " ".join(f"w{i}x{j}" for j in range(12))
+
+    rows1 = [(i, doc(i)) for i in range(30)]
+    # batch 2: clones of docs 0..9 plus fresh docs
+    rows2 = [(1000 + i, doc(i)) for i in range(10)] + \
+            [(2000 + i, doc(500 + i)) for i in range(10)]
+    in_dir = str(tmp_path / "near_in")
+    spark.createDataFrame(rows1, "doc_id long, text string").write.parquet(in_dir)
+    spark.createDataFrame(rows2, "doc_id long, text string").write.mode(
+        "append").parquet(in_dir)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)  # multi-micro-batch state use
+              .parquet(in_dir))
+    out = streaming_minhash_pairs(stream, threshold=0.8, bands=8)
+    q = (out.writeStream.format("memory").queryName("near_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "near_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    # a pair agreeing in k bands arrives k times — sink-side dedup, as the
+    # module documents
+    got = spark.sql(
+        "select id_a, id_b, max(est_jaccard) as est_jaccard "
+        "from near_out group by id_a, id_b").toPandas()
+
+    batch = minhash_dedup(
+        spark.read.parquet(in_dir), threshold=0.8, bands=8).toPandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    batch_pairs = set(zip(batch["id_a"], batch["id_b"]))
+    assert got_pairs == batch_pairs
+    assert {(i, 1000 + i) for i in range(10)} <= got_pairs
+    # agreement estimates identical to batch per pair
+    ge = dict(zip(zip(got["id_a"], got["id_b"]), got["est_jaccard"]))
+    be = dict(zip(zip(batch["id_a"], batch["id_b"]), batch["est_jaccard"]))
+    assert all(abs(ge[p] - be[p]) < 1e-12 for p in got_pairs)
+
+
+def test_streaming_minhash_bucket_saturation_bounds_state(spark, tmp_path):
+    """A degenerate bucket (many identical docs) saturates at
+    max_bucket_state and stops emitting — O(cap²) bounded, no blow-up."""
+    from ifeatureomega_cli_spark.streaming.neardedup_stream import (
+        streaming_minhash_pairs)
+
+    rows = [(i, "same words everywhere " + "pad " * 8) for i in range(60)]
+    in_dir = str(tmp_path / "sat_in")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(in_dir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    out = streaming_minhash_pairs(stream, threshold=0.8, bands=8,
+                                  max_bucket_state=10)
+    q = (out.writeStream.format("memory").queryName("sat_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sat_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql(
+        "select distinct id_a, id_b from sat_out").toPandas()
+    # 10 stored docs → at most C(10,2)=45 pairs, never C(60,2)=1770
+    assert 0 < len(got) <= 45
