@@ -184,6 +184,27 @@ def minhash_signatures(
     return base.select(F.col(id_col), _sig(F.col(text_col)).alias("sig"))
 
 
+def minhash_band_expr(bands: int):
+    """(band, bucket) posexplode over a `sig` column: slice the signature
+    into `bands` pieces, xxhash64 each to a bucket key.  Shared by the
+    batch candidate generator and the streaming twin
+    (streaming/neardedup_stream.py) so their banding can never drift."""
+    return F.posexplode(
+        F.transform(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.slice(
+                    F.col("sig"),
+                    bnd * (F.size(F.col("sig")) / bands).cast("int") + 1,
+                    (F.size(F.col("sig")) / bands).cast("int"),
+                ),
+            ),
+            lambda arr: F.xxhash64(
+                F.concat_ws(",", F.transform(arr, lambda v: v.cast("string")))),
+        )
+    ).alias("band", "bucket")
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -194,24 +215,7 @@ def minhash_lsh_candidates(
 
     Buckets bigger than `max_bucket_size` are dropped (stop-shingle floods —
     the skew guard that keeps the bucket join from exploding at scale)."""
-    rows = (
-        sigs.select(
-            id_col,
-            F.posexplode(
-                F.transform(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(bands - 1)),
-                        lambda bnd: F.slice(
-                            F.col("sig"),
-                            bnd * (F.size(F.col("sig")) / bands).cast("int") + 1,
-                            (F.size(F.col("sig")) / bands).cast("int"),
-                        ),
-                    ),
-                    lambda arr: F.xxhash64(F.concat_ws(",", F.transform(arr, lambda v: v.cast("string")))),
-                )
-            ).alias("band", "bucket"),
-        )
-    )
+    rows = sigs.select(id_col, minhash_band_expr(bands))
     # drop oversized buckets (stop-shingle floods).  Only the OVER-limit set
     # is guaranteed small, so broadcast that side as an anti join — the
     # kept-buckets table grows with the corpus and must never be broadcast.

@@ -53,61 +53,59 @@ _STATE_SCHEMA = StructType([
 ])
 
 
-def _band_exprs(bands: int):
-    """The batch operator's banding expression (dedup.minhash_lsh_candidates):
-    slice the signature into `bands` pieces, xxhash64 each to a bucket key."""
-    return F.posexplode(
-        F.transform(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.slice(
-                    F.col("sig"),
-                    bnd * (F.size(F.col("sig")) / bands).cast("int") + 1,
-                    (F.size(F.col("sig")) / bands).cast("int"),
-                ),
-            ),
-            lambda arr: F.xxhash64(
-                F.concat_ws(",", F.transform(arr, lambda v: v.cast("string")))),
-        )
-    ).alias("band", "bucket")
-
-
 def _make_bucket_fn(n_hashes: int, threshold: float, max_bucket_state: int):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
             ids_l, sigs_l, saturated = state.get
             ids = list(ids_l)
-            sigs = (np.array(sigs_l, dtype=np.int64)
-                    .reshape(-1, n_hashes) if ids else
-                    np.empty((0, n_hashes), dtype=np.int64))
         else:
-            ids, sigs, saturated = [], np.empty((0, n_hashes),
-                                                dtype=np.int64), 0
+            ids, sigs_l, saturated = [], [], 0
+        # preallocate the cap-sized signature matrix: no per-doc vstack
+        # (O(n²) copies in the hot path), and the cap bounds state anyway
+        sigs = np.empty((max_bucket_state, n_hashes), dtype=np.int64)
+        if ids:
+            n_known = len(ids)
+            sigs[:n_known] = (np.array(sigs_l, dtype=np.int64)
+                              .reshape(n_known, n_hashes))
+        count = len(ids)
         known = set(ids)
         out_a, out_b, out_e = [], [], []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            # deterministic arrival order within the micro-batch
-            pdf = pdf.sort_values("doc_id")
-            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+        # a group may span several pandas chunks within one micro-batch:
+        # concat + sort ALL of them first so arrival order (and therefore
+        # which docs a saturating bucket retains) is doc_id-deterministic,
+        # never Arrow-chunking-dependent — same reason dedup_stream scans
+        # all chunks before choosing its keeper
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (pd.concat(chunks, ignore_index=True)
+                     if len(chunks) > 1 else chunks[0])
+            whole = whole.sort_values("doc_id")
+            for doc_id, sig in zip(whole["doc_id"], whole["sig"]):
+                if pd.isna(doc_id):
+                    raise ValueError(
+                        "null doc_id reached the near-dup state operator — "
+                        "a non-numeric id column silently nulls under "
+                        "cast('long'); use integer ids")
+                doc_id = int(doc_id)
                 if saturated or doc_id in known:
                     continue
                 s = np.asarray(sig, dtype=np.int64)
-                if len(ids):
-                    agree = (sigs == s[None, :]).mean(axis=1)
+                if count:
+                    agree = (sigs[:count] == s[None, :]).mean(axis=1)
                     hit = np.nonzero(agree >= threshold)[0]
                     for j in hit:
-                        a, b = sorted((int(ids[j]), int(doc_id)))
+                        a, b = sorted((ids[j], doc_id))
                         out_a.append(a)
                         out_b.append(b)
                         out_e.append(float(agree[j]))
-                ids.append(int(doc_id))
-                known.add(int(doc_id))
-                sigs = np.vstack([sigs, s[None, :]])
-                if len(ids) >= max_bucket_state:
+                ids.append(doc_id)
+                known.add(doc_id)
+                sigs[count] = s
+                count += 1
+                if count >= max_bucket_state:
                     saturated = 1
-        state.update((ids, [int(v) for v in sigs.ravel()], saturated))
+        state.update((ids, [int(v) for v in sigs[:count].ravel()],
+                      saturated))
         if out_a:
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b,
                                 "est_jaccard": out_e})
@@ -121,8 +119,8 @@ def streaming_minhash_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     n_hashes: int = 64,
-    bands: int = 8,
-    shingle_n: int = 3,
+    bands: int = 16,      # same default as batch minhash_dedup — the
+    shingle_n: int = 3,   # pair-set parity claim requires matched banding
     seed: int = 42,
     digest: str = "fast",
     max_bucket_state: int = 200,
@@ -139,8 +137,11 @@ def streaming_minhash_pairs(
     # (band, bucket) groupBy exchange below spreads the work regardless
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n,
                               seed, digest, parallelize=False)
+    from ifeatureomega_cli_spark.operators.dedup import minhash_band_expr
+
     banded = sigs.select(
-        F.col(id_col).cast("long").alias("doc_id"), "sig", _band_exprs(bands))
+        F.col(id_col).cast("long").alias("doc_id"), "sig",
+        minhash_band_expr(bands))
     return (
         banded.groupBy("band", "bucket")
         .applyInPandasWithState(

@@ -169,7 +169,7 @@ def test_streaming_minhash_near_dup_matches_batch(spark, tmp_path):
          .outputMode("append")
          .option("checkpointLocation", str(tmp_path / "near_ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "streaming query did not finish in 180s"
     # a pair agreeing in k bands arrives k times — sink-side dedup, as the
     # module documents
     got = spark.sql(
@@ -204,7 +204,7 @@ def test_streaming_minhash_bucket_saturation_bounds_state(spark, tmp_path):
          .outputMode("append")
          .option("checkpointLocation", str(tmp_path / "sat_ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "streaming query did not finish in 180s"
     got = spark.sql(
         "select distinct id_a, id_b from sat_out").toPandas()
     # 10 stored docs → at most C(10,2)=45 pairs, never C(60,2)=1770

@@ -76,7 +76,7 @@ def main() -> int:
             if a.dtype != b.dtype:
                 bad_col, bad_kind = c, f"{a.dtype} vs {b.dtype}"
                 break
-            if a.dtype.kind == "f" or b.dtype.kind == "f":
+            if a.dtype.kind == "f":  # kinds equal after the dtype gate
                 ok = ((a == b) | (pd.isna(a) & pd.isna(b))).all()
             else:
                 ok = (pd.Series(a).fillna("<NA>")
