@@ -339,9 +339,22 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_band_expr(digest: str = "fast"):
+    """(band, key) posexplode over a `simhash` column: 4 bands of 16 bits
+    (md5 variant: 15) — shared by the batch pair generator and the
+    streaming twin so their banding cannot drift."""
+    band_bits = 15 if digest == "md5" else 16
+    mask = (1 << band_bits) - 1
+    return F.posexplode(F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), band_bits * i)
+        .bitwiseAND(F.lit(mask))
+        for i in range(4)
+    ])).alias("band", "key")
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    shingle_n: int = 2, digest: str = "fast",
+    shingle_n: int = 2, digest: str = "fast", parallelize: bool = True,
 ) -> DataFrame:
     """SimHash over word shingles (weighted bit-vote), one UDF pass.
 
@@ -378,7 +391,8 @@ def simhash_signatures(
         out[nz] = packed
         return pd.Series(out)
 
-    return _parallelize(df).select(F.col(id_col), _sim(F.col(text_col)).alias("simhash"))
+    base = _parallelize(df) if parallelize else df
+    return base.select(F.col(id_col), _sim(F.col(text_col)).alias("simhash"))
 
 
 def simhash_dup_pairs(
@@ -390,17 +404,8 @@ def simhash_dup_pairs(
     Hamming ≤ 3 shares at least one exact band — then verify Hamming
     distance in-bucket."""
     _check_digest(digest)
-    band_bits = 15 if digest == "md5" else 16
-    mask = (1 << band_bits) - 1
     sigs = simhash_signatures(df, text_col, id_col, shingle_n, digest).cache()
-    banded = sigs.select(
-        id_col, "simhash",
-        F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col("simhash"), band_bits * i)
-            .bitwiseAND(F.lit(mask))
-            for i in range(4)
-        ])).alias("band", "key"),
-    )
+    banded = sigs.select(id_col, "simhash", simhash_band_expr(digest))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))

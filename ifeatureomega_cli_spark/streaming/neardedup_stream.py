@@ -113,6 +113,108 @@ def _make_bucket_fn(n_hashes: int, threshold: float, max_bucket_state: int):
     return fn
 
 
+_SIM_OUT_SCHEMA = StructType([
+    StructField("id_a", LongType()),
+    StructField("id_b", LongType()),
+    StructField("hamming", IntegerType()),
+])
+_SIM_STATE_SCHEMA = StructType([
+    StructField("ids", ArrayType(LongType())),
+    StructField("sims", ArrayType(LongType())),
+    StructField("saturated", IntegerType()),
+])
+
+
+def _make_simhash_bucket_fn(max_hamming: int, max_bucket_state: int):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ids_l, sims_l, saturated = state.get
+            ids = list(ids_l)
+        else:
+            ids, sims_l, saturated = [], [], 0
+        # preallocated, uint64-viewed (fast-digest 64-bit simhashes are
+        # stored as signed longs; view, don't convert, to keep the bits)
+        arr = np.empty(max_bucket_state, dtype=np.uint64)
+        count = len(ids)
+        if count:
+            arr[:count] = np.array(sims_l, dtype=np.int64).view(np.uint64)
+        known = set(ids)
+        out_a, out_b, out_h = [], [], []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (pd.concat(chunks, ignore_index=True)
+                     if len(chunks) > 1 else chunks[0])
+            whole = whole.sort_values("doc_id")
+            for doc_id, sim in zip(whole["doc_id"], whole["simhash"]):
+                if pd.isna(doc_id):
+                    raise ValueError(
+                        "null doc_id reached the simhash state operator — "
+                        "use integer ids")
+                doc_id, sim = int(doc_id), int(sim)
+                if saturated or doc_id in known:
+                    continue
+                u = np.int64(sim).view(np.uint64)
+                if count:
+                    x = arr[:count] ^ u
+                    # vectorized popcount: uint8 view + unpackbits
+                    ham = np.unpackbits(
+                        x.view(np.uint8).reshape(count, 8),
+                        axis=1).sum(axis=1)
+                    for j in np.nonzero(ham <= max_hamming)[0]:
+                        a, b = sorted((ids[j], doc_id))
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_h.append(int(ham[j]))
+                ids.append(doc_id)
+                known.add(doc_id)
+                arr[count] = u
+                count += 1
+                if count >= max_bucket_state:
+                    saturated = 1
+        state.update((ids,
+                      [int(v) for v in arr[:count].view(np.int64)],
+                      saturated))
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                                "hamming": out_h})
+
+    return fn
+
+
+def streaming_simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+    digest: str = "fast",
+    max_bucket_state: int = 200,
+) -> DataFrame:
+    """Streaming (id_a, id_b, hamming) pairs within Hamming ≤ max_hamming,
+    matched incrementally against every previously seen document sharing a
+    16-bit band (md5 variant: 15-bit) — the SimHash twin of
+    streaming_minhash_pairs, same state/saturation/multi-band-emission
+    semantics."""
+    from ifeatureomega_cli_spark.operators.dedup import (
+        simhash_band_expr, simhash_signatures)
+
+    sigs = simhash_signatures(docs, text_col, id_col, shingle_n, digest,
+                              parallelize=False)
+    banded = sigs.select(
+        F.col(id_col).cast("long").alias("doc_id"), "simhash",
+        simhash_band_expr(digest))
+    return (
+        banded.groupBy("band", "key")
+        .applyInPandasWithState(
+            _make_simhash_bucket_fn(max_hamming, max_bucket_state),
+            outputStructType=_SIM_OUT_SCHEMA,
+            stateStructType=_SIM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_minhash_pairs(
     docs: DataFrame,
     text_col: str = "text",

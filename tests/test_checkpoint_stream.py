@@ -209,3 +209,42 @@ def test_streaming_minhash_bucket_saturation_bounds_state(spark, tmp_path):
         "select distinct id_a, id_b from sat_out").toPandas()
     # 10 stored docs → at most C(10,2)=45 pairs, never C(60,2)=1770
     assert 0 < len(got) <= 45
+
+
+def test_streaming_simhash_matches_batch(spark, tmp_path):
+    """SimHash streaming twin: cross-micro-batch pairs equal the batch
+    operator's pair set with identical Hamming distances."""
+    from ifeatureomega_cli_spark.operators.dedup import simhash_dup_pairs
+    from ifeatureomega_cli_spark.streaming.neardedup_stream import (
+        streaming_simhash_pairs)
+
+    def doc(i):
+        return " ".join(f"w{i}x{j}" for j in range(12))
+
+    rows1 = [(i, doc(i)) for i in range(30)]
+    rows2 = [(1000 + i, doc(i)) for i in range(10)]   # later-batch clones
+    in_dir = str(tmp_path / "sim_in")
+    spark.createDataFrame(rows1, "doc_id long, text string").write.parquet(in_dir)
+    spark.createDataFrame(rows2, "doc_id long, text string").write.mode(
+        "append").parquet(in_dir)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(in_dir))
+    out = streaming_simhash_pairs(stream, max_hamming=3)
+    q = (out.writeStream.format("memory").queryName("sim_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sim_ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180), "streaming query did not finish in 180s"
+    got = spark.sql(
+        "select id_a, id_b, min(hamming) as hamming "
+        "from sim_out group by id_a, id_b").toPandas()
+
+    batch = simhash_dup_pairs(
+        spark.read.parquet(in_dir), max_hamming=3).toPandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    assert got_pairs == set(zip(batch["id_a"], batch["id_b"]))
+    assert {(i, 1000 + i) for i in range(10)} <= got_pairs
+    gh = dict(zip(zip(got["id_a"], got["id_b"]), got["hamming"]))
+    bh = dict(zip(zip(batch["id_a"], batch["id_b"]), batch["hamming"]))
+    assert all(gh[p] == bh[p] for p in got_pairs)
