@@ -140,3 +140,43 @@ def test_decode_media_malformed_wav_falls_back_to_stub():
     odd = bytes(base)[:-1]  # truncated: odd-length 16-bit data chunk
     path, feat = decode_media(odd)
     assert path in ("wav", "stub") and feat is not None
+
+
+def test_wav_bmp_roundtrip_property():
+    """Property: encode→decode is exact for every valid shape/rate (
+    hypothesis drives sizes, channel counts, rates, and pixel widths that
+    hit every stride-padding residue)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 400),
+        ch=st.integers(1, 4),
+        rate=st.integers(1, 192000),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def wav_prop(n, ch, rate, seed):
+        rng = np.random.RandomState(seed)
+        pcm = rng.randint(-32768, 32768, size=(n, ch)).astype(np.int16)
+        samples = pcm.astype(np.float64) / 32768.0
+        got, got_rate = decode_wav(encode_wav(samples, rate))
+        assert got_rate == rate and got.shape == (n, ch)
+        # the encoder clips then TRUNCATES (astype); int16 values are exact
+        # in float32, so decode recovers the stored ints bit-for-bit
+        expected = np.clip(samples * 32767.0, -32768, 32767).astype(np.int16)
+        assert ((got * 32768.0).astype(np.int16) == expected).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 21),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def bmp_prop(h, w, seed):
+        rng = np.random.RandomState(seed)
+        rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(rgb)) == rgb).all()
+
+    wav_prop()
+    bmp_prop()
