@@ -1827,10 +1827,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, sim, t.band,
                      (sim >> CAST(15 * t.band AS INTEGER)) & 32767 AS key
               FROM allp, (SELECT UNNEST(range(0, 4)) AS band) t
+            ), okb AS (
+              -- the engine's max_bucket_size=200 skew guard
+              SELECT band, key FROM banded GROUP BY band, key
+              HAVING COUNT(*) <= 200
+            ), kept AS (
+              SELECT b.doc_id, b.sim, b.band, b.key
+              FROM banded b JOIN okb USING (band, key)
             ), cand AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                      a.sim AS sa, b.sim AS sb
-              FROM banded a JOIN banded b
+              FROM kept a JOIN kept b
                 ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
             )
             SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,

@@ -398,14 +398,24 @@ def simhash_signatures(
 def simhash_dup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     max_hamming: int = 3, shingle_n: int = 2, digest: str = "fast",
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into 4 × 16-bit keys
     (md5 variant: 60 bits into 4 × 15-bit keys) — any pair within
     Hamming ≤ 3 shares at least one exact band — then verify Hamming
-    distance in-bucket."""
+    distance in-bucket.
+
+    Same skew guard as the minhash twin (round 5): a (band, key) group
+    over `max_bucket_size` is dropped via a broadcast anti join of the
+    small over-limit side — thousands of empty/boilerplate docs share
+    simhash 0 and would otherwise self-join O(bucket²) on one hot key."""
     _check_digest(digest)
     sigs = simhash_signatures(df, text_col, id_col, shingle_n, digest).cache()
     banded = sigs.select(id_col, "simhash", simhash_band_expr(digest))
+    oversized = (banded.groupBy("band", "key").count()
+                 .filter(F.col("count") > max_bucket_size))
+    banded = banded.join(F.broadcast(oversized.select("band", "key")),
+                         ["band", "key"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))

@@ -1,16 +1,17 @@
-"""Custom stateful streaming operator: incremental MinHash near-dup
-detection — the streaming twin of operators/dedup.minhash_dedup for the
-"continuously arriving training documents" case.
+"""Custom stateful streaming operators: incremental MinHash and SimHash
+near-dup detection — the streaming twins of operators/dedup.minhash_dedup
+and simhash_dup_pairs for the "continuously arriving training documents"
+case.
 
 Shape: signatures are a stateless Arrow UDF (identical kernel to batch),
-band bucketing is the same JVM expression as minhash_lsh_candidates, and
-`applyInPandasWithState` keyed on (band, bucket) keeps the signatures
+band bucketing is the SAME shared expression as the batch operators
+(minhash_band_expr / simhash_band_expr — the twins cannot drift), and
+`applyInPandasWithState` keyed on the band bucket keeps the signatures
 seen so far in each bucket; every newly arriving doc is scored against
-its bucket's history and pairs with signature agreement ≥ threshold are
-emitted — across micro-batches, restarts included (state lives in the
-checkpoint).
+its bucket's history and matching pairs are emitted — across
+micro-batches, restarts included (state lives in the checkpoint).
 
-Documented deviations from the batch operator (inherent to append-mode
+Documented deviations from the batch operators (inherent to append-mode
 streaming):
 
 * a pair colliding in SEVERAL bands is emitted once per band — batch
@@ -20,17 +21,20 @@ streaming):
   the pre-UDF repartition (see streaming_minhash_pairs) — dedup in the
   sink (SELECT DISTINCT on the delivered table / merge-on-write) or in
   a foreachBatch;
-* the bucket-size cap cannot drop already-emitted pairs retroactively —
-  a bucket that exceeds `max_bucket_state` simply STOPS accumulating and
-  emitting (the batch twin drops the whole bucket), so degenerate
-  buckets are still O(cap²) bounded.
+* degenerate buckets: the batch twins DROP an over-limit bucket entirely
+  (max_bucket_size anti join), while a streaming bucket cannot retract —
+  it saturates at `max_bucket_state`: the first `max_bucket_state` docs
+  (by doc_id within each micro-batch) are kept and later arrivals are
+  ignored, so degenerate buckets are O(cap²) bounded but the two twins
+  keep DIFFERENT subsets of a blown bucket.  On non-degenerate corpora
+  (no bucket over the cap) pair sets are equal — pinned by test.
 
-State per bucket: ≤ max_bucket_state · (1 + n_hashes) longs.
+State per bucket: ≤ max_bucket_state · (1 + sig_width) longs.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -40,12 +44,17 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
                                StructField, StructType)
 
-_OUT_SCHEMA = StructType([
+_MINHASH_OUT_SCHEMA = StructType([
     StructField("id_a", LongType()),
     StructField("id_b", LongType()),
     StructField("est_jaccard", DoubleType()),
 ])
-# ids + flattened signatures + saturation flag
+_SIMHASH_OUT_SCHEMA = StructType([
+    StructField("id_a", LongType()),
+    StructField("id_b", LongType()),
+    StructField("hamming", IntegerType()),
+])
+# ids + flattened signatures + saturation flag (shared by both operators)
 _STATE_SCHEMA = StructType([
     StructField("ids", ArrayType(LongType())),
     StructField("sigs", ArrayType(LongType())),
@@ -53,34 +62,57 @@ _STATE_SCHEMA = StructType([
 ])
 
 
-def _make_bucket_fn(n_hashes: int, threshold: float, max_bucket_state: int):
+def _make_bucket_state_fn(
+    sig_col: str,
+    width: int,
+    row_of: Callable[[object], np.ndarray],
+    hits_of: Callable[[np.ndarray, np.ndarray], tuple[np.ndarray, list]],
+    metric_col: str,
+    max_bucket_state: int,
+):
+    """Shared per-bucket state scaffold for both near-dup twins.
+
+    `row_of(sig)` converts one signature value to an int64 row of `width`;
+    `hits_of(matrix, row)` scores the new row against the stored matrix
+    and returns (matching indices, metric values).  Everything else —
+    state restore, cap-sized preallocation, deterministic chunk handling,
+    null-id check, within/cross-batch doc dedup, saturation, state
+    write-back — lives here ONCE, so a fix applies to both operators."""
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
-            ids_l, sigs_l, saturated = state.get
+            ids_l, flat, saturated = state.get
             ids = list(ids_l)
         else:
-            ids, sigs_l, saturated = [], [], 0
-        # preallocate the cap-sized signature matrix: no per-doc vstack
-        # (O(n²) copies in the hot path), and the cap bounds state anyway
-        sigs = np.empty((max_bucket_state, n_hashes), dtype=np.int64)
-        if ids:
-            n_known = len(ids)
-            sigs[:n_known] = (np.array(sigs_l, dtype=np.int64)
-                              .reshape(n_known, n_hashes))
+            ids, flat, saturated = [], [], 0
         count = len(ids)
+        # a restart may carry MORE restored docs than a lowered cap allows:
+        # size the matrix to fit them and mark the bucket saturated instead
+        # of crashing the slice assignment
+        cap = max(max_bucket_state, count)
+        if count >= max_bucket_state:
+            saturated = 1
+        mat = np.empty((cap, width), dtype=np.int64)
+        if count:
+            mat[:count] = np.array(flat, dtype=np.int64).reshape(count, width)
         known = set(ids)
-        out_a, out_b, out_e = [], [], []
+        out_a, out_b, out_m = [], [], []
         # a group may span several pandas chunks within one micro-batch:
-        # concat + sort ALL of them first so arrival order (and therefore
-        # which docs a saturating bucket retains) is doc_id-deterministic,
-        # never Arrow-chunking-dependent — same reason dedup_stream scans
-        # all chunks before choosing its keeper
+        # concat ALL of them, then sort by (doc_id, signature) and keep the
+        # first row per doc — arrival order, which signature a replayed
+        # doc_id retains, and which docs a saturating bucket keeps are all
+        # fully deterministic, never Arrow-chunking-dependent (an unstable
+        # sort on doc_id alone still left equal-key order chunk-dependent)
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             whole = (pd.concat(chunks, ignore_index=True)
                      if len(chunks) > 1 else chunks[0])
-            whole = whole.sort_values("doc_id")
-            for doc_id, sig in zip(whole["doc_id"], whole["sig"]):
+            tb = whole[sig_col].map(
+                lambda s: tuple(s) if hasattr(s, "__len__") else s)
+            whole = (whole.assign(__tb=tb)
+                     .sort_values(["doc_id", "__tb"], kind="stable")
+                     .drop_duplicates("doc_id", keep="first"))
+            for doc_id, sig in zip(whole["doc_id"], whole[sig_col]):
                 if pd.isna(doc_id):
                     raise ValueError(
                         "null doc_id reached the near-dup state operator — "
@@ -89,129 +121,37 @@ def _make_bucket_fn(n_hashes: int, threshold: float, max_bucket_state: int):
                 doc_id = int(doc_id)
                 if saturated or doc_id in known:
                     continue
-                s = np.asarray(sig, dtype=np.int64)
+                row = row_of(sig)
                 if count:
-                    agree = (sigs[:count] == s[None, :]).mean(axis=1)
-                    hit = np.nonzero(agree >= threshold)[0]
-                    for j in hit:
+                    idx, vals = hits_of(mat[:count], row)
+                    for j, v in zip(idx, vals):
                         a, b = sorted((ids[j], doc_id))
                         out_a.append(a)
                         out_b.append(b)
-                        out_e.append(float(agree[j]))
+                        out_m.append(v)
                 ids.append(doc_id)
                 known.add(doc_id)
-                sigs[count] = s
+                mat[count] = row
                 count += 1
                 if count >= max_bucket_state:
                     saturated = 1
-        state.update((ids, [int(v) for v in sigs[:count].ravel()],
+        state.update((ids, [int(v) for v in mat[:count].ravel()],
                       saturated))
         if out_a:
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b,
-                                "est_jaccard": out_e})
+                                metric_col: out_m})
 
     return fn
 
 
-_SIM_OUT_SCHEMA = StructType([
-    StructField("id_a", LongType()),
-    StructField("id_b", LongType()),
-    StructField("hamming", IntegerType()),
-])
-_SIM_STATE_SCHEMA = StructType([
-    StructField("ids", ArrayType(LongType())),
-    StructField("sims", ArrayType(LongType())),
-    StructField("saturated", IntegerType()),
-])
-
-
-def _make_simhash_bucket_fn(max_hamming: int, max_bucket_state: int):
-    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        if state.exists:
-            ids_l, sims_l, saturated = state.get
-            ids = list(ids_l)
-        else:
-            ids, sims_l, saturated = [], [], 0
-        # preallocated, uint64-viewed (fast-digest 64-bit simhashes are
-        # stored as signed longs; view, don't convert, to keep the bits)
-        arr = np.empty(max_bucket_state, dtype=np.uint64)
-        count = len(ids)
-        if count:
-            arr[:count] = np.array(sims_l, dtype=np.int64).view(np.uint64)
-        known = set(ids)
-        out_a, out_b, out_h = [], [], []
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks:
-            whole = (pd.concat(chunks, ignore_index=True)
-                     if len(chunks) > 1 else chunks[0])
-            whole = whole.sort_values("doc_id")
-            for doc_id, sim in zip(whole["doc_id"], whole["simhash"]):
-                if pd.isna(doc_id):
-                    raise ValueError(
-                        "null doc_id reached the simhash state operator — "
-                        "use integer ids")
-                doc_id, sim = int(doc_id), int(sim)
-                if saturated or doc_id in known:
-                    continue
-                u = np.int64(sim).view(np.uint64)
-                if count:
-                    x = arr[:count] ^ u
-                    # vectorized popcount: uint8 view + unpackbits
-                    ham = np.unpackbits(
-                        x.view(np.uint8).reshape(count, 8),
-                        axis=1).sum(axis=1)
-                    for j in np.nonzero(ham <= max_hamming)[0]:
-                        a, b = sorted((ids[j], doc_id))
-                        out_a.append(a)
-                        out_b.append(b)
-                        out_h.append(int(ham[j]))
-                ids.append(doc_id)
-                known.add(doc_id)
-                arr[count] = u
-                count += 1
-                if count >= max_bucket_state:
-                    saturated = 1
-        state.update((ids,
-                      [int(v) for v in arr[:count].view(np.int64)],
-                      saturated))
-        if out_a:
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b,
-                                "hamming": out_h})
-
-    return fn
-
-
-def streaming_simhash_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
-    shingle_n: int = 2,
-    digest: str = "fast",
-    max_bucket_state: int = 200,
-) -> DataFrame:
-    """Streaming (id_a, id_b, hamming) pairs within Hamming ≤ max_hamming,
-    matched incrementally against every previously seen document sharing a
-    16-bit band (md5 variant: 15-bit) — the SimHash twin of
-    streaming_minhash_pairs, same state/saturation/multi-band-emission
-    semantics."""
-    from ifeatureomega_cli_spark.operators.dedup import (
-        simhash_band_expr, simhash_signatures)
-
-    sigs = simhash_signatures(docs, text_col, id_col, shingle_n, digest,
-                              parallelize=False)
-    banded = sigs.select(
-        F.col(id_col).cast("long").alias("doc_id"), "simhash",
-        simhash_band_expr(digest))
-    return (
-        banded.groupBy("band", "key")
-        .applyInPandasWithState(
-            _make_simhash_bucket_fn(max_hamming, max_bucket_state),
-            outputStructType=_SIM_OUT_SCHEMA,
-            stateStructType=_SIM_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+def _stateful_pairs(banded: DataFrame, key_cols: list[str], fn,
+                    out_schema: StructType) -> DataFrame:
+    return banded.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
@@ -232,25 +172,67 @@ def streaming_minhash_pairs(
     every previously seen document that shares a band bucket.  A pair
     agreeing in k bands arrives k times — dedup in the sink (see module
     docstring for why not here)."""
-    from ifeatureomega_cli_spark.operators.dedup import minhash_signatures
+    from ifeatureomega_cli_spark.operators.dedup import (
+        minhash_band_expr, minhash_signatures)
 
     # parallelize=False: the round-robin streaming repartition hits a
     # Spark ColumnarBatchRow→UnsafeRow cast inside stateful queries; the
     # (band, bucket) groupBy exchange below spreads the work regardless
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n,
                               seed, digest, parallelize=False)
-    from ifeatureomega_cli_spark.operators.dedup import minhash_band_expr
-
     banded = sigs.select(
         F.col(id_col).cast("long").alias("doc_id"), "sig",
         minhash_band_expr(bands))
-    return (
-        banded.groupBy("band", "bucket")
-        .applyInPandasWithState(
-            _make_bucket_fn(n_hashes, threshold, max_bucket_state),
-            outputStructType=_OUT_SCHEMA,
-            stateStructType=_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-    )
+
+    def row_of(sig):
+        return np.asarray(sig, dtype=np.int64)
+
+    def hits_of(matrix, row):
+        agree = (matrix == row[None, :]).mean(axis=1)
+        idx = np.nonzero(agree >= threshold)[0]
+        return idx, [float(agree[j]) for j in idx]
+
+    fn = _make_bucket_state_fn("sig", n_hashes, row_of, hits_of,
+                               "est_jaccard", max_bucket_state)
+    return _stateful_pairs(banded, ["band", "bucket"], fn,
+                           _MINHASH_OUT_SCHEMA)
+
+
+def streaming_simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+    digest: str = "fast",
+    max_bucket_state: int = 200,
+) -> DataFrame:
+    """Streaming (id_a, id_b, hamming) pairs within Hamming ≤ max_hamming,
+    matched incrementally against every previously seen document sharing a
+    16-bit band (md5 variant: 15-bit) — the SimHash twin of
+    streaming_minhash_pairs, same state/saturation/multi-band-emission
+    semantics (batch twin's cap: simhash_dup_pairs max_bucket_size)."""
+    from ifeatureomega_cli_spark.operators.dedup import (
+        simhash_band_expr, simhash_signatures)
+
+    sigs = simhash_signatures(docs, text_col, id_col, shingle_n, digest,
+                              parallelize=False)
+    banded = sigs.select(
+        F.col(id_col).cast("long").alias("doc_id"), "simhash",
+        simhash_band_expr(digest))
+
+    def row_of(sim):
+        return np.array([int(sim)], dtype=np.int64)
+
+    def hits_of(matrix, row):
+        # fast-digest 64-bit simhashes are stored as signed longs; view,
+        # don't convert, to keep the bits; popcount via unpackbits
+        x = matrix[:, 0].view(np.uint64) ^ row.view(np.uint64)[0]
+        ham = np.unpackbits(
+            x.view(np.uint8).reshape(len(matrix), 8), axis=1).sum(axis=1)
+        idx = np.nonzero(ham <= max_hamming)[0]
+        return idx, [int(ham[j]) for j in idx]
+
+    fn = _make_bucket_state_fn("simhash", 1, row_of, hits_of,
+                               "hamming", max_bucket_state)
+    return _stateful_pairs(banded, ["band", "key"], fn, _SIMHASH_OUT_SCHEMA)

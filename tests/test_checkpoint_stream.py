@@ -248,3 +248,26 @@ def test_streaming_simhash_matches_batch(spark, tmp_path):
     gh = dict(zip(zip(got["id_a"], got["id_b"]), got["hamming"]))
     bh = dict(zip(zip(batch["id_a"], batch["id_b"]), batch["hamming"]))
     assert all(gh[p] == bh[p] for p in got_pairs)
+
+
+def test_streaming_simhash_bucket_saturation_bounds_state(spark, tmp_path):
+    """SimHash twin's saturation cap pinned (same guarantee as the minhash
+    twin's): a degenerate bucket keeps only max_bucket_state docs."""
+    from ifeatureomega_cli_spark.streaming.neardedup_stream import (
+        streaming_simhash_pairs)
+
+    rows = [(i, "same words everywhere " + "pad " * 8) for i in range(60)]
+    in_dir = str(tmp_path / "ssat_in")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(in_dir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    out = streaming_simhash_pairs(stream, max_hamming=3, max_bucket_state=10)
+    q = (out.writeStream.format("memory").queryName("ssat_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ssat_ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180), "streaming query did not finish in 180s"
+    got = spark.sql("select distinct id_a, id_b from ssat_out").toPandas()
+    # 10 stored docs → at most C(10,2)=45 pairs, never C(60,2)=1770
+    assert 0 < len(got) <= 45
+    # deterministic saturation: the kept docs are the 10 smallest ids
+    assert set(got["id_a"]) | set(got["id_b"]) <= set(range(10))

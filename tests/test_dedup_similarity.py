@@ -404,3 +404,18 @@ def test_ngram_jaccard_hashed_keys_match_string_keys(spark, planted_docs):
     assert hashed[["id_a", "id_b"]].equals(strings[["id_a", "id_b"]])
     assert np.allclose(hashed["jaccard"], strings["jaccard"], rtol=0)
     assert len(hashed) > 0
+
+
+def test_simhash_bucket_cap_degenerate(spark):
+    """Batch simhash skew guard (round 5, symmetric with minhash): many
+    identical texts share simhash and every band key; the cap drops the
+    blown buckets instead of self-joining O(n²) on one hot key."""
+    from ifeatureomega_cli_spark.operators.dedup import simhash_dup_pairs
+
+    n = 300
+    df = spark.createDataFrame(
+        [(i, "identical boilerplate text everywhere") for i in range(n)],
+        "doc_id long, text string")
+    assert simhash_dup_pairs(df, max_bucket_size=100).count() == 0
+    uncapped = simhash_dup_pairs(df, max_bucket_size=10**9)
+    assert uncapped.count() == n * (n - 1) // 2
