@@ -256,3 +256,16 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bucket_left")
         spark.sql("DROP TABLE IF EXISTS t_bucket_right")
+
+
+def test_simhash_cap_broadcasts_over_limit_side(spark):
+    """Batch simhash's round-5 skew guard mirrors minhash/embedding: the
+    oversized-bucket drop is a broadcast anti join (small over-limit side
+    built), candidate generation stays a keyed equi-join — no cartesian."""
+    from ifeatureomega_cli_spark.operators.dedup import simhash_dup_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(simhash_dup_pairs(docs, max_hamming=8))
+    assert "LeftAnti BuildRight" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert _nodes(plan, "BroadcastExchange") >= 1, plan
