@@ -100,6 +100,33 @@ def _check_digest(digest: str) -> None:
             "path) or 'md5' (SQL-oracle-portable)")
 
 
+def _check_bands(n_hashes: int, bands: int) -> None:
+    """Banding silently TRUNCATES trailing signature positions when the
+    signature width is not divisible by `bands` (floor(width/bands) rows
+    per band) — a quiet LSH-recall loss.  Refuse the combination instead;
+    callers that genuinely want truncation can re-slice the signature."""
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"n_hashes={n_hashes} is not divisible by bands={bands}: "
+            "banding would silently drop the trailing "
+            f"{n_hashes % bands} signature positions and weaken LSH "
+            "recall; pick bands dividing the signature width")
+
+
+def release_caches(result: DataFrame) -> None:
+    """Unpersist the intermediate DataFrames a dedup operator cached.
+
+    minhash_dedup / simhash_dup_pairs / embedding_dup_pairs cache their
+    signature / bucket tables (reused across the guard groupBy, the anti
+    join and both self-join aliases).  The returned result is LAZY, so the
+    operator itself cannot unpersist — the caller owns the cache lifetime:
+    materialize the result, then call release_caches(result).  Unreleased
+    caches are LRU-evictable (MEMORY_AND_DISK), so skipping this leaks
+    storage-pool occupancy, not correctness."""
+    for cached in getattr(result, "_dedup_caches", ()):
+        cached.unpersist()
+
+
 def minhash_params(n_hashes: int = 64, seed: int = 42,
                    digest: str = "fast") -> tuple[np.ndarray, np.ndarray]:
     """The seeded (a, b) universal-hash multipliers — exposed so the SQL
@@ -184,11 +211,20 @@ def minhash_signatures(
     return base.select(F.col(id_col), _sig(F.col(text_col)).alias("sig"))
 
 
-def minhash_band_expr(bands: int):
+def minhash_band_expr(bands: int, n_hashes: int | None = None):
     """(band, bucket) posexplode over a `sig` column: slice the signature
     into `bands` pieces, xxhash64 each to a bucket key.  Shared by the
     batch candidate generator and the streaming twin
-    (streaming/neardedup_stream.py) so their banding can never drift."""
+    (streaming/neardedup_stream.py) so their banding can never drift.
+
+    Pass `n_hashes` (the signature width) when known: a width not
+    divisible by `bands` is rejected up front — the slice expression would
+    otherwise silently drop the trailing positions (see _check_bands).
+    Width-less call sites (`minhash_lsh_candidates` on a pre-built sigs
+    table) can't validate here; the entry points that build signatures
+    (minhash_dedup, streaming_minhash_pairs) always validate."""
+    if n_hashes is not None:
+        _check_bands(n_hashes, bands)
     return F.posexplode(
         F.transform(
             F.transform(
@@ -254,10 +290,26 @@ def minhash_dedup(
     """Near-dup pairs with estimated Jaccard ≥ threshold.
 
     sig agreement fraction estimates Jaccard; verification stays on the
-    signatures (cheap) — swap in ngram_jaccard_pairs for exact verify."""
+    signatures (cheap) — swap in ngram_jaccard_pairs for exact verify.
+    The agreement count is an Arrow-batched numpy kernel over the joined
+    (sig_a, sig_b) pair — the interpreted F.zip_with/F.filter chain it
+    replaced (round 5) evaluated per-element per-pair, and the candidate
+    set is the hot loop at corpus scale (same measurement as the
+    embedding twin's _pair_cos: ~100× per pair).
+
+    Caches the signatures table; the caller owns the lifetime — see
+    release_caches()."""
+    _check_bands(n_hashes, bands)
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n,
                               seed, digest).cache()
     cands = minhash_lsh_candidates(sigs, id_col, bands)
+
+    @pandas_udf(DoubleType())
+    def _pair_agree(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        Am = np.stack([np.asarray(v, dtype=np.int64) for v in sa])
+        Bm = np.stack([np.asarray(v, dtype=np.int64) for v in sb])
+        return pd.Series((Am == Bm).mean(axis=1))
+
     a = sigs.alias("a")
     b = sigs.alias("b")
     joined = (
@@ -265,15 +317,12 @@ def minhash_dedup(
         .join(b, cands.id_b == F.col(f"b.{id_col}"))
         .select(
             "id_a", "id_b",
-            (
-                F.size(F.filter(
-                    F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-                    lambda m: m,
-                )) / F.size(F.col("a.sig"))
-            ).alias("est_jaccard"),
+            _pair_agree(F.col("a.sig"), F.col("b.sig")).alias("est_jaccard"),
         )
     )
-    return joined.filter(F.col("est_jaccard") >= threshold)
+    result = joined.filter(F.col("est_jaccard") >= threshold)
+    result._dedup_caches = (sigs,)
+    return result
 
 
 def ngram_jaccard_pairs(
@@ -408,7 +457,10 @@ def simhash_dup_pairs(
     Same skew guard as the minhash twin (round 5): a (band, key) group
     over `max_bucket_size` is dropped via a broadcast anti join of the
     small over-limit side — thousands of empty/boilerplate docs share
-    simhash 0 and would otherwise self-join O(bucket²) on one hot key."""
+    simhash 0 and would otherwise self-join O(bucket²) on one hot key.
+
+    Caches the signatures table; the caller owns the lifetime — see
+    release_caches()."""
     _check_digest(digest)
     sigs = simhash_signatures(df, text_col, id_col, shingle_n, digest).cache()
     banded = sigs.select(id_col, "simhash", simhash_band_expr(digest))
@@ -424,11 +476,13 @@ def simhash_dup_pairs(
                 F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b"))
         .distinct()
     )
-    return (
+    result = (
         cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    result._dedup_caches = (sigs,)
+    return result
 
 
 def dedup_components(
@@ -612,7 +666,10 @@ def embedding_dup_pairs(
     dropped via a broadcast anti join of the (small) over-limit side.  A
     corpus region dense enough to blow the cap in EVERY table is by
     definition one equivalence class of near-dups; route it through
-    exact_dedup / a representative-pivot pass instead of all-pairs."""
+    exact_dedup / a representative-pivot pass instead of all-pairs.
+
+    Caches the (id, table, bucket) projection table; the caller owns the
+    lifetime — see release_caches()."""
     if dim is None:
         dim = len(df.select(vec_col).head()[0])
     rng = np.random.RandomState(seed)
@@ -669,10 +726,12 @@ def embedding_dup_pairs(
         cands = cands.dropDuplicates(["id_a", "id_b"])
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    return (
+    result = (
         cands.join(va, "id_a").join(vb, "id_b")
         .select(
             "id_a", "id_b",
             _pair_cos(F.col("__va"), F.col("__vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+    result._dedup_caches = (bucketed,)
+    return result

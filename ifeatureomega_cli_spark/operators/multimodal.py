@@ -81,6 +81,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        if pos + 8 + size > len(payload):
+            # a truncated/size-corrupted chunk must NOT decode silently to
+            # fewer samples — raise so the caller's stub fallback triggers
+            # (the bmp decoder's pixel-array check is the same contract)
+            raise ValueError(
+                f"truncated chunk {cid!r}: declares {size} bytes, "
+                f"{len(payload) - pos - 8} remain")
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = body

@@ -182,7 +182,7 @@ def streaming_minhash_pairs(
                               seed, digest, parallelize=False)
     banded = sigs.select(
         F.col(id_col).cast("long").alias("doc_id"), "sig",
-        minhash_band_expr(bands))
+        minhash_band_expr(bands, n_hashes=n_hashes))
 
     def row_of(sig):
         return np.asarray(sig, dtype=np.int64)

@@ -419,3 +419,28 @@ def test_simhash_bucket_cap_degenerate(spark):
     assert simhash_dup_pairs(df, max_bucket_size=100).count() == 0
     uncapped = simhash_dup_pairs(df, max_bucket_size=10**9)
     assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_bands_not_dividing_signature_rejected(spark, planted_docs):
+    from ifeatureomega_cli_spark.operators.dedup import (minhash_band_expr,
+                                                         minhash_dedup)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        minhash_dedup(planted_docs, n_hashes=64, bands=7)
+    with pytest.raises(ValueError, match="not divisible"):
+        minhash_band_expr(10, n_hashes=64)
+    minhash_band_expr(8, n_hashes=64)  # divisible: fine
+    minhash_band_expr(8)               # width unknown at this call site
+
+
+def test_release_caches_unpersists_intermediates(spark, planted_docs):
+    from ifeatureomega_cli_spark.operators.dedup import (minhash_dedup,
+                                                         release_caches)
+
+    out = minhash_dedup(planted_docs, threshold=0.8, bands=8)
+    out.count()  # materialize (populates the signature cache)
+    cached = out._dedup_caches
+    assert cached and all(c.storageLevel.useMemory for c in cached)
+    release_caches(out)
+    assert not any(c.storageLevel.useMemory for c in cached)
+    release_caches(planted_docs)  # no handles attached: a clean no-op

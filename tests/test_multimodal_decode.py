@@ -180,3 +180,15 @@ def test_wav_bmp_roundtrip_property():
 
     wav_prop()
     bmp_prop()
+
+
+def test_wav_truncated_data_chunk_raises_and_stubs():
+    t = np.arange(200) / 8000.0
+    wav = encode_wav(0.5 * np.sin(2 * np.pi * 300 * t), 8000)
+    truncated = wav[:-37]  # data chunk now declares more bytes than remain
+    with pytest.raises(ValueError, match="truncated chunk"):
+        decode_wav(truncated)
+    # the dispatcher must route the malformed payload to the stub, not
+    # silently decode fewer samples as a plausible real-path feature
+    path, feat = decode_media(truncated)
+    assert path == "stub" and len(feat) == 16
