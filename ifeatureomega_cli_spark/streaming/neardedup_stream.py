@@ -18,9 +18,11 @@ streaming):
   dedups retroactively with .distinct(); dedup STREAM-SIDE is not
   offered because chaining dropDuplicates (itself stateful) after
   applyInPandasWithState trips the same columnar/UnsafeRow Spark bug as
-  the pre-UDF repartition (see streaming_minhash_pairs) — dedup in the
-  sink (SELECT DISTINCT on the delivered table / merge-on-write) or in
-  a foreachBatch;
+  the pre-UDF repartition (see streaming_minhash_pairs).  Use
+  `write_deduped_pairs` (round 6): a foreachBatch sink that dedups
+  within each micro-batch AND against the already-delivered table, so
+  the DELIVERED parquet matches batch output exactly — no sink-side
+  SELECT DISTINCT needed;
 * degenerate buckets: the batch twins DROP an over-limit bucket entirely
   (max_bucket_size anti join), while a streaming bucket cannot retract —
   it saturates at `max_bucket_state`: the first `max_bucket_state` docs
@@ -236,3 +238,62 @@ def streaming_simhash_pairs(
     fn = _make_bucket_state_fn("simhash", 1, row_of, hits_of,
                                "hamming", max_bucket_state)
     return _stateful_pairs(banded, ["band", "key"], fn, _SIMHASH_OUT_SCHEMA)
+
+
+def foreach_batch_dedup_sink(out_dir: str,
+                             key_cols: tuple[str, ...] = ("id_a", "id_b")):
+    """A foreachBatch function that appends only NEVER-DELIVERED pairs to
+    `out_dir` (parquet): dedups within the micro-batch, then anti-joins
+    against the already-delivered table.  This makes the delivered table
+    match the batch operators byte-for-byte (one row per pair, no
+    per-band duplicates) and makes replayed micro-batches after a restart
+    idempotent at pair granularity — the at-least-once replay appends
+    nothing the table already holds.
+
+    The metric column (est_jaccard / hamming) is a deterministic function
+    of the pair's signatures, so every per-band duplicate carries the
+    identical value and dropDuplicates on the key columns loses nothing.
+
+    The anti join reads back only the key columns of the delivered table
+    (column-pruned parquet scan, 2 longs/row); the growing side is the
+    DELIVERED corpus — it stays the streamed side of the join, never
+    broadcast."""
+    keys = list(key_cols)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates(keys)
+        try:
+            delivered = spark.read.parquet(out_dir).select(*keys)
+            fresh = fresh.join(delivered, keys, "left_anti")
+        except Exception as exc:  # first batch: nothing delivered yet
+            if "PATH_NOT_FOUND" not in str(exc) and \
+                    "Path does not exist" not in str(exc):
+                raise
+        fresh.write.mode("append").parquet(out_dir)
+
+    return sink
+
+
+def write_deduped_pairs(
+    pairs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: tuple[str, ...] = ("id_a", "id_b"),
+    trigger_available_now: bool = True,
+):
+    """Start the near-dup pairs stream into a parquet table that contains
+    each pair EXACTLY once — the delivered-output twin of the batch
+    operators' .distinct().  Returns the StreamingQuery.
+
+    >>> out = streaming_minhash_pairs(stream, threshold=0.8, bands=8)
+    >>> q = write_deduped_pairs(out, "/data/pairs", "/data/pairs_ckpt")
+    >>> q.awaitTermination()
+    """
+    writer = (pairs.writeStream
+              .foreachBatch(foreach_batch_dedup_sink(out_dir, key_cols))
+              .outputMode("append")
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -271,3 +271,46 @@ def test_streaming_simhash_bucket_saturation_bounds_state(spark, tmp_path):
     assert 0 < len(got) <= 45
     # deterministic saturation: the kept docs are the 10 smallest ids
     assert set(got["id_a"]) | set(got["id_b"]) <= set(range(10))
+
+
+def test_write_deduped_pairs_matches_batch_exactly(spark, tmp_path):
+    """The foreachBatch dedup sink delivers each pair EXACTLY once even
+    when it collides in several bands and spans micro-batches — the
+    delivered parquet equals the batch operator's output with no
+    sink-side DISTINCT."""
+    from ifeatureomega_cli_spark.operators.dedup import minhash_dedup
+    from ifeatureomega_cli_spark.streaming.neardedup_stream import (
+        streaming_minhash_pairs, write_deduped_pairs)
+
+    def doc(i):
+        return " ".join(f"w{i}x{j}" for j in range(12))
+
+    # exact clones collide in EVERY band (8 collisions per pair) — the
+    # worst case for per-band duplicate emission
+    rows1 = [(i, doc(i)) for i in range(20)]
+    rows2 = [(1000 + i, doc(i)) for i in range(8)] + \
+            [(2000 + i, doc(700 + i)) for i in range(8)]
+    in_dir = str(tmp_path / "fbd_in")
+    spark.createDataFrame(rows1, "doc_id long, text string").write.parquet(in_dir)
+    spark.createDataFrame(rows2, "doc_id long, text string").write.mode(
+        "append").parquet(in_dir)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(in_dir))
+    out_dir = str(tmp_path / "fbd_out")
+    q = write_deduped_pairs(
+        streaming_minhash_pairs(stream, threshold=0.8, bands=8),
+        out_dir, str(tmp_path / "fbd_ckpt"))
+    assert q.awaitTermination(180), "streaming query did not finish in 180s"
+
+    got = spark.read.parquet(out_dir).toPandas()
+    batch = minhash_dedup(
+        spark.read.parquet(in_dir), threshold=0.8, bands=8).toPandas()
+    # exactly once: no per-band duplicates survive in the DELIVERED table
+    assert len(got) == len(got.drop_duplicates(["id_a", "id_b"]))
+    assert set(zip(got["id_a"], got["id_b"])) == \
+        set(zip(batch["id_a"], batch["id_b"]))
+    ge = dict(zip(zip(got["id_a"], got["id_b"]), got["est_jaccard"]))
+    be = dict(zip(zip(batch["id_a"], batch["id_b"]), batch["est_jaccard"]))
+    assert all(abs(ge[p] - be[p]) < 1e-12 for p in ge)
