@@ -6,18 +6,20 @@ descriptor families per molecule with RDKit — a per-molecule SCALAR map
 Arrow-batched mapInPandas over a `(mol_id, smiles)` table: embarrassingly
 parallel, no shuffle, output schema fixed per family.
 
-RDKit is NOT available in this container, so the per-molecule kernel is
-pluggable:
+The per-molecule kernel splits by what chemistry each family needs:
 
-* with RDKit importable, `ligand_descriptors` parses each SMILES with
-  `Chem.MolFromSmiles` and calls the family's chem/ coder list (the
-  reference's `__default_para_dict[descriptor]` function names,
-  :9812-9859) — drop-in on a real cluster;
-* without it, a clearly-marked DETERMINISTIC STUB stands in: a seeded
-  digest of the SMILES string expands to the family's feature width, and
-  a syntactic validity check mimics `MolFromSmiles` returning None for
-  garbage (invalid molecules are skipped, as the reference's mol_list
-  construction does at :9871-9876).
+* GRAPH FAMILIES (round 6): Constitution, Topology, Connectivity and
+  Kappa are functions of the molecular graph alone and compute for REAL
+  — SMILES parsed by the pure-Python `functions/molgraph.py`, formulas
+  transcribed in `functions/chemdesc.py` (ref chem/constitution.py,
+  chem/topology.py, chem/connectivity.py, chem/kappa.py).  No RDKit
+  needed; `valid` reflects actual parse success.
+* NUMERIC FAMILIES (EState, autocorrelations, charge, surface, all
+  fingerprints): genuinely need RDKit's atom typings/partial charges —
+  with RDKit importable they would call the reference's chem/ coder
+  list; without it the clearly-marked DETERMINISTIC STUB stands in (a
+  seeded digest expanded to the family width, with a syntactic validity
+  check mimicking `MolFromSmiles` returning None, ref :9871-9876).
 
 Either way the Spark-side contract — schema, invalid-row skipping, Arrow
 batch shape, distribution — is identical and is what the tests pin.
@@ -122,10 +124,16 @@ def family_width(family: str) -> int:
     return _FP_WIDTHS.get(family, len(LIGAND_FAMILIES[family]))
 
 
-# set True once _rdkit_features is wired to the reference's chem/ coders;
-# ligand_descriptors refuses the RDKit path at plan time while this is
-# False so the gap never surfaces as per-task executor failures.
+# set True once _rdkit_features is wired to the reference's chem/ coders
+# for the NUMERIC families; ligand_descriptors refuses the RDKit path at
+# plan time while this is False so the gap never surfaces as per-task
+# executor failures.  The four GRAPH families never consult this flag —
+# they compute for real via functions/chemdesc.py regardless of RDKit.
 HAVE_CHEM_PORT = False
+
+# families computed for real by the pure-Python molecular-graph port
+GRAPH_FAMILY_NAMES = frozenset(
+    {"Constitution", "Topology", "Connectivity", "Kappa"})
 
 
 def _rdkit_or_none():
@@ -210,23 +218,41 @@ def ligand_descriptors(
         raise KeyError(
             f"unknown ligand family {family!r}; one of "
             f"{sorted(LIGAND_FAMILIES)}")
+    graph_family = family in GRAPH_FAMILY_NAMES
     Chem = _rdkit_or_none()
-    if Chem is not None and not HAVE_CHEM_PORT:
+    if not graph_family and Chem is not None and not HAVE_CHEM_PORT:
         # fail fast at PLAN time: RDKit is importable but the chem/ coder
         # port is not bundled, so the per-molecule path would raise inside
         # every executor task — surface the gap before any job launches.
         raise NotImplementedError(
             "RDKit detected but the chem/ coder port is not bundled here; "
-            "wire the reference's chem package (constitution.py, "
-            "topology.py, ...) into _rdkit_features and set HAVE_CHEM_PORT. "
-            "Ref iFeatureOmegaCLI.py:9891-9903.")
+            "wire the reference's chem package (estate.py, charge.py, "
+            "fingerprint.py, ...) into _rdkit_features and set "
+            "HAVE_CHEM_PORT. Ref iFeatureOmegaCLI.py:9891-9903. "
+            "(Constitution/Topology/Connectivity/Kappa are already real "
+            "via the molecular-graph port and never take this path.)")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ifeatureomega_cli_spark.functions.chemdesc import GRAPH_FAMILIES
+        from ifeatureomega_cli_spark.functions.molgraph import (
+            SmilesError, parse_smiles)
+
         for pdf in batches:
             valid, feats = [], []
             for s in pdf[smiles_col]:
                 s = s or ""
-                if Chem is not None:
+                if graph_family:
+                    # real path, RDKit-free: SMILES → graph → transcribed
+                    # reference formulas (functions/chemdesc.py)
+                    try:
+                        mol = parse_smiles(s)
+                    except SmilesError:
+                        valid.append(False)
+                        feats.append(None)
+                        continue
+                    valid.append(True)
+                    feats.append(GRAPH_FAMILIES[family](mol).tolist())
+                elif Chem is not None:
                     mol = Chem.MolFromSmiles(s)
                     ok = mol is not None
                     # real path: run the family's chem/ coder list, concat
@@ -235,11 +261,12 @@ def ligand_descriptors(
                         feats.append(_rdkit_features(mol, family))
                     else:
                         feats.append(None)
+                    valid.append(ok)
                 else:
                     ok = smiles_valid_stub(s)
                     feats.append(descriptor_stub(s, family).tolist()
                                  if ok else None)
-                valid.append(ok)
+                    valid.append(ok)
             yield pd.DataFrame({
                 "mol_id": pdf[id_col],
                 "smiles": pdf[smiles_col],

@@ -95,14 +95,17 @@ def ligand_descriptor(df, name: str, **params):
     """Molecular descriptors / fingerprints over a (mol_id, smiles) table.
 
     The Spark pipeline (reader, schema, invalid-SMILES skipping, Arrow
-    batching, 24-family registry) is IMPLEMENTED in operators/ligand.py
-    and verified with a deterministic stub kernel; only the per-molecule
-    chemistry itself still needs RDKit.  This facade keeps the honest
-    error for chemistry-less environments while routing to the real
-    plumbing when a stub run is acceptable (pass allow_stub=True)."""
+    batching, 24-family registry) is IMPLEMENTED in operators/ligand.py.
+    The four GRAPH families (Constitution/Topology/Connectivity/Kappa)
+    compute for REAL without RDKit (round 6: functions/molgraph.py +
+    functions/chemdesc.py) and route straight through; the remaining
+    numeric families still need RDKit — this facade keeps the honest
+    error for them in chemistry-less environments while routing to the
+    real plumbing when a stub run is acceptable (pass allow_stub=True)."""
     from ifeatureomega_cli_spark.operators.ligand import (
-        _rdkit_or_none, ligand_descriptors)
-    if params.pop("allow_stub", False) or _rdkit_or_none() is not None:
+        GRAPH_FAMILY_NAMES, _rdkit_or_none, ligand_descriptors)
+    if name in GRAPH_FAMILY_NAMES or params.pop("allow_stub", False) \
+            or _rdkit_or_none() is not None:
         return ligand_descriptors(df, name, **params)
     raise NotImplementedError(
         _MSG.format(name=f"ligand descriptor {name!r} (numeric values)",

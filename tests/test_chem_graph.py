@@ -1,0 +1,284 @@
+"""Hand-verified fixtures for the RDKit-free molecular-graph chemistry
+(functions/molgraph.py + functions/chemdesc.py — round-6 VERDICT #1).
+
+Every asserted number below was computed BY HAND from the reference
+formulas (chem/constitution.py, chem/topology.py, chem/connectivity.py,
+chem/kappa.py) on molecules small enough to do so: ethanol (3 heavy
+atoms), benzene (6, one ring), isopentane (5, one branch).  Caffeine
+pins parsing (formula C8H10N4O2) and the hand-countable constitutional
+values.  The conditional RDKit cross-check lives in
+tests/test_chem_rdkit_parity.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from ifeatureomega_cli_spark.functions.chemdesc import (
+    connectivity, constitution, kappa, topology)
+from ifeatureomega_cli_spark.functions.molgraph import (
+    SmilesError, molecular_formula, parse_smiles)
+from ifeatureomega_cli_spark.operators.ligand import LIGAND_FAMILIES
+
+
+def _named(family, vec):
+    return dict(zip(LIGAND_FAMILIES[family], vec))
+
+
+# ---------------------------------------------------------------- parser
+
+def test_parser_molecular_formulas():
+    cases = {
+        "CCO": "C2H6O",
+        "c1ccccc1": "C6H6",
+        "Cn1cnc2c1c(=O)n(C)c(=O)n2C": "C8H10N4O2",   # caffeine
+        "CC(=O)Oc1ccccc1C(=O)O": "C9H8O4",           # aspirin
+        "c1ccc2ccccc2c1": "C10H8",                   # naphthalene
+        "c1ccccc1c1ccccc1": "C12H10",                # biphenyl (implied -)
+        "N[C@@H](C)C(=O)O": "C3H7NO2",               # alanine (chirality)
+        "O=[N+]([O-])c1ccccc1": "C6H5NO2",           # nitrobenzene
+        "c1cc[nH]c1": "C4H5N",                       # pyrrole
+        "c1ccncc1": "C5H5N",                         # pyridine
+        "c1ccoc1": "C4H4O",                          # furan
+        "C#N": "CHN",
+        "ClC(Cl)(Cl)Cl": "CCl4",
+        "[13CH4]": "CH4",                            # isotope parses
+        "C1CC1": "C3H6",
+        "C%10CC%10": "C3H6",                         # %nn ring label
+    }
+    for smi, want in cases.items():
+        assert molecular_formula(parse_smiles(smi)) == want, smi
+
+
+def test_parser_components_and_ring_bond_symbol():
+    two = parse_smiles("CC.O")  # ethane + water
+    assert two.n_components() == 2
+    assert molecular_formula(two) == "C2H8O"  # Hill over the whole set
+    # double-bond ring closure: cyclohexene written with =1
+    m = parse_smiles("C=1CCCCC=1")
+    assert sum(1 for b in m.bonds if b.order == 2.0) == 1
+    assert molecular_formula(m) == "C6H10"
+
+
+def test_parser_rejects_malformed():
+    for bad in ("", "C(", "C)", "C1CC", "C[", "[]", "C==C", "Xx", "C.=C",
+                "[C@@", "1CC"):
+        with pytest.raises(SmilesError):
+            parse_smiles(bad)
+
+
+def test_parser_graph_shape():
+    b = parse_smiles("c1ccccc1")
+    assert b.n_atoms == 6 and b.n_bonds == 6
+    assert all(bd.order == 1.5 for bd in b.bonds)
+    assert [len(r) for r in b.sssr()] == [6]
+    naph = parse_smiles("c1ccc2ccccc2c1")
+    assert sorted(len(r) for r in naph.sssr()) == [6, 6]
+    caf = parse_smiles("Cn1cnc2c1c(=O)n(C)c(=O)n2C")
+    assert sorted(len(r) for r in caf.sssr()) == [5, 6]
+    # biphenyl's inter-ring bond demotes to single
+    bi = parse_smiles("c1ccccc1c1ccccc1")
+    assert sum(1 for bd in bi.bonds if bd.order == 1.0) == 1
+
+
+# ------------------------------------------------- hand-verified ethanol
+
+def test_constitution_ethanol_hand():
+    got = _named("Constitution", constitution(parse_smiles("CCO")))
+    want = {
+        "nhyd": 6, "nhal": 0, "nhet": 1, "nhev": 3, "ncof": 0, "ncocl": 0,
+        "ncobr": 0, "ncoi": 0, "ncarb": 2, "nphos": 0, "nsulph": 0,
+        "noxy": 1, "nnitro": 0, "nring": 0, "nrot": 0, "ndonr": 1,
+        "naccr": 1, "nsb": 2, "ndb": 0, "ntb": 0, "naro": 0, "nta": 9,
+        "PC1": 2, "PC2": 1, "PC3": 0, "PC4": 0, "PC5": 0, "PC6": 0,
+    }
+    for k, v in want.items():
+        assert got[k] == v, k
+    # AWeight: (2·12 + 15.9949146196 + 6·1.00782503207) / 9
+    assert got["AWeight"] == pytest.approx(46.0418648 / 9, abs=1e-6)
+
+
+def test_topology_ethanol_hand():
+    got = _named("Topology", topology(parse_smiles("CCO")))
+    # D = [[0,1,2],[1,0,1],[2,1,0]], deg = [1,2,1]
+    want = {
+        "AW": 8 / 3 / 2 / 2,          # ΣΣd=8, N=3 → /3/2, then /2
+        "J": 2 * (2 / math.sqrt(6)),  # q=2, μ+1=1, 2 edges ns 3·2
+        "Thara": 2.5,                 # ½(4·1 + 2·½)
+        "Tsch": 16.0,
+        "Tigdi": math.log10((4 / 2) ** 2 + (2 / 2) ** 2 + 0)
+        if False else math.log10(2 ** 2 + 1 ** 2),
+        "Platt": 2, "Xu": math.sqrt(3) * math.log(26 / 10),
+        "Pol": 0, "Dz": 4 / 2 + 4 / 2 + 6 / 2,
+        # char poly of the 3-path: λ³−2λ → |coeffs| = [1,0,2,0]
+        "Ipc": math.log10(3 * (-(1 / 3) * math.log2(1 / 3)
+                               - (2 / 3) * math.log2(2 / 3))),
+        # Bertz: atom term 3·H([2C,1O]); one connection class → conn
+        # term 1·(0 + log2 1) = 0
+        "BertzCT": math.log10(3 * (-(2 / 3) * math.log2(2 / 3)
+                                   - (1 / 3) * math.log2(1 / 3))),
+        "GMTI": math.log10(1 * 2 * 1 + 1 * 1 * 2 + 2 * 1 * 1),
+        "ZM1": 6, "ZM2": 4, "MZM1": 2.25, "MZM2": 0.5, "Qindex": 0,
+        "diametert": 2, "radiust": 1, "petitjeant": 0.5,
+        # hk deltas [1, 2, 5]
+        "Sito": math.log(10), "Hato": 3 / (1 + 0.5 + 0.2),
+        "Geto": 10 ** (1 / 3), "Arto": 4 / 3,
+    }
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), k
+
+
+def test_connectivity_ethanol_hand():
+    got = _named("Connectivity", connectivity(parse_smiles("CCO")))
+    s2 = 1 / math.sqrt(2)
+    chi0 = 2 + s2
+    chiv0 = 1 + s2 + 1 / math.sqrt(5)
+    chiv1 = s2 + 1 / math.sqrt(10)
+    want = {
+        "Chi0": chi0, "Chi1": chi0,     # Chi1 ≡ Chi0 (reference quirk)
+        "mChi1": s2,                    # mean of two 1/√2 bond terms
+        "Chi2": 1 / math.sqrt(2),       # the single 3-atom path 1·2·1
+        "Chi3": 0.0, "Chi10": 0.0,
+        "Chiv0": chiv0, "Chiv1": chiv1,
+        "Chiv2": 1 / math.sqrt(10),     # path C-C-O: 1·2·5
+        "dchi0": abs(chiv0 - chi0),
+        "dchi1": abs(chiv1 - 2 * s2),   # vs Chinp(1)'s bond form
+        "dchi2": abs(1 / math.sqrt(10) - s2),
+        "Chi3c": 0.0, "Chiv4pc": 0.0, "Chi3ch": 0.0, "knotp": 0.0,
+    }
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-12), k
+
+
+def test_kappa_ethanol_and_isopentane_hand():
+    got = _named("Kappa", kappa(parse_smiles("CCO")))
+    # kappa1: A=3, P1=2 → 3·4/4 = 3; kappa2: A=2, P2=1 → 2·1/1 = 2
+    # kappa3: P3=0 → denominator 0 → 0 (reference returns 0.0)
+    assert got["kappa1"] == 3.0 and got["kappa2"] == 2.0
+    assert got["kappa3"] == 0.0
+    # alpha(CCO) = 0 + 0 + (−0.04) = −0.04 (sp3 C, sp3 O)
+    # kappam1: P = 2−0.04, A = 3−0.04, denom = P−0.04 = 1.92
+    #          → 2.96·1.96²/1.92² = 3.085 (reference rounds to 3)
+    a = -0.04
+    km1 = round((3 + a) * (3 + a - 1) ** 2 / (2 + 2 * a) ** 2, 3)
+    assert got["kappam1"] == km1 == 3.085
+    assert got["phi"] == round(km1 * km1 / 3, 3)
+
+    iso = _named("Kappa", kappa(parse_smiles("CC(C)CC")))
+    # isopentane: A=5, P1=4 → 5·16/16 = 5; P2=4, A=4 → 4·9/16 = 2.25
+    # kappa3: A=3 (odd, n=3) P3=2 → 3·16/4 = 12 — exercises the odd-A
+    # (A+1)² branch
+    assert iso["kappa1"] == 5.0 and iso["kappa2"] == 2.25
+    assert iso["kappa3"] == 12.0
+    # all-sp3 carbons → alpha = 0 → kappam == kappa
+    assert iso["kappam1"] == 5.0 and iso["kappam3"] == 12.0
+
+
+# ------------------------------------------------- hand-verified benzene
+
+def test_benzene_hand():
+    m = parse_smiles("c1ccccc1")
+    c = _named("Constitution", constitution(m))
+    # SMARTS quirk kept: 'C' matches aliphatic carbon only → ncarb 0
+    assert c["ncarb"] == 0 and c["naro"] == 6 and c["nsb"] == 0
+    assert c["nring"] == 1 and c["nta"] == 12 and c["nhyd"] == 6
+    # paths: 6 open paths per length 1-5; length 6 = the ring itself
+    for k, v in {"PC1": 6, "PC2": 6, "PC3": 6, "PC4": 6, "PC5": 6,
+                 "PC6": 1}.items():
+        assert c[k] == v, k
+
+    t = _named("Topology", topology(m))
+    # distance rows are all [0,1,1,2,2,3] → σ=9
+    assert t["AW"] == pytest.approx(54 / 6 / 5 / 2)
+    assert t["Thara"] == pytest.approx(6 + 6 / 2 + 3 / 3)
+    assert t["Platt"] == 12 and t["ZM1"] == 24 and t["ZM2"] == 24
+    assert t["Pol"] == 3 and t["diametert"] == 3 and t["radiust"] == 3
+    assert t["petitjeant"] == 0
+    assert t["Xu"] == pytest.approx(math.sqrt(6) * math.log(972 / 108))
+    # J: aromatic edges weigh 1/1.5 → BO distance rows sum to
+    # 2/3+2/3+4/3+4/3+2 = 6; 6 edges → J = 6/(1+1) · 6/6 = 3.0, the
+    # textbook BalabanJ of benzene
+    assert t["J"] == pytest.approx(3.0, abs=1e-12)
+    # BertzCT hand derivation (one symmetry class, one element): atom
+    # term 0; pairs 6·1.5² = 13.5, aromatic self-terms 6·(1.5·0.5/2) =
+    # 2.25 → tot 15.75 → 15.75·(H([13.5,2.25]) + log2 15.75) = 71.96,
+    # the published RDKit value for benzene
+    tot = 15.75
+    h = -(13.5 / tot) * math.log2(13.5 / tot) \
+        - (2.25 / tot) * math.log2(2.25 / tot)
+    assert 10 ** t["BertzCT"] == pytest.approx(tot * (h + math.log2(tot)),
+                                               abs=1e-9)
+    # one symmetric atom class, uniform ring: Sito = ln(4⁶)? no — hk
+    # delta of aromatic CH = 4−1 = 3 → ln(3⁶)
+    assert t["Sito"] == pytest.approx(6 * math.log(3))
+    assert t["Hato"] == pytest.approx(3.0) and t["Geto"] == pytest.approx(3.0)
+
+    x = _named("Connectivity", connectivity(m))
+    assert x["Chi0"] == pytest.approx(6 / math.sqrt(2))
+    assert x["mChi1"] == pytest.approx(0.5)
+    assert x["Chi2"] == pytest.approx(6 / math.sqrt(8))
+    # ring chi: one 6-ring, δ-product 2⁶=64 → 1/8
+    assert x["Chi6ch"] == pytest.approx(1 / 8)
+    assert x["Chi3ch"] == 0.0
+    # hk delta 3 per atom → Chiv6ch = 1/√(3⁶) = 1/27
+    assert x["Chiv6ch"] == pytest.approx(1 / 27)
+
+    k = _named("Kappa", kappa(m))
+    assert k["kappa1"] == round(6 * 25 / 36, 3)
+    assert k["kappa2"] == round(5 * 16 / 36, 3)
+    assert k["kappa3"] == 1.0  # A=4 even → 4·9/36
+
+
+def test_caffeine_constitution_hand():
+    got = _named("Constitution",
+                 constitution(parse_smiles("Cn1cnc2c1c(=O)n(C)c(=O)n2C")))
+    want = {
+        "nhyd": 10, "nhet": 6, "nhev": 14, "nring": 2, "naro": 10,
+        "ndb": 2,          # the two exocyclic C=O
+        "nsb": 3,          # the three N-CH3 bonds
+        "nnitro": 0,       # all four N are aromatic → SMARTS 'N' misses
+        "ncarb": 3,        # the three methyl carbons
+        "noxy": 2, "ndonr": 0, "nta": 24, "nrot": 0,
+    }
+    for k, v in want.items():
+        assert got[k] == v, k
+
+
+def test_cluster_matches_isopentane():
+    # CC(C)CC: atom 1 has neighbors {0,2,3} → one 3-cluster; 4p needs a
+    # 2-path off the center: center 1, d=3 (→4), pair {0,2} → one match
+    m = parse_smiles("CC(C)CC")
+    assert len(m.cluster_matches("3")) == 1
+    assert len(m.cluster_matches("4")) == 0
+    assert len(m.cluster_matches("4p")) == 1
+    x = _named("Connectivity", connectivity(m))
+    # Chi3c: cluster degrees 1·3·1·2 = 6
+    assert x["Chi3c"] == pytest.approx(1 / math.sqrt(6))
+    # Chi4pc: atoms {0,1,2,3,4} degrees 1·3·1·2·1 = 6
+    assert x["Chi4pc"] == pytest.approx(1 / math.sqrt(6))
+    assert x["knotp"] == pytest.approx(0.0)
+
+
+# -------------------------------------------------- spark integration
+
+def test_ligand_descriptors_graph_family_real(spark):
+    from ifeatureomega_cli_spark.operators.ligand import ligand_descriptors
+
+    df = spark.createDataFrame(
+        [(0, "CCO"), (1, "c1ccccc1"), (2, "not a smiles ((")],
+        "mol_id long, smiles string")
+    for family, width in (("Constitution", 29), ("Topology", 24),
+                          ("Connectivity", 44), ("Kappa", 7)):
+        out = ligand_descriptors(df, family).orderBy("mol_id").collect()
+        assert [r["valid"] for r in out] == [True, True, False]
+        assert out[2]["features"] is None
+        assert len(out[0]["features"]) == width
+        # row 0 must equal the direct kernel — the Spark path adds no
+        # numeric drift (pure Python both sides)
+        from ifeatureomega_cli_spark.functions.chemdesc import GRAPH_FAMILIES
+        direct = GRAPH_FAMILIES[family](parse_smiles("CCO"))
+        np.testing.assert_allclose(out[0]["features"], direct, rtol=0,
+                                   atol=0)

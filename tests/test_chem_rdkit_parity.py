@@ -1,0 +1,150 @@
+"""Conditional RDKit cross-check for the molecular-graph chemistry port
+(skipped in this container — RDKit absent; runs automatically on any
+cluster that has it).
+
+Two layers:
+
+1. graph parity — the pure-Python parser must agree with RDKit's
+   MolFromSmiles on atom/bond counts, degrees, total hydrogens, SSSR
+   ring count and the topological distance matrix;
+2. formula parity — the reference's own chem/ formulas evaluated with
+   RDKit primitives (transcribed here exactly as chem/topology.py,
+   chem/connectivity.py and chem/kappa.py do) must match
+   functions/chemdesc.py's outputs.
+
+Known perception simplifications to watch if a coordinate ever
+mismatches (documented in molgraph.py): hybridization for
+lone-pair-conjugated aliphatic N/O (affects only HallKierAlpha → the
+kappam/phi and Chiv columns), and Ipc/BertzCT, which transcribe RDKit's
+published pure-Python formulations rather than reference-local code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+rdkit = pytest.importorskip("rdkit")
+from rdkit import Chem                                    # noqa: E402
+from rdkit.Chem import AllChem, GraphDescriptors          # noqa: E402
+
+from ifeatureomega_cli_spark.functions.chemdesc import (  # noqa: E402
+    connectivity, constitution, kappa, topology)
+from ifeatureomega_cli_spark.functions.molgraph import (  # noqa: E402
+    parse_smiles)
+from ifeatureomega_cli_spark.operators.ligand import (    # noqa: E402
+    LIGAND_FAMILIES)
+
+PANEL = [
+    "CCO", "c1ccccc1", "CC(C)CC", "Cn1cnc2c1c(=O)n(C)c(=O)n2C",
+    "CC(=O)Oc1ccccc1C(=O)O", "c1ccc2ccccc2c1", "N[C@@H](C)C(=O)O",
+    "O=[N+]([O-])c1ccccc1", "C1CCCCC1", "CC(C)(C)c1ccc(O)cc1",
+    "ClC(Cl)=C(Cl)Cl", "C#CCO",
+]
+
+
+@pytest.mark.parametrize("smi", PANEL)
+def test_graph_parity(smi):
+    ours = parse_smiles(smi)
+    ref = Chem.MolFromSmiles(smi)
+    assert ours.n_atoms == ref.GetNumAtoms()
+    assert ours.n_bonds == ref.GetNumBonds()
+    assert sorted(ours.degrees().tolist()) == \
+        sorted(a.GetDegree() for a in ref.GetAtoms())
+    assert int(ours.total_h().sum()) == \
+        sum(a.GetTotalNumHs() for a in ref.GetAtoms())
+    assert len(ours.sssr()) == Chem.GetSSSR(ref)
+    ours_d = np.sort(ours.distance_matrix().sum(axis=1))
+    ref_d = np.sort(np.array(Chem.GetDistanceMatrix(ref)).sum(axis=1))
+    np.testing.assert_allclose(ours_d, ref_d)
+    # path counts drive PC1-6 and the kappa shapes
+    for n in range(1, 7):
+        assert ours.count_bond_paths(n) == \
+            len(Chem.FindAllPathsOfLengthN(ref, n)), n
+
+
+@pytest.mark.parametrize("smi", PANEL)
+def test_constitution_parity(smi):
+    got = dict(zip(LIGAND_FAMILIES["Constitution"],
+                   constitution(parse_smiles(smi))))
+    ref = Chem.MolFromSmiles(smi)
+    refh = Chem.AddHs(ref)
+    assert got["nhyd"] == len(
+        refh.GetSubstructMatches(Chem.MolFromSmarts("[H]")))
+    assert got["nring"] == AllChem.CalcNumRings(ref)
+    assert got["nrot"] == AllChem.CalcNumRotatableBonds(ref)
+    assert got["ndonr"] == AllChem.CalcNumHBD(ref)
+    assert got["naccr"] == AllChem.CalcNumHBA(ref)
+    for name, smarts in (("ncarb", "C"), ("noxy", "O"), ("nnitro", "N"),
+                         ("nsb", "[*]-[*]"), ("ndb", "[*]=[*]"),
+                         ("naro", "[*]:[*]")):
+        assert got[name] == len(
+            ref.GetSubstructMatches(Chem.MolFromSmarts(smarts))), name
+    from rdkit.Chem import Descriptors
+    assert got["AWeight"] == pytest.approx(
+        Descriptors.ExactMolWt(refh) / refh.GetNumAtoms(), abs=1e-4)
+
+
+@pytest.mark.parametrize("smi", PANEL)
+def test_topology_parity(smi):
+    got = dict(zip(LIGAND_FAMILIES["Topology"], topology(parse_smiles(smi))))
+    ref = Chem.MolFromSmiles(smi)
+    D = np.array(Chem.GetDistanceMatrix(ref), "d")
+    A = np.array(Chem.GetAdjacencyMatrix(ref), "d")
+    n = ref.GetNumAtoms()
+    deg = A.sum(axis=0)
+    assert got["AW"] == pytest.approx(D.sum() / n / (n - 1) / 2)
+    assert got["J"] == pytest.approx(GraphDescriptors.BalabanJ(ref),
+                                     rel=1e-6)
+    assert got["Thara"] == pytest.approx(0.5 * (1.0 / D[D != 0]).sum())
+    assert got["Tsch"] == pytest.approx(((D + A) @ deg).sum())
+    assert got["Platt"] == sum(
+        b.GetBeginAtom().GetDegree() + b.GetEndAtom().GetDegree() - 2
+        for b in ref.GetBonds())
+    assert got["ZM1"] == (deg ** 2).sum()
+    assert got["Ipc"] == pytest.approx(
+        np.log10(GraphDescriptors.Ipc(ref)), rel=1e-6)
+    assert got["BertzCT"] == pytest.approx(
+        np.log10(GraphDescriptors.BertzCT(ref)), rel=1e-6)
+    assert got["diametert"] == D.max()
+
+
+@pytest.mark.parametrize("smi", PANEL)
+def test_connectivity_and_kappa_parity(smi):
+    mol = parse_smiles(smi)
+    ref = Chem.MolFromSmiles(smi)
+    x = dict(zip(LIGAND_FAMILIES["Connectivity"], connectivity(mol)))
+    deltas = [a.GetDegree() for a in ref.GetAtoms() if a.GetDegree()]
+    assert x["Chi0"] == pytest.approx(
+        sum(np.sqrt(1.0 / np.array(deltas, "d"))))
+    # path orders via the reference's own Chinp loop
+    ds = [a.GetDegree() for a in ref.GetAtoms()]
+    for order in (2, 3, 4):
+        accum = 0.0
+        for path in Chem.FindAllPathsOfLengthN(ref, order + 1, useBonds=0):
+            p = 1.0
+            for idx in path:
+                p *= ds[idx]
+            if p:
+                accum += 1.0 / np.sqrt(p)
+        assert x[f"Chi{order}"] == pytest.approx(accum), order
+    # kappa via the reference's CalcKappa transcription on RDKit
+    k = dict(zip(LIGAND_FAMILIES["Kappa"], kappa(mol)))
+    for n_bond, name in ((1, "kappa1"), (2, "kappa2"), (3, "kappa3")):
+        P = len(Chem.FindAllPathsOfLengthN(ref, n_bond))
+        A_ = ref.GetNumHeavyAtoms() + 1 - n_bond
+        denom = P
+        if denom:
+            if A_ % 2 == 1 and n_bond == 3:
+                want = A_ * (A_ + 1) ** 2 / denom ** 2
+            else:
+                want = A_ * (A_ - 1) ** 2 / denom ** 2
+        else:
+            want = 0.0
+        assert k[name] == round(want, 3), name
+    # alpha variants: pin HallKierAlpha itself (the only perception-
+    # sensitive ingredient)
+    assert mol.hall_kier_alpha() == pytest.approx(
+        GraphDescriptors.HallKierAlpha(ref)
+        if hasattr(GraphDescriptors, "HallKierAlpha")
+        else Chem.rdMolDescriptors.CalcHallKierAlpha(ref), abs=1e-6)

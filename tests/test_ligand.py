@@ -43,7 +43,9 @@ def test_ligand_descriptors_stub_pipeline(spark, tmp_path):
     p = tmp_path / "mols.txt"
     p.write_text("CCO\nC1CC1N\nnot a molecule!!\nCC(=O)O\n")
     mols = read_smiles(spark, str(p))
-    out = (ligand_descriptors(mols, "Kappa").toPandas()
+    # EState still runs the stub (a NUMERIC family — RDKit-gated); the
+    # graph families are real since round 6, see test_chem_graph.py
+    out = (ligand_descriptors(mols, "EState").toPandas()
            .sort_values("mol_id").reset_index(drop=True))
     # every input row present; invalid row flagged, no features
     assert len(out) == 4
@@ -51,8 +53,8 @@ def test_ligand_descriptors_stub_pipeline(spark, tmp_path):
     assert out.loc[2, "features"] is None
     # stub is deterministic and family-width sized
     f = np.array(out.loc[0, "features"])
-    assert len(f) == family_width("Kappa") == 7
-    assert np.allclose(f, descriptor_stub("CCO", "Kappa"))
+    assert len(f) == family_width("EState") == 11
+    assert np.allclose(f, descriptor_stub("CCO", "EState"))
     # fingerprint family widths expand like the reference's fp+str(j)
     fp = (ligand_descriptors(mols.filter("mol_id = 0"),
                              "MACCS fingerprints").toPandas())
@@ -68,12 +70,14 @@ def test_ligand_facade_routes_and_raises(spark, tmp_path):
     p = tmp_path / "mols.txt"
     p.write_text("CCO\n")
     mols = read_smiles(spark, str(p))
-    # without RDKit and without opting into the stub: honest error
+    # numeric family without RDKit and without the stub opt-in: honest
+    # error; graph families route straight through (real since round 6)
     with pytest.raises(NotImplementedError):
-        SL.ligand_descriptor(mols, "Kappa")
-    # stub opt-in: full pipeline runs
-    out = SL.ligand_descriptor(mols, "Kappa", allow_stub=True).toPandas()
+        SL.ligand_descriptor(mols, "EState")
+    out = SL.ligand_descriptor(mols, "EState", allow_stub=True).toPandas()
     assert len(out) == 1 and out.loc[0, "valid"]
+    real = SL.ligand_descriptor(mols, "Kappa").toPandas()  # no opt-in
+    assert real.loc[0, "features"][0] == 3.0  # kappa1(CCO), hand value
 
 
 def test_smiles_validity_stub():
@@ -95,7 +99,10 @@ def test_rdkit_present_without_chem_port_fails_at_plan_time(spark, monkeypatch):
     monkeypatch.setattr(ligand, "_rdkit_or_none", lambda: object())
     df = spark.createDataFrame([(0, "CCO")], "mol_id long, smiles string")
     with pytest.raises(NotImplementedError, match="chem/ coder port"):
-        ligand.ligand_descriptors(df, "Constitution")
+        ligand.ligand_descriptors(df, "EState")
+    # graph families never consult RDKit — they stay real under the fake
+    out = ligand.ligand_descriptors(df, "Constitution").collect()
+    assert out[0]["valid"] and len(out[0]["features"]) == 29
 
 
 def test_rdkit_dispatch_with_wired_chem_port(spark, monkeypatch):
@@ -106,7 +113,7 @@ def test_rdkit_dispatch_with_wired_chem_port(spark, monkeypatch):
     cluster exercises, minus the chemistry."""
     from ifeatureomega_cli_spark.operators import ligand
 
-    w = ligand.family_width("Kappa")
+    w = ligand.family_width("EState")
 
     class _FakeChem:
         @staticmethod
@@ -120,11 +127,11 @@ def test_rdkit_dispatch_with_wired_chem_port(spark, monkeypatch):
     df = spark.createDataFrame(
         [(0, "CCO"), (1, "INVALID"), (2, "c1ccccc1")],
         "mol_id long, smiles string")
-    out = (ligand.ligand_descriptors(df, "Kappa")
+    out = (ligand.ligand_descriptors(df, "EState")
            .orderBy("mol_id").collect())
     assert [r["valid"] for r in out] == [True, False, True]
     assert out[1]["features"] is None
-    assert len(out[0]["features"]) == w == 7
+    assert len(out[0]["features"]) == w == 11
     assert out[2]["features"] == [8.0] * w
 
 
@@ -142,7 +149,12 @@ def test_rdkit_real_path_schema_and_widths(spark):
         [(0, "CCO"), (1, "not)a(smiles")], "mol_id long, smiles string")
     if not ligand.HAVE_CHEM_PORT:
         with pytest.raises(NotImplementedError, match="chem/ coder port"):
-            ligand.ligand_descriptors(df, "Constitution")
+            ligand.ligand_descriptors(df, "EState")
+        # graph families are real regardless of the port flag
+        out = (ligand.ligand_descriptors(df, "Constitution")
+               .orderBy("mol_id").collect())
+        assert out[0]["valid"] and len(out[0]["features"]) == 29
+        assert not out[1]["valid"]
         return
     for family in ("Constitution", "Topology", "Kappa", "EState",
                    "MACCS fingerprints", "Morgan-ECFP4 fingerprints"):
