@@ -4,15 +4,17 @@ metadata, processed via Arrow-batched mapInPandas.
 The Spark-side machinery (schemas, batch shapes, partition sizing) is real
 and tested.  Decoding is split honestly by what pure numpy can do:
 
-* REAL decoders (round 5, no media libraries needed): `decode_wav`
-  (RIFF/WAVE PCM 8/16-bit, any channel count) and `decode_bmp`
-  (BITMAPINFOHEADER BI_RGB 24/32-bit, bottom-up or top-down, row
-  padding) — plain container formats, parsed with numpy alone, plus real
-  feature kernels (`audio_features`: RMS/ZCR/spectral centroid via FFT;
-  `image_features`: per-channel stats + luminance histogram).
-* STUBBED: compressed codecs (JPEG/PNG/H.264...) genuinely need
-  libjpeg/ffmpeg-class dependencies — `decode_image_stub` (deterministic
-  fake) stands in, swap for PIL/torchaudio on a real cluster.
+* REAL decoders (no media libraries needed): `decode_wav` (RIFF/WAVE
+  PCM 8/16-bit, any channel count), `decode_bmp` (BITMAPINFOHEADER
+  BI_RGB 24/32-bit, bottom-up or top-down, row padding) and — round 6 —
+  `decode_png` (stdlib zlib inflate + numpy per-row unfiltering of all
+  five filter types, 8-bit gray/RGB/RGBA/gray+alpha, non-interlaced),
+  plus real feature kernels (`audio_features`: RMS/ZCR/spectral centroid
+  via FFT; `image_features`: per-channel stats + luminance histogram).
+* STUBBED: codecs that genuinely need libjpeg/ffmpeg-class dependencies
+  (JPEG/H.264, palettized or interlaced PNG) — `decode_image_stub`
+  (deterministic fake) stands in, swap for PIL/torchaudio on a real
+  cluster.
 
 `extract_media_features` auto-dispatches: payloads that ARE wav/bmp get
 the real path; everything else falls back to the stub.
@@ -156,6 +158,141 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return px[:, :, [2, 1, 0]].copy()
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-numpy+zlib PNG decoder → (height, width, channels) uint8.
+
+    Walks IHDR/IDAT/IEND chunks, inflates the concatenated IDAT stream
+    with stdlib zlib, and unfilters each scanline (the five PNG filter
+    types: None, Sub, Up, Average, Paeth).  Supports 8-bit color types
+    0 (gray), 2 (RGB), 4 (gray+alpha) and 6 (RGBA), non-interlaced.
+    Raises ValueError on palettized (type 3), 16-bit, interlaced or
+    truncated input — the caller falls back to the stub."""
+    import zlib
+
+    if len(payload) < 8 + 25 or payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    saw_iend = False
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos: pos + 4], "big")
+        ctype = payload[pos + 4: pos + 8]
+        if pos + 12 + size > len(payload):
+            raise ValueError(
+                f"truncated chunk {ctype!r}: declares {size} bytes, "
+                f"{len(payload) - pos - 12} remain")
+        body = payload[pos + 8: pos + 8 + size]
+        pos += 12 + size  # 4 length + 4 type + data + 4 crc
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+    if not saw_iend:
+        # a clipped trailing chunk header would otherwise pass silently
+        raise ValueError("truncated chunk stream: no complete IEND")
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8:
+        raise ValueError(f"unsupported bit depth {bit_depth}")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported color type {color_type} (palette?)")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
+    stride = width * channels
+    if len(raw) != height * (1 + stride):
+        raise ValueError("decompressed size does not match dimensions")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
+    filters = raw[:, 0]
+    data = raw[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    zero_px = np.zeros(channels, dtype=np.int64)
+    for y in range(height):
+        f = filters[y]
+        line = data[y].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(
+            stride, dtype=np.int64)
+        if f == 0:                       # None
+            cur = line
+        elif f == 2:                     # Up
+            cur = (line + prev) & 0xFF
+        elif f == 1:                     # Sub = prefix sum along pixels,
+            # vectorized per channel (mod-256 cumsum)
+            cur = (np.cumsum(line.reshape(width, channels), axis=0)
+                   & 0xFF).reshape(stride)
+        elif f in (3, 4):                # Average / Paeth: left-dependent,
+            # loop over PIXELS with the channel math vectorized
+            cur2 = line.reshape(width, channels).copy()
+            prev2 = prev.reshape(width, channels)
+            for x in range(width):
+                a = cur2[x - 1] if x else zero_px       # left
+                b = prev2[x]                            # up
+                if f == 3:
+                    cur2[x] = (cur2[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev2[x - 1] if x else zero_px  # up-left
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where((pa <= pb) & (pa <= pc), a,
+                                    np.where(pb <= pc, b, c))
+                    cur2[x] = (cur2[x] + pred) & 0xFF
+            cur = cur2.reshape(stride)
+        else:
+            raise ValueError(f"unknown filter type {f} in row {y}")
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(height, width, channels)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal non-interlaced 8-bit PNG encoder (tests +
+    synthesize_media).  `img`: (H, W) or (H, W, C) uint8 with C in
+    {1, 2, 3, 4}.  `filter_type` 0 (None) or 2 (Up) — enough to exercise
+    the decoder's filter reconstruction in round-trip tests (Sub/Average/
+    Paeth rows are hand-built in the tests)."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    flat = img.reshape(h, w * c).astype(np.uint8)
+    rows = []
+    for y in range(h):
+        if filter_type == 2 and y:
+            rows.append(b"\x02" + ((flat[y].astype(np.int64)
+                                    - flat[y - 1]) & 0xFF)
+                        .astype(np.uint8).tobytes())
+        else:
+            rows.append(b"\x00" + flat[y].tobytes())
+    idat = zlib.compress(b"".join(rows))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return (len(body).to_bytes(4, "big") + ctype + body
+                + crc.to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color_type, 0, 0, 0]))
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
 def audio_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
     """Real audio features from decoded PCM: [duration_sec, rms,
     zero-crossing rate, spectral centroid (Hz)] — float32."""
@@ -201,6 +338,14 @@ def decode_media(payload: bytes, out_dim: int = 16) -> tuple[str, np.ndarray]:
             return "bmp", image_features(decode_bmp(payload))
         except ValueError:
             pass  # BM magic but compressed/palettized → stub
+    if len(payload) >= 8 and payload[:8] == _PNG_MAGIC:
+        try:
+            img = decode_png(payload)
+            if img.shape[2] < 3:  # gray / gray+alpha → replicated RGB
+                img = np.repeat(img[:, :, :1], 3, axis=2)
+            return "png", image_features(img)
+        except ValueError:
+            pass  # PNG magic but palettized/interlaced/truncated → stub
     return "stub", decode_image_stub(payload, out_dim)
 
 
@@ -289,9 +434,13 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             w, h = 16 * (1 + i % 4) + (i % 3), 8 * (1 + i % 3)
-            payload = encode_bmp(
-                rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
-            meta = (w, h, 1, 0, "bmp")
+            px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            if (i // 3) % 2:  # alternate containers: both real decoders
+                payload = encode_png(px, filter_type=2)
+                meta = (w, h, 1, 0, "png")
+            else:
+                payload = encode_bmp(px)
+                meta = (w, h, 1, 0, "bmp")
         elif kind == "audio":
             rate = 8000
             t = np.arange(rate // 4) / rate

@@ -99,7 +99,7 @@ def test_sinks(spark, tmp_path):
 
 
 def test_multimodal_pipeline_dispatch(spark):
-    """Round 5: real decode paths for wav/bmp payloads, stub fallback for
+    """Real decode paths for wav/bmp/png payloads, stub fallback for
     opaque (video) bytes — all through the one mapInPandas pipeline."""
     from ifeatureomega_cli_spark.operators.multimodal import (
         extract_media_features, synthesize_media)
@@ -108,10 +108,11 @@ def test_multimodal_pipeline_dispatch(spark):
     out = extract_media_features(media, out_dim=8).toPandas()
     assert len(out) == 32
     by_kind = out.groupby("kind")["decode_path"].unique().to_dict()
-    assert list(by_kind["image"]) == ["bmp"]
+    assert sorted(by_kind["image"]) == ["bmp", "png"]  # round 6: both
+    # real image containers alternate in synthesize_media
     assert list(by_kind["audio"]) == ["wav"]
     assert list(by_kind["video"]) == ["stub"]
-    widths = {"bmp": 17, "wav": 4, "stub": 8}
+    widths = {"bmp": 17, "png": 17, "wav": 4, "stub": 8}
     assert all(len(f) == widths[p]
                for p, f in zip(out["decode_path"], out["feature"]))
     # deterministic: same payload → same digest/feature
