@@ -147,6 +147,70 @@ SF1_QUERIES = [
 ]
 
 
+def _component_edges(spark, n_edges: int):
+    """Planted component-resolution stress graph (round-6 VERDICT #6):
+    HALF the edges land in ONE hot component — random edges over
+    n_edges/10 nodes (avg degree 10 → one giant component, O(log n)
+    diameter, the near-clique shape real near-dup components have) —
+    and half form disjoint 2-node components (the long tail).  Pure
+    column expressions over spark.range: deterministic, distributed, no
+    driver materialization."""
+    from pyspark.sql import functions as F
+
+    half = n_edges // 2
+    hot_nodes = max(half // 5, 2)
+    hot = (spark.range(half).select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(hot_nodes)).alias("id_a"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(hot_nodes)).alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b")))
+    cold = spark.range(half).select(
+        (F.lit(hot_nodes) + 2 * F.col("id")).alias("id_a"),
+        (F.lit(hot_nodes) + 2 * F.col("id") + 1).alias("id_b"))
+    return hot.unionByName(cold)
+
+
+def _completed_stages(spark):
+    """Completed-stage metrics via the local UI REST API (absent →
+    None)."""
+    try:
+        import json as _json
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return _json.load(r)
+    except Exception:
+        return None
+
+
+def _bench_components(spark, n_edges: int) -> dict:
+    """Time dedup_components on the hot-component graph; report wall
+    time, convergence rounds, resolved component count, and the peak
+    per-stage shuffle write (the scale-limiting quantity — every round
+    is one edges⋈labels shuffle plus the pointer-doubling self-join)."""
+    from ifeatureomega_cli_spark.operators.dedup import dedup_components
+
+    edges = _component_edges(spark, n_edges)
+    before = _completed_stages(spark)
+    max_seen = max((s["stageId"] for s in before), default=-1) \
+        if before is not None else -1
+    t0 = time.perf_counter()
+    labels = dedup_components(edges, max_iterations=40)
+    n_components = labels.select("component").distinct().count()
+    sec = round(time.perf_counter() - t0, 3)
+    rounds = getattr(labels, "_component_rounds", None)
+    after = _completed_stages(spark)
+    peak_mb = None
+    if after is not None:
+        new = [s for s in after if s["stageId"] > max_seen]
+        peak = max((s.get("shuffleWriteBytes", 0) for s in new), default=0)
+        peak_mb = round(peak / 1e6, 1)
+    return {"edges": n_edges, "sec": sec, "rounds": rounds,
+            "n_components": n_components, "peak_shuffle_write_mb": peak_mb}
+
+
 def main() -> None:
     from ifeatureomega_cli_spark.functions.extract import extract_many
     from ifeatureomega_cli_spark.session import get_spark
@@ -163,7 +227,11 @@ def main() -> None:
     spark = get_spark(app_name="ifos-bench", master=f"local[{CPUS}]",
                       shuffle_partitions=max(CPUS, 8),
                       extra_conf={"spark.sql.files.maxPartitionBytes": "2m",
-                                  "spark.sql.files.openCostInBytes": "1m"})
+                                  "spark.sql.files.openCostInBytes": "1m",
+                                  # UI on for the bench only: the stage
+                                  # REST API feeds the components row's
+                                  # peak-shuffle metric
+                                  "spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
@@ -280,6 +348,9 @@ def main() -> None:
     res_df.unpersist()
     atoms_df.unpersist()
 
+    # -- component resolution under a hot component (round-6 VERDICT #6) --
+    result["components"] = _bench_components(spark, n_edges=1_000_000)
+
     # -- 10× section (≈ sf1): constant-factor watch on the pair joins ----
     run_sf1 = os.environ.get("SPARK_GRAFT_SF1", "1" if sf == 0.1 else "0")
     if run_sf1 == "1":
@@ -319,6 +390,10 @@ def main() -> None:
             "vs_linear_from_base": ratios,
             "descriptor_vectors_per_sec": round(n_docs * 10 * len(DESCS) / t1, 1),
         }
+        # 10M-edge hot-component stress (VERDICT r5 #6: pin rounds, peak
+        # shuffle and wall time at the 10× scale)
+        result["sf1"]["components"] = _bench_components(
+            spark, n_edges=10_000_000)
 
     print(json.dumps(result))
     spark.stop()

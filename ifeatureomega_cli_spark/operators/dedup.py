@@ -291,11 +291,16 @@ def minhash_dedup(
 
     sig agreement fraction estimates Jaccard; verification stays on the
     signatures (cheap) — swap in ngram_jaccard_pairs for exact verify.
-    The agreement count is an Arrow-batched numpy kernel over the joined
-    (sig_a, sig_b) pair — the interpreted F.zip_with/F.filter chain it
-    replaced (round 5) evaluated per-element per-pair, and the candidate
-    set is the hot loop at corpus scale (same measurement as the
-    embedding twin's _pair_cos: ~100× per pair).
+
+    The agreement count stays the interpreted F.zip_with/F.filter
+    expression DELIBERATELY (round-6 A/B, BENCH/BASELINE.md §verify-ab):
+    at 1M candidate pairs the JVM-side equality-count runs ~1.7× FASTER
+    than an Arrow pandas UDF over the joined (sig_a, sig_b) arrays —
+    integer equality over 64 elements is cheap enough that the UDF's
+    Arrow transfer of two 512 B arrays per pair dominates.  The
+    embedding twin's opposite finding (~100× for _pair_cos,
+    dedup.py) is about F.aggregate float multiply-accumulate chains,
+    a much heavier per-element expression class.
 
     Caches the signatures table; the caller owns the lifetime — see
     release_caches()."""
@@ -303,13 +308,6 @@ def minhash_dedup(
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n,
                               seed, digest).cache()
     cands = minhash_lsh_candidates(sigs, id_col, bands)
-
-    @pandas_udf(DoubleType())
-    def _pair_agree(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        Am = np.stack([np.asarray(v, dtype=np.int64) for v in sa])
-        Bm = np.stack([np.asarray(v, dtype=np.int64) for v in sb])
-        return pd.Series((Am == Bm).mean(axis=1))
-
     a = sigs.alias("a")
     b = sigs.alias("b")
     joined = (
@@ -317,7 +315,12 @@ def minhash_dedup(
         .join(b, cands.id_b == F.col(f"b.{id_col}"))
         .select(
             "id_a", "id_b",
-            _pair_agree(F.col("a.sig"), F.col("b.sig")).alias("est_jaccard"),
+            (
+                F.size(F.filter(
+                    F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                    lambda m: m,
+                )) / F.size(F.col("a.sig"))
+            ).alias("est_jaccard"),
         )
     )
     result = joined.filter(F.col("est_jaccard") >= threshold)
@@ -485,6 +488,27 @@ def simhash_dup_pairs(
     return result
 
 
+def _component_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label-propagation + pointer-doubling round (the loop body
+    of dedup_components, exposed so tests can pin its PLAN: equi-joins
+    only — no cartesian/nested-loop — and the only broadcastable side is
+    the 1-row fixpoint aggregate outside this function)."""
+    nbr = (edges.join(labels.select(F.col("id").alias("dst"),
+                                    F.col("component").alias("dst_comp")),
+                      "dst")
+           .groupBy("src").agg(F.min("dst_comp").alias("nbr_comp")))
+    stepped = (labels.join(nbr, labels["id"] == nbr["src"], "left")
+               .select(labels["id"],
+                       F.least("component", "nbr_comp")
+                       .alias("component")))
+    # pointer doubling: follow the label one hop through itself
+    hop = labels.select(F.col("id").alias("cid"),
+                        F.col("component").alias("ccomp"))
+    return (stepped.join(hop, stepped["component"] == hop["cid"], "left")
+            .select(stepped["id"],
+                    F.least("component", "ccomp").alias("component")))
+
+
 def dedup_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -520,29 +544,15 @@ def dedup_components(
     prev_sum = labels.agg(
         F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
-    for _ in range(max_iterations):
-        nbr = (edges.join(labels.select(F.col("id").alias("dst"),
-                                        F.col("component").alias("dst_comp")),
-                          "dst")
-               .groupBy("src").agg(F.min("dst_comp").alias("nbr_comp")))
-        stepped = (labels.join(nbr, labels["id"] == nbr["src"], "left")
-                   .select(labels["id"],
-                           F.least("component", "nbr_comp")
-                           .alias("component")))
-        # pointer doubling: follow the label one hop through itself
-        hop = labels.select(F.col("id").alias("cid"),
-                            F.col("component").alias("ccomp"))
-        new_labels = (stepped.join(hop, stepped["component"] == hop["cid"],
-                                   "left")
-                      .select(stepped["id"],
-                              F.least("component", "ccomp")
-                              .alias("component")))
-        new_labels = new_labels.localCheckpoint(eager=True)
+    for rounds in range(1, max_iterations + 1):
+        new_labels = _component_round(edges, labels).localCheckpoint(
+            eager=True)
         cur_sum = new_labels.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         labels = new_labels
         if cur_sum == prev_sum:
+            labels._component_rounds = rounds  # bench/telemetry handle
             return labels
         prev_sum = cur_sum
     raise RuntimeError(

@@ -8,7 +8,10 @@ idempotently (dynamic partition overwrite) — no double counting.
 
 This is the parquet-dir analogue of Iceberg snapshot checkpointing: on a
 real cluster, point `out_dir` at an Iceberg table and the manifest becomes
-`snapshot-id` bookkeeping for free.
+`snapshot-id` bookkeeping for free — the exact read-back path
+(`load_table(..., snapshot_id=...)` time travel) is exercised by
+tests/test_cli_tables.py::test_iceberg_roundtrip_and_time_travel, which
+runs automatically wherever the Iceberg runtime jar is on the classpath.
 """
 
 from __future__ import annotations

@@ -269,3 +269,37 @@ def test_simhash_cap_broadcasts_over_limit_side(spark):
     assert "LeftAnti BuildRight" in plan, plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert _nodes(plan, "BroadcastExchange") >= 1, plan
+
+
+def test_component_round_plan_join_only(spark):
+    """dedup_components' loop body (round-6 VERDICT #6): equi-joins and
+    hash aggregates ONLY — no cartesian/nested-loop node may ever appear
+    (the label and edge sides both grow with the corpus; the only
+    driver-visible data is the 1-row fixpoint aggregate OUTSIDE the
+    round body)."""
+    from ifeatureomega_cli_spark.operators.dedup import _component_round
+
+    edges = spark.range(1000).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 1000).alias("dst"))
+    labels = spark.range(1000).select(
+        F.col("id"), F.col("id").alias("component"))
+    plan = _plan(_component_round(edges, labels))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_minhash_dedup_plan_verify_stays_jvm(spark):
+    """minhash_dedup's est-Jaccard verify DELIBERATELY stays the
+    JVM-side zip_with expression (round-6 A/B: 1.7× faster than an Arrow
+    pandas UDF at 1M pairs — see BENCH/BASELINE.md §verify-ab); the only
+    Python node in the plan is the signature UDF.  Candidate generation
+    stays a (band, bucket)-keyed equi-join with the broadcast LeftAnti
+    skew guard; no cartesian anywhere."""
+    from ifeatureomega_cli_spark.operators.dedup import minhash_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(minhash_dedup(docs, threshold=0.8, bands=8))
+    assert "zip_with" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"LeftAnti BuildRight", plan), plan
