@@ -93,8 +93,10 @@ LIGAND_FAMILIES: dict[str, list[str]] = {
     "Morgan-FCFP6 fingerprints": ["FCFP6"],
 }
 
-# runtime feature widths for the vector-valued (fingerprint) families —
-# the bit/width conventions of the reference's chem/fingerprint.py
+# runtime feature widths for the vector-valued families (fingerprint bit
+# widths per the reference's chem/fingerprint.py; EState/Burden expand
+# their vector coders per the reference's fp+str(j) loop, :9897-9900:
+# EState = 3×79 type-resolved vectors + 8 scalars, Burden = 4×16 BCUTs)
 _FP_WIDTHS = {
     "Daylight-type fingerprints": 2048,
     "MACCS fingerprints": 167,
@@ -102,6 +104,8 @@ _FP_WIDTHS = {
     "Morgan fingerprints": 2048,
     "TopologicalTorsion fingerprints": 2048,
     "E-state fingerprints": 79,
+    "EState": 3 * 79 + 8,
+    "Burden": 4 * 16,
     "Pharmacophore": 150,
     "Morgan-ECFP4 fingerprints": 2048,
     "Morgan-ECFP6 fingerprints": 2048,
@@ -132,8 +136,15 @@ def family_width(family: str) -> int:
 HAVE_CHEM_PORT = False
 
 # families computed for real by the pure-Python molecular-graph port
-GRAPH_FAMILY_NAMES = frozenset(
-    {"Constitution", "Topology", "Connectivity", "Kappa"})
+# (round 6: Constitution/Topology/Connectivity/Kappa via
+# functions/chemdesc.py; round 6b adds EState, the three
+# autocorrelations, Basak, Burden and E-state fingerprints via
+# functions/chemdesc_ext.py — graph + probed AtomProperty table only)
+GRAPH_FAMILY_NAMES = frozenset({
+    "Constitution", "Topology", "Connectivity", "Kappa",
+    "EState", "Autocorrelation-moran", "Autocorrelation-geary",
+    "Autocorrelation-broto", "Basak", "Burden", "E-state fingerprints",
+})
 
 
 def _rdkit_or_none():
@@ -234,8 +245,12 @@ def ligand_descriptors(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ifeatureomega_cli_spark.functions.chemdesc import GRAPH_FAMILIES
+        from ifeatureomega_cli_spark.functions.chemdesc_ext import (
+            EXT_GRAPH_FAMILIES)
         from ifeatureomega_cli_spark.functions.molgraph import (
             SmilesError, parse_smiles)
+
+        graph_kernels = {**GRAPH_FAMILIES, **EXT_GRAPH_FAMILIES}
 
         for pdf in batches:
             valid, feats = [], []
@@ -251,7 +266,7 @@ def ligand_descriptors(
                         feats.append(None)
                         continue
                     valid.append(True)
-                    feats.append(GRAPH_FAMILIES[family](mol).tolist())
+                    feats.append(graph_kernels[family](mol).tolist())
                 elif Chem is not None:
                     mol = Chem.MolFromSmiles(s)
                     ok = mol is not None

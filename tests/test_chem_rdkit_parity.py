@@ -148,3 +148,74 @@ def test_connectivity_and_kappa_parity(smi):
         GraphDescriptors.HallKierAlpha(ref)
         if hasattr(GraphDescriptors, "HallKierAlpha")
         else Chem.rdMolDescriptors.CalcHallKierAlpha(ref), abs=1e-6)
+
+
+@pytest.mark.parametrize("smi", PANEL)
+def test_estate_parity(smi):
+    """E-state S values vs RDKit EStateIndices; atom typing vs RDKit's
+    EState AtomTypes (the table chem/AtomTypes.py copies verbatim)."""
+    from rdkit.Chem.EState import EStateIndices
+    from rdkit.Chem.EState.AtomTypes import TypeAtoms
+
+    from ifeatureomega_cli_spark.functions.chemdesc_ext import (
+        _ESTATE_TYPES, estate_indices, estate_type_members)
+
+    mol = parse_smiles(smi)
+    ref = Chem.MolFromSmiles(smi)
+    np.testing.assert_allclose(estate_indices(mol), EStateIndices(ref),
+                               rtol=1e-9)
+    names = [t[0] for t in _ESTATE_TYPES]
+    ours = [set() for _ in range(mol.n_atoms)]
+    for ti, mem in enumerate(estate_type_members(mol)):
+        for a in mem:
+            ours[a].add(names[ti])
+    theirs = [set(t) for t in TypeAtoms(ref)]
+    assert ours == theirs
+
+
+@pytest.mark.parametrize("smi", PANEL)
+def test_autocorrelation_parity(smi):
+    """ATS/MATS/GATS vs the reference formulas evaluated with RDKit
+    primitives and the probed AtomProperty table."""
+    from ifeatureomega_cli_spark.functions.chemdesc_ext import (
+        _rel_prop, autocorrelation_broto, autocorrelation_geary,
+        autocorrelation_moran)
+
+    mol = parse_smiles(smi)
+    ref = Chem.MolFromSmiles(smi)
+    D = np.array(Chem.GetDistanceMatrix(ref))
+    p = np.array([_rel_prop(a.GetSymbol(), "m") for a in ref.GetAtoms()])
+    n = ref.GetNumAtoms()
+    got_b = autocorrelation_broto(mol)
+    got_m = autocorrelation_moran(mol)
+    got_g = autocorrelation_geary(mol)
+    for lag in range(1, 9):
+        mask = D == lag
+        res = float((p[:, None] * p[None, :])[mask].sum())
+        assert got_b[lag - 1] == pytest.approx(np.log(res / 2 + 1))
+        dev = p - p.sum() / n
+        ss = float((dev * dev).sum())
+        idx = int(mask.sum())
+        if ss and idx:
+            resm = float((dev[:, None] * dev[None, :])[mask].sum())
+            assert got_m[lag - 1] == pytest.approx((resm / idx) / (ss / n))
+            diff = p[:, None] - p[None, :]
+            resg = float((diff * diff)[mask].sum())
+            assert got_g[lag - 1] == pytest.approx(
+                (resg / idx / 2) / (ss / (n - 1)))
+
+
+@pytest.mark.parametrize("smi", PANEL)
+def test_basak_burden_graph_parity(smi):
+    """The H-added graph matches RDKit AddHs (atom counts, bond orders,
+    degree multiset) — the substrate Basak and Burden both consume."""
+    from ifeatureomega_cli_spark.functions.chemdesc_ext import add_hydrogens
+
+    h = add_hydrogens(parse_smiles(smi))
+    refh = Chem.AddHs(Chem.MolFromSmiles(smi))
+    assert h.n_atoms == refh.GetNumAtoms()
+    assert h.n_bonds == refh.GetNumBonds()
+    assert sorted(h.degrees().tolist()) == \
+        sorted(a.GetDegree() for a in refh.GetAtoms())
+    assert sorted(round(b.order, 1) for b in h.bonds) == \
+        sorted(round(b.GetBondTypeAsDouble(), 1) for b in refh.GetBonds())

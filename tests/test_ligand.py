@@ -1,7 +1,10 @@
 """Ligand plumbing twin (ref iFeatureOmegaCLI.py:9788-9949): the Spark-side
-pipeline — SMILES reader, 23-family registry, invalid-row skipping, Arrow
-batch shape — is real and pinned here; the per-molecule chemistry runs the
-documented deterministic stub because RDKit is absent."""
+pipeline — SMILES reader, 24-family registry, invalid-row skipping, Arrow
+batch shape — is real and pinned here.  Since round 6 the four
+graph-computable families (Constitution/Topology/Connectivity/Kappa) run
+REAL chemistry via the pure-Python molecular-graph port (see
+test_chem_graph.py); the remaining numeric families run the documented
+deterministic stub because RDKit is absent."""
 
 from __future__ import annotations
 
@@ -43,9 +46,10 @@ def test_ligand_descriptors_stub_pipeline(spark, tmp_path):
     p = tmp_path / "mols.txt"
     p.write_text("CCO\nC1CC1N\nnot a molecule!!\nCC(=O)O\n")
     mols = read_smiles(spark, str(p))
-    # EState still runs the stub (a NUMERIC family — RDKit-gated); the
-    # graph families are real since round 6, see test_chem_graph.py
-    out = (ligand_descriptors(mols, "EState").toPandas()
+    # Charge still runs the stub (a NUMERIC family — RDKit-gated,
+    # Gasteiger charges); eleven graph families are real since round 6,
+    # see test_chem_graph.py / test_chem_ext.py
+    out = (ligand_descriptors(mols, "Charge").toPandas()
            .sort_values("mol_id").reset_index(drop=True))
     # every input row present; invalid row flagged, no features
     assert len(out) == 4
@@ -53,8 +57,8 @@ def test_ligand_descriptors_stub_pipeline(spark, tmp_path):
     assert out.loc[2, "features"] is None
     # stub is deterministic and family-width sized
     f = np.array(out.loc[0, "features"])
-    assert len(f) == family_width("EState") == 11
-    assert np.allclose(f, descriptor_stub("CCO", "EState"))
+    assert len(f) == family_width("Charge") == 25
+    assert np.allclose(f, descriptor_stub("CCO", "Charge"))
     # fingerprint family widths expand like the reference's fp+str(j)
     fp = (ligand_descriptors(mols.filter("mol_id = 0"),
                              "MACCS fingerprints").toPandas())
@@ -73,8 +77,8 @@ def test_ligand_facade_routes_and_raises(spark, tmp_path):
     # numeric family without RDKit and without the stub opt-in: honest
     # error; graph families route straight through (real since round 6)
     with pytest.raises(NotImplementedError):
-        SL.ligand_descriptor(mols, "EState")
-    out = SL.ligand_descriptor(mols, "EState", allow_stub=True).toPandas()
+        SL.ligand_descriptor(mols, "Charge")
+    out = SL.ligand_descriptor(mols, "Charge", allow_stub=True).toPandas()
     assert len(out) == 1 and out.loc[0, "valid"]
     real = SL.ligand_descriptor(mols, "Kappa").toPandas()  # no opt-in
     assert real.loc[0, "features"][0] == 3.0  # kappa1(CCO), hand value
@@ -99,7 +103,7 @@ def test_rdkit_present_without_chem_port_fails_at_plan_time(spark, monkeypatch):
     monkeypatch.setattr(ligand, "_rdkit_or_none", lambda: object())
     df = spark.createDataFrame([(0, "CCO")], "mol_id long, smiles string")
     with pytest.raises(NotImplementedError, match="chem/ coder port"):
-        ligand.ligand_descriptors(df, "EState")
+        ligand.ligand_descriptors(df, "Charge")
     # graph families never consult RDKit — they stay real under the fake
     out = ligand.ligand_descriptors(df, "Constitution").collect()
     assert out[0]["valid"] and len(out[0]["features"]) == 29
@@ -113,7 +117,7 @@ def test_rdkit_dispatch_with_wired_chem_port(spark, monkeypatch):
     cluster exercises, minus the chemistry."""
     from ifeatureomega_cli_spark.operators import ligand
 
-    w = ligand.family_width("EState")
+    w = ligand.family_width("Charge")
 
     class _FakeChem:
         @staticmethod
@@ -127,11 +131,11 @@ def test_rdkit_dispatch_with_wired_chem_port(spark, monkeypatch):
     df = spark.createDataFrame(
         [(0, "CCO"), (1, "INVALID"), (2, "c1ccccc1")],
         "mol_id long, smiles string")
-    out = (ligand.ligand_descriptors(df, "EState")
+    out = (ligand.ligand_descriptors(df, "Charge")
            .orderBy("mol_id").collect())
     assert [r["valid"] for r in out] == [True, False, True]
     assert out[1]["features"] is None
-    assert len(out[0]["features"]) == w == 11
+    assert len(out[0]["features"]) == w == 25
     assert out[2]["features"] == [8.0] * w
 
 
@@ -149,7 +153,7 @@ def test_rdkit_real_path_schema_and_widths(spark):
         [(0, "CCO"), (1, "not)a(smiles")], "mol_id long, smiles string")
     if not ligand.HAVE_CHEM_PORT:
         with pytest.raises(NotImplementedError, match="chem/ coder port"):
-            ligand.ligand_descriptors(df, "EState")
+            ligand.ligand_descriptors(df, "Charge")
         # graph families are real regardless of the port flag
         out = (ligand.ligand_descriptors(df, "Constitution")
                .orderBy("mol_id").collect())
@@ -157,7 +161,8 @@ def test_rdkit_real_path_schema_and_widths(spark):
         assert not out[1]["valid"]
         return
     for family in ("Constitution", "Topology", "Kappa", "EState",
-                   "MACCS fingerprints", "Morgan-ECFP4 fingerprints"):
+                   "Charge", "MACCS fingerprints",
+                   "Morgan-ECFP4 fingerprints"):
         out = (ligand.ligand_descriptors(df, family)
                .orderBy("mol_id").collect())
         assert out[0]["valid"] and len(out[0]["features"]) == \

@@ -230,3 +230,26 @@ def make_distancepair_tables():
 
 if __name__ == "__main__" and "--dp" in sys.argv:
     make_distancepair_tables()
+
+
+def make_atom_property_table():
+    """Probe chem/AtomProperty.py (a standalone published-constants module
+    with no rdkit import) and pin the per-element property dict into
+    resources/atom_property.json — the autocorrelation (ATS/MATS/GATS)
+    and Burden descriptor families read relative-to-carbon values from
+    it.  Probed, not transcribed, per the repo's lookup policy."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_atom_property", "/root/reference/chem/AtomProperty.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    pkg_res = os.path.join(REPO, "ifeatureomega_cli_spark", "resources")
+    with open(os.path.join(pkg_res, "atom_property.json"), "w") as f:
+        _json.dump(mod.AtomProperty, f, indent=0, sort_keys=True)
+    print("  atom_property:", len(mod.AtomProperty), "elements")
+
+
+if __name__ == "__main__" and "--atomprop" in sys.argv:
+    make_atom_property_table()
