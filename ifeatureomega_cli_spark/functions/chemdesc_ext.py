@@ -463,6 +463,113 @@ def burden(mol: MolGraph) -> np.ndarray:
     return np.concatenate(out).astype(np.float64)
 
 
+# -------------------------------------------------------------------------
+# CATS 2D pharmacophore (ref chem/cats.py)
+# -------------------------------------------------------------------------
+
+_CATS_PAIRS = ["DD", "DA", "DP", "DN", "DL", "AA", "AP", "AN", "AL",
+               "PP", "PN", "PL", "NN", "NL", "LL"]
+_CATS_FLIP = {"AD", "PD", "ND", "LD", "PA", "NA", "LA", "NP", "LN", "LP"}
+
+
+def _cats_atom_types(mol: MolGraph) -> dict[str, list[int]]:
+    """AssignAtomType (ref chem/cats.py:146-168): the PPP SMARTS reduce
+    to element/H/charge/bond-environment conditions —
+
+    D: [OH] (aliphatic O, 1 H) | [#7H,#7H2] (any N, 1-2 H)
+    A: [O] (aliphatic O) | [#7H0] (any N, 0 H)
+    P: [*+] (+1 charge) | [#7H2] (any N, 2 H)
+    N: [*-] (−1) | C/P/S carrying (=O) and (-O) (the acid patterns)
+    L: Cl/Br/I | thioether S(D2) with two aliphatic-C neighbors | the
+       graph-searched lipophilic C (every heavy neighbor a carbon,
+       ref :50-75)
+    """
+    deg = mol.degrees()
+    nbrs: list[list[tuple[int, float]]] = mol._neighbors()
+    res: dict[str, list[int]] = {"D": [], "A": [], "P": [], "N": [],
+                                 "L": []}
+
+    def acid_like(i: int) -> bool:
+        # $(X(=O)O): a double bond to one O and a single/aromatic bond to
+        # another O
+        has_dbl_o = any(mol.atoms[j].atomic_num == 8 and o == 2.0
+                        for j, o in nbrs[i])
+        has_sgl_o = any(mol.atoms[j].atomic_num == 8 and o in (1.0, 1.5)
+                        for j, o in nbrs[i])
+        return has_dbl_o and has_sgl_o
+
+    for i, at in enumerate(mol.atoms):
+        z, h, chg = at.atomic_num, at.h_count, at.charge
+        if z == 8 and not at.aromatic and h == 1:
+            res["D"].append(i)
+        if z == 7 and h in (1, 2):
+            res["D"].append(i)
+        if z == 8 and not at.aromatic:
+            res["A"].append(i)
+        if z == 7 and h == 0:
+            res["A"].append(i)
+        if chg == 1:
+            res["P"].append(i)
+        if z == 7 and h == 2:
+            res["P"].append(i)
+        if chg == -1:
+            res["N"].append(i)
+        if z in (6, 15, 16) and not at.aromatic and acid_like(i):
+            res["N"].append(i)
+        if z in (17, 35, 53):
+            res["L"].append(i)
+        if z == 16 and not at.aromatic and deg[i] == 2 and all(
+                mol.atoms[j].atomic_num == 6 and not mol.atoms[j].aromatic
+                for j, _ in nbrs[i]):
+            res["L"].append(i)
+        if z == 6 and all(mol.atoms[j].atomic_num == 6 for j, _ in nbrs[i]):
+            res["L"].append(i)  # graph-searched lipophilic carbon
+    return res
+
+
+def cats2d(mol: MolGraph, path_length: int = 10) -> np.ndarray:
+    """CATS2D with the reference's default scale=3 (each pair class
+    divided by its total occurrence count), emitted in CalcCATS's
+    sorted-key order (ref chem/cats.py:251-259) — 150 values."""
+    types = _cats_atom_types(mol)
+    D = mol.distance_matrix()
+    n = mol.n_atoms
+    per_pl: dict[int, list[str]] = {}
+    for pl in range(path_length):
+        if pl == 0:
+            pairs = [(k, k) for k in range(n)]
+        else:
+            # upper triangle, each unordered pair once (scipy.triu)
+            pairs = [(i, j) for i in range(n) for j in range(i + 1, n)
+                     if D[i, j] == pl]
+        hits: list[str] = []
+        for a, b in pairs:
+            first = [t for t in types if a in types[t]]
+            second = [t for t in types if b in types[t]]
+            seen: list[str] = []
+            for x in first:
+                for y in second:
+                    code = x + y
+                    if code in _CATS_FLIP:
+                        code = code[1] + code[0]
+                    if code not in seen:
+                        seen.append(code)
+            hits.extend(seen)
+        per_pl[pl] = hits
+    counts = {f"CATS_{p}{k}": 0.0 for p in _CATS_PAIRS
+              for k in range(path_length)}
+    for pl, hits in per_pl.items():
+        for code in hits:
+            counts[f"CATS_{code}{pl}"] += 1
+    all_hits = [c for hits in per_pl.values() for c in hits]
+    pair_tot = {p: all_hits.count(p) for p in _CATS_PAIRS}
+    out = {}
+    for key, v in counts.items():
+        tot = pair_tot[key[5:7]]
+        out[key] = round(v / tot, 3) if tot else round(v, 3)
+    return np.array([out[k] for k in sorted(out)], dtype=np.float64)
+
+
 EXT_GRAPH_FAMILIES = {
     "EState": estate,
     "Autocorrelation-moran": autocorrelation_moran,
@@ -471,4 +578,5 @@ EXT_GRAPH_FAMILIES = {
     "Basak": basak,
     "Burden": burden,
     "E-state fingerprints": estate_fingerprint_counts,
+    "Pharmacophore": cats2d,
 }

@@ -8,18 +8,21 @@ parallel, no shuffle, output schema fixed per family.
 
 The per-molecule kernel splits by what chemistry each family needs:
 
-* GRAPH FAMILIES (round 6): Constitution, Topology, Connectivity and
-  Kappa are functions of the molecular graph alone and compute for REAL
-  — SMILES parsed by the pure-Python `functions/molgraph.py`, formulas
-  transcribed in `functions/chemdesc.py` (ref chem/constitution.py,
-  chem/topology.py, chem/connectivity.py, chem/kappa.py).  No RDKit
+* GRAPH FAMILIES (round 6, twelve of 24): Constitution, Topology,
+  Connectivity, Kappa, EState, the three autocorrelations, Basak,
+  Burden, E-state fingerprints and the CATS pharmacophore are functions
+  of the molecular graph (plus the probed AtomProperty table) and
+  compute for REAL — SMILES parsed by the pure-Python
+  `functions/molgraph.py`, formulas transcribed in
+  `functions/chemdesc.py` / `functions/chemdesc_ext.py`.  No RDKit
   needed; `valid` reflects actual parse success.
-* NUMERIC FAMILIES (EState, autocorrelations, charge, surface, all
-  fingerprints): genuinely need RDKit's atom typings/partial charges —
-  with RDKit importable they would call the reference's chem/ coder
-  list; without it the clearly-marked DETERMINISTIC STUB stands in (a
-  seeded digest expanded to the family width, with a syntactic validity
-  check mimicking `MolFromSmiles` returning None, ref :9871-9876).
+* NUMERIC FAMILIES (charge — Gasteiger, molecular properties —
+  Crippen/TPSA/ASA, MOE surface, hashed fingerprints): genuinely need
+  RDKit's numeric machinery — with RDKit importable they would call the
+  reference's chem/ coder list; without it the clearly-marked
+  DETERMINISTIC STUB stands in (a seeded digest expanded to the family
+  width, with a syntactic validity check mimicking `MolFromSmiles`
+  returning None, ref :9871-9876).
 
 Either way the Spark-side contract — schema, invalid-row skipping, Arrow
 batch shape, distribution — is identical and is what the tests pin.
@@ -131,19 +134,21 @@ def family_width(family: str) -> int:
 # set True once _rdkit_features is wired to the reference's chem/ coders
 # for the NUMERIC families; ligand_descriptors refuses the RDKit path at
 # plan time while this is False so the gap never surfaces as per-task
-# executor failures.  The four GRAPH families never consult this flag —
-# they compute for real via functions/chemdesc.py regardless of RDKit.
+# executor failures.  The GRAPH families never consult this flag — they
+# compute for real via functions/chemdesc(_ext).py regardless of RDKit.
 HAVE_CHEM_PORT = False
 
 # families computed for real by the pure-Python molecular-graph port
 # (round 6: Constitution/Topology/Connectivity/Kappa via
 # functions/chemdesc.py; round 6b adds EState, the three
-# autocorrelations, Basak, Burden and E-state fingerprints via
-# functions/chemdesc_ext.py — graph + probed AtomProperty table only)
+# autocorrelations, Basak, Burden, E-state fingerprints and the CATS
+# pharmacophore via functions/chemdesc_ext.py — graph + probed
+# AtomProperty table only)
 GRAPH_FAMILY_NAMES = frozenset({
     "Constitution", "Topology", "Connectivity", "Kappa",
     "EState", "Autocorrelation-moran", "Autocorrelation-geary",
     "Autocorrelation-broto", "Basak", "Burden", "E-state fingerprints",
+    "Pharmacophore",
 })
 
 

@@ -198,3 +198,51 @@ def test_ligand_descriptors_ext_families_real(spark):
         assert [r["valid"] for r in out] == [True, True, False], family
         assert len(out[0]["features"]) == width, family
         assert out[2]["features"] is None
+
+
+# ------------------------------------------------------------- CATS
+
+def test_cats_hand_ethanol():
+    from ifeatureomega_cli_spark.functions.chemdesc_ext import (
+        _cats_atom_types, cats2d)
+
+    eth = parse_smiles("CCO")
+    # O: donor (OH) + acceptor ([O]); methyl C: lipophilic (all-C
+    # neighbors); CH2 touches O → not lipophilic
+    assert _cats_atom_types(eth) == {
+        "D": [2], "A": [2], "P": [], "N": [], "L": [0]}
+    v = cats2d(eth)
+    assert len(v) == 150
+    # hand pair walk: PL0 self-pairs → LL, DD, DA, AA; PL2 (C0,O) →
+    # DL, AL; every class total is 1 → scale-3 values all 1.0.  Sorted-
+    # key positions: AA0=0, AL2=12, DA0=40, DD0=50, DL2=62, LL0=90.
+    assert {i: x for i, x in enumerate(v) if x} == {
+        0: 1.0, 12: 1.0, 40: 1.0, 50: 1.0, 62: 1.0, 90: 1.0}
+
+
+def test_cats_acid_and_charge_types():
+    from ifeatureomega_cli_spark.functions.chemdesc_ext import (
+        _cats_atom_types)
+
+    # carboxyl carbon is an N (negative-ionizable) PPP type
+    t = _cats_atom_types(parse_smiles("CC(=O)O"))
+    assert t["N"] == [1] and t["D"] == [3] and sorted(t["A"]) == [2, 3]
+    # explicit charges
+    t = _cats_atom_types(parse_smiles("CC(=O)[O-].[NH4+]"))
+    assert 3 in t["N"] and 4 in t["P"]
+    # thioether S is lipophilic (its methyls are not — they neighbor S)
+    t = _cats_atom_types(parse_smiles("CSC"))
+    assert t["L"] == [1]
+    t = _cats_atom_types(parse_smiles("Cn1cnc2c1c(=O)n(C)c(=O)n2C"))
+    assert len(t["A"]) == 6 and t["D"] == [] and t["L"] == []
+
+
+def test_cats_spark_width(spark):
+    from ifeatureomega_cli_spark.operators.ligand import (
+        family_width, ligand_descriptors)
+
+    assert family_width("Pharmacophore") == 150
+    df = spark.createDataFrame([(0, "CC(=O)Oc1ccccc1C(=O)O")],
+                               "mol_id long, smiles string")
+    out = ligand_descriptors(df, "Pharmacophore").collect()
+    assert out[0]["valid"] and len(out[0]["features"]) == 150

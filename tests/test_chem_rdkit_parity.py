@@ -219,3 +219,34 @@ def test_basak_burden_graph_parity(smi):
         sorted(a.GetDegree() for a in refh.GetAtoms())
     assert sorted(round(b.order, 1) for b in h.bonds) == \
         sorted(round(b.GetBondTypeAsDouble(), 1) for b in refh.GetBonds())
+
+
+@pytest.mark.parametrize("smi", PANEL)
+def test_cats_parity(smi):
+    """CATS PPP typing vs the reference's own SMARTS + graph search, run
+    through RDKit."""
+    from ifeatureomega_cli_spark.functions.chemdesc_ext import (
+        _cats_atom_types)
+
+    PPP = {
+        "D": ["[OH]", "[#7H,#7H2]"],
+        "A": ["[O]", "[#7H0]"],
+        "P": ["[*+]", "[#7H2]"],
+        "N": ["[*-]", "[C&$(C(=O)O)]", "[P&$(P(=O)O)]", "[S&$(S(=O)O)]"],
+        "L": ["[Cl,Br,I]", "[S;D2;$(S(C)(C))]"],
+    }
+    ref = Chem.MolFromSmiles(smi)
+    want = {}
+    for t, patts in PPP.items():
+        idxs = []
+        for p in patts:
+            idxs.extend(m[0] for m in
+                        ref.GetSubstructMatches(Chem.MolFromSmarts(p)))
+        want[t] = idxs
+    for atom in ref.GetAtoms():  # the graph-searched lipophilic C
+        if atom.GetAtomicNum() == 6 and all(
+                n.GetAtomicNum() == 6 for n in atom.GetNeighbors()):
+            want["L"].append(atom.GetIdx())
+    got = _cats_atom_types(parse_smiles(smi))
+    for t in PPP:
+        assert sorted(set(got[t])) == sorted(set(want[t])), (t, smi)
