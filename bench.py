@@ -211,6 +211,49 @@ def _bench_components(spark, n_edges: int) -> dict:
             "n_components": n_components, "peak_shuffle_write_mb": peak_mb}
 
 
+def _bench_ligand(spark, n_mols: int) -> dict:
+    """Throughput of the round-6 RDKit-free chemistry: a deterministic
+    drug-like SMILES corpus (panel × alkyl-chain mutations) through the
+    map-only mapInPandas pipeline — Constitution (graph counts + paths)
+    and EState (79-type classification + O(n²) perturbation), the
+    cheap/heavy ends of the 12 real families."""
+    from pyspark.sql import functions as F
+
+    from ifeatureomega_cli_spark.operators.ligand import ligand_descriptors
+
+    panel = [
+        "CCO", "CC(C)CC", "c1ccccc1", "Cc1ccccc1O", "CC(=O)Oc1ccccc1C(=O)O",
+        "Cn1cnc2c1c(=O)n(C)c(=O)n2C", "NC(CC(=O)O)C(=O)O",
+        "CC(C)Cc1ccc(cc1)C(C)C(=O)O", "O=[N+]([O-])c1ccc(Cl)cc1",
+        "CSCCC(N)C(=O)O", "c1ccc2ccccc2c1", "OCC1CCCCC1",
+        "CC(=O)Nc1ccc(O)cc1", "ClC(Cl)=C(Cl)Cl", "CCN(CC)CC",
+        "c1ccncc1", "C#CCO", "CC(C)(C)c1ccc(O)cc1", "CCOC(=O)C",
+        "NCCc1ccc(O)c(O)c1",
+    ]
+    # suffix the alkyl mutation (every panel entry ends on an atom that
+    # accepts one more single bond) — all n_mols SMILES stay valid
+    rows = spark.range(n_mols).select(
+        F.col("id").alias("mol_id"),
+        F.concat(
+            F.element_at(F.array(*[F.lit(s) for s in panel]),
+                         (F.col("id") % len(panel) + 1).cast("int")),
+            F.element_at(
+                F.array(*[F.lit(s) for s in ["C" * k for k in range(1, 7)]]),
+                (F.col("id") % 6 + 1).cast("int")),
+        ).alias("smiles")).cache()
+    rows.count()
+    out = {}
+    for family in ("Constitution", "EState"):
+        sec, runs = _timed(lambda family=family: ligand_descriptors(
+            rows, family).write.mode("overwrite").format("noop").save())
+        out[f"{family.lower()}_sec"] = sec
+        out[f"{family.lower()}_runs"] = runs
+        out[f"{family.lower()}_mols_per_sec"] = round(n_mols / sec, 1)
+    rows.unpersist()
+    out["n_mols"] = n_mols
+    return out
+
+
 def main() -> None:
     from ifeatureomega_cli_spark.functions.extract import extract_many
     from ifeatureomega_cli_spark.session import get_spark
@@ -350,6 +393,9 @@ def main() -> None:
 
     # -- component resolution under a hot component (round-6 VERDICT #6) --
     result["components"] = _bench_components(spark, n_edges=1_000_000)
+
+    # -- ligand graph-chemistry throughput (round 6: 12 real families) --
+    result["ligand_20k"] = _bench_ligand(spark, n_mols=20_000)
 
     # -- 10× section (≈ sf1): constant-factor watch on the pair joins ----
     run_sf1 = os.environ.get("SPARK_GRAFT_SF1", "1" if sf == 0.1 else "0")

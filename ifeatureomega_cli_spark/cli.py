@@ -175,6 +175,29 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_ligand(args) -> int:
+    """Ligand descriptors over a one-SMILES-per-line file (ref iLigand;
+    the twelve graph-computable families run real RDKit-free chemistry —
+    round 6; the RDKit-gated numeric families need --allow-stub here)."""
+    spark = _spark(args)
+    from ifeatureomega_cli_spark import structure_ligand as SL
+    from ifeatureomega_cli_spark.operators.ligand import read_smiles
+
+    mols = read_smiles(spark, args.input)
+    t0 = time.time()
+    out = SL.ligand_descriptor(mols, args.family,
+                               **({"allow_stub": True}
+                                  if args.allow_stub else {}))
+    out.write.mode("overwrite").parquet(args.output)
+    res = spark.read.parquet(args.output)
+    print(json.dumps({
+        "family": args.family,
+        "rows": res.count(),
+        "valid": res.filter("valid").count(),
+        "seconds": round(time.time() - t0, 2)}))
+    return 0
+
+
 def cmd_structure(args) -> int:
     """Structure descriptors over one PDB/mmCIF file or a glob of many
     (ref iStructure.get_descriptor; geometry types only — SS*/depth need
@@ -250,6 +273,16 @@ def main(argv=None) -> int:
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--output", required=True)
     p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser("ligand")
+    p.add_argument("--input", required=True,
+                   help="one SMILES per line (the reference's format)")
+    p.add_argument("--family", default="Constitution")
+    p.add_argument("--allow-stub", action="store_true",
+                   help="run the deterministic stub for RDKit-gated "
+                        "numeric families")
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_ligand)
 
     p = sub.add_parser("structure")
     p.add_argument("--input", required=True,

@@ -158,3 +158,28 @@ def test_iceberg_roundtrip_and_time_travel(tmp_path):
                           snapshot_id=snap1).count() == 10
     finally:
         spark.stop()
+
+
+def test_cli_ligand_roundtrip(tmp_path):
+    """`ligand` subcommand (round 6): SMILES file → real graph-family
+    features parquet; stub families need the explicit opt-in."""
+    from ifeatureomega_cli_spark.cli import main as cli_main
+
+    smi = tmp_path / "mols.txt"
+    smi.write_text("CCO\nc1ccccc1\nbad((smiles\n")
+    out = tmp_path / "feat"
+    rc = cli_main(["ligand", "--input", str(smi), "--family", "Kappa",
+                   "--output", str(out)])
+    assert rc == 0
+    import pandas as pd
+
+    got = pd.read_parquet(out).sort_values("mol_id").reset_index(drop=True)
+    assert got["valid"].tolist() == [True, True, False]
+    assert got.loc[0, "features"][0] == 3.0  # kappa1(CCO), hand value
+    # RDKit-gated family without opt-in: honest error
+    with pytest.raises(NotImplementedError):
+        cli_main(["ligand", "--input", str(smi), "--family", "Charge",
+                  "--output", str(tmp_path / "feat2")])
+    rc = cli_main(["ligand", "--input", str(smi), "--family", "Charge",
+                   "--allow-stub", "--output", str(tmp_path / "feat3")])
+    assert rc == 0
