@@ -704,3 +704,116 @@ def molecular_formula(mol: MolGraph) -> str:
         parts.append(("H", h))
         parts.sort(key=lambda kv: kv[0])
     return "".join(f"{sym}{cnt if cnt > 1 else ''}" for sym, cnt in parts)
+
+
+def write_smiles(mol: MolGraph) -> str:
+    """Serialize a MolGraph back to SMILES (DFS spanning tree + numbered
+    ring-closure bonds; organic-subset atoms bare, everything else — and
+    any charged/isotopic/explicit-H-bearing atom — bracketed).
+
+    Not canonical, but parse_smiles(write_smiles(g)) reconstructs an
+    isomorphic graph with identical per-atom hydrogen counts — pinned by
+    the hypothesis round-trip property in tests/test_chem_graph.py."""
+    n = len(mol.atoms)
+    nbr: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+    for bd in mol.bonds:
+        nbr[bd.a].append((bd.b, bd.order))
+        nbr[bd.b].append((bd.a, bd.order))
+
+    _ORDER_SYM = {1.0: "", 2.0: "=", 3.0: "#", 4.0: "$"}
+
+    def bond_sym(order: float, a: int, b: int) -> str:
+        if order == 1.5:
+            # aromatic bonds need no symbol between two aromatic atoms
+            return "" if mol.atoms[a].aromatic and mol.atoms[b].aromatic \
+                else ":"
+        if order == 1.0 and mol.atoms[a].aromatic and mol.atoms[b].aromatic:
+            return "-"  # biphenyl-style single between aromatic atoms
+        return _ORDER_SYM[order]
+
+    def atom_token(i: int) -> str:
+        at = mol.atoms[i]
+        sym = at.symbol.lower() if at.aromatic else at.symbol
+        plain = at.symbol in _ORGANIC and at.charge == 0 \
+            and at.isotope == 0 and at.explicit_h is None
+        if plain:
+            return sym
+        h = at.h_count
+        body = (str(at.isotope) if at.isotope else "") + sym
+        if h:
+            body += "H" + (str(h) if h > 1 else "")
+        if at.charge:
+            sign = "+" if at.charge > 0 else "-"
+            body += sign + (str(abs(at.charge)) if abs(at.charge) > 1 else "")
+        return f"[{body}]"
+
+    # ring bonds = non-spanning-tree edges, found during DFS
+    visited = [False] * n
+    ring_num = [dict() for _ in range(n)]  # atom -> {partner: digit}
+    next_digit = [1]
+    edges_seen: set[tuple[int, int]] = set()
+
+    def assign_rings(start: int):
+        stack = [start]
+        visited[start] = True
+        parent = {start: -1}
+        while stack:
+            u = stack.pop()
+            for v, order in nbr[u]:
+                key = (min(u, v), max(u, v))
+                if key in edges_seen:
+                    continue
+                if visited[v]:
+                    edges_seen.add(key)  # ring closure
+                    d = next_digit[0]
+                    next_digit[0] += 1
+                    ring_num[u][v] = d
+                    ring_num[v][u] = d
+                else:
+                    edges_seen.add(key)
+                    visited[v] = True
+                    parent[v] = u
+                    stack.append(v)
+
+    def emit(u: int, parent: int, out: list[str],
+             tree_visited: set[int]) -> None:
+        tree_visited.add(u)
+        out.append(atom_token(u))
+        for v, digit in sorted(ring_num[u].items(), key=lambda kv: kv[1]):
+            order = next(o for w, o in nbr[u] if w == v)
+            # the closure bond symbol goes on whichever side is written
+            # second; writing it on both is also legal — emit on both for
+            # simplicity (Daylight allows matching symbols)
+            out.append(bond_sym(order, u, v)
+                       + (f"%{digit:02d}" if digit > 9 else str(digit)))
+        children = [(v, o) for v, o in nbr[u]
+                    if v != parent and v not in tree_visited
+                    and v not in ring_num[u]]
+        # a neighbor can appear in ring_num AND be an unvisited child when
+        # multiple parallel paths exist — filtered above via ring_num
+        for k, (v, order) in enumerate(children):
+            if v in tree_visited:
+                continue
+            last = k == len(children) - 1
+            frag: list[str] = [bond_sym(order, u, v)]
+            sub: list[str] = []
+            emit(v, u, sub, tree_visited)
+            frag.extend(sub)
+            if last:
+                out.extend(frag)
+            else:
+                out.append("(")
+                out.extend(frag)
+                out.append(")")
+
+    parts = []
+    tree_visited: set[int] = set()
+    for s in range(n):
+        if not visited[s]:
+            assign_rings(s)
+    for s in range(n):
+        if s not in tree_visited:
+            chunk: list[str] = []
+            emit(s, -1, chunk, tree_visited)
+            parts.append("".join(chunk))
+    return ".".join(parts)
