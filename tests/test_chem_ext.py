@@ -246,3 +246,35 @@ def test_cats_spark_width(spark):
                                "mol_id long, smiles string")
     out = ligand_descriptors(df, "Pharmacophore").collect()
     assert out[0]["valid"] and len(out[0]["features"]) == 150
+
+
+# --------------------------------- reference example-file end-to-end
+
+def test_reference_example_smiles_all_graph_families(spark):
+    """The reference's own Chemical_SMILES.txt (19 real drug-like
+    molecules, incl. fused heteroaromatic systems, nitro groups, thio-
+    ureas, spiro-free polycycles) runs through every real graph family —
+    the exact workload a reference user brings (skips if the reference
+    tree is absent; the molecules are NOT bundled into this repo)."""
+    import os
+
+    path = "/root/reference/data_examples/Chemical_SMILES.txt"
+    if not os.path.exists(path):
+        pytest.skip("reference example data not present")
+    from ifeatureomega_cli_spark.operators.ligand import (
+        GRAPH_FAMILY_NAMES, family_width, ligand_descriptors, read_smiles)
+
+    mols = read_smiles(spark, path)
+    n = mols.count()
+    assert n == 19
+    for family in sorted(GRAPH_FAMILY_NAMES):
+        out = ligand_descriptors(mols, family)
+        rows = out.collect()
+        assert len(rows) == n, family
+        assert all(r["valid"] for r in rows), family
+        w = family_width(family)
+        assert all(len(r["features"]) == w for r in rows), family
+        # every vector fully finite — no NaN/inf leaks from ring-heavy
+        # molecules (log terms, eigensolves, entropy branches)
+        feats = np.array([r["features"] for r in rows])
+        assert np.isfinite(feats).all(), family
