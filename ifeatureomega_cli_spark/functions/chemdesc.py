@@ -394,15 +394,20 @@ def topology(mol: MolGraph) -> np.ndarray:
 # Connectivity (ref chem/connectivity.py)
 # -------------------------------------------------------------------------
 
-def _chi_np(mol: MolGraph, n_path: int, deltas: np.ndarray) -> float:
+def _chi_np(mol: MolGraph, n_path: int, deltas: np.ndarray,
+            paths=None) -> float:
     """Chinp/Chivnp shared body (chem/connectivity.py:16-35, 120-135):
     order 0 → Σ 1/√δ over nonzero deltas; order ≥1 → Σ 1/√(Π δ along
-    each simple path of n_path+1 atoms)."""
+    each simple path of n_path+1 atoms).  Pass a precomputed
+    atom_paths_upto dict via `paths` to amortize the enumeration across
+    the 9 orders × 2 delta variants (connectivity()'s hot loop)."""
     if n_path == 0:
         nz = deltas[deltas != 0]
         return float(np.sqrt(1.0 / nz).sum())
+    path_list = paths[n_path + 1] if paths is not None \
+        else mol.atom_paths(n_path + 1)
     accum = 0.0
-    for path in mol.atom_paths(n_path + 1):
+    for path in path_list:
         prod = 1.0
         for idx in path:
             prod *= deltas[idx]
@@ -458,10 +463,11 @@ def connectivity(mol: MolGraph) -> np.ndarray:
     the reference's own quirk — registered as path order 0."""
     deg = mol.degrees().astype(np.float64)
     hk = mol.hk_deltas()
+    paths = mol.atom_paths_upto(11)  # one DFS feeds all 18 path sums
     chi = {0: _chi_np(mol, 0, deg)}
     for k in range(2, 11):
-        chi[k] = _chi_np(mol, k, deg)
-    chiv = {k: _chi_np(mol, k, hk) for k in range(0, 11)}
+        chi[k] = _chi_np(mol, k, deg, paths)
+    chiv = {k: _chi_np(mol, k, hk, paths) for k in range(0, 11)}
     chi1_bond = _chi_bond_order1(mol, deg)  # Chinp(1)'s [0,1] branch
     cc = np.array([deg[b.a] * deg[b.b] for b in mol.bonds])
     cc = cc[cc != 0]

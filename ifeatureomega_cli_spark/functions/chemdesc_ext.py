@@ -383,12 +383,15 @@ def _basak_ic0(hmol: MolGraph) -> float:
     return _entropy_bits(cnt.astype(np.float64)) if len(z) else 0.0
 
 
-def _basak_icn(hmol: MolGraph, num_path: int) -> float:
+def _basak_icn(hmol: MolGraph, num_path: int,
+               paths_upto: dict | None = None) -> float:
     """CalcBasakICn (ref chem/basak.py:119-172): atom equivalence classes
     by the sorted profile of atomic-number sequences along every
     num_path-atom simple path starting (or, reversed, ending) at the
-    atom, plus the atom's own [Z]."""
-    paths = hmol.atom_paths(num_path)
+    atom, plus the atom's own [Z].  `paths_upto` amortizes the H-graph
+    path enumeration across the six orders (basak()'s hot loop)."""
+    paths = paths_upto[num_path] if paths_upto is not None \
+        else hmol.atom_paths(num_path)
     if not paths:
         return 0.0
     z = [a.atomic_num for a in hmol.atoms]
@@ -416,8 +419,9 @@ def basak(mol: MolGraph) -> np.ndarray:
     hmol = add_hydrogens(mol)
     n = hmol.n_atoms
     log2n = math.log2(n) if n > 1 else 0.0
+    paths_upto = hmol.atom_paths_upto(7)  # one DFS feeds orders 2-7
     ics = [_basak_ic0(hmol)] + [
-        _basak_icn(hmol, k) for k in range(2, 8)]
+        _basak_icn(hmol, k, paths_upto) for k in range(2, 8)]
     cic = [log2n - ic if n > 1 else 0.0 for ic in ics]
     sic = [ic / log2n if n > 1 else 0.0 for ic in ics]
     return np.array(cic + sic + ics, dtype=np.float64)

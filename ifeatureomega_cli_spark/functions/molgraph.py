@@ -424,6 +424,36 @@ class MolGraph:
             count += 1
         return count
 
+    def atom_paths_upto(self, max_atoms: int) -> dict[int, list[tuple]]:
+        """All simple paths of 2..max_atoms atoms in ONE DFS (every
+        prefix of a simple path is itself a simple path, so one
+        depth-limited traversal yields every length simultaneously);
+        each undirected path appears once.  The chi indices consume
+        orders 2-11 — enumerating per order repeats the dominant
+        longest-depth traversal 18× (deg + valence variants), which this
+        replaces with one pass."""
+        nbr = self._neighbors()
+        out: dict[int, list[tuple]] = {k: [] for k in
+                                       range(2, max_atoms + 1)}
+
+        def dfs(path: list[int], visited: set[int]):
+            if 2 <= len(path) <= max_atoms and path[0] < path[-1]:
+                out[len(path)].append(tuple(path))
+            if len(path) == max_atoms:
+                return
+            for v, _ in nbr[path[-1]]:
+                if v not in visited:
+                    path.append(v)
+                    visited.add(v)
+                    dfs(path, visited)
+                    visited.remove(v)
+                    path.pop()
+
+        if max_atoms >= 2:
+            for s in range(len(self.atoms)):
+                dfs([s], {s})
+        return out
+
     def atom_paths(self, n_atoms: int):
         """All simple paths of n_atoms atoms (n_atoms−1 bonds), each
         undirected path yielded once — FindAllPathsOfLengthN(useBonds=0),
