@@ -1,0 +1,521 @@
+"""Pure-numpy baseline JPEG (JFIF) codec — no libjpeg.
+
+Round 6 stretch: removes the JPEG entry from the multimodal stub list.
+Scope (honest): BASELINE sequential DCT, 8-bit, grayscale or YCbCr
+4:4:4 / 4:2:0, restart markers — the overwhelming majority of real-world
+JPEGs.  Progressive, arithmetic-coded, 12-bit and CMYK streams raise
+ValueError (the media dispatcher falls back to the stub).
+
+Design notes:
+
+* the DECODER takes Huffman and quantization tables from the stream's
+  own DHT/DQT segments, so decoding external JPEGs does not depend on
+  any table transcribed here;
+* the ENCODER (tests + synthesize_media) uses the JPEG standard's
+  Annex K example tables and writes them into the stream — a round-trip
+  therefore exercises the full bitstream path end-to-end regardless;
+* zigzag order is GENERATED (diagonal walk), not transcribed;
+* the 2-D DCT/IDCT are exact orthonormal matrix products (numpy float64)
+  — bit-identical reconstruction is impossible for a lossy codec, so the
+  round-trip tests bound the error by the quantization step instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ------------------------------------------------------------------ DCT
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    M = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    M[0] /= np.sqrt(2)
+    return M / 2  # orthonormal: M @ M.T = I
+
+
+_DCT = _dct_matrix()
+
+
+def _zigzag_order() -> np.ndarray:
+    """(row, col) visit order of the canonical JPEG zigzag, generated."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            diag.reverse()  # even diagonals run bottom-left → top-right
+        order.extend(diag)
+    idx = np.array([r * 8 + c for r, c in order])
+    assert len(set(idx.tolist())) == 64
+    return idx
+
+
+_ZIGZAG = _zigzag_order()
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# JPEG Annex K example tables (public standard constants) — used by the
+# ENCODER only; the decoder always reads tables from the stream.
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32).reshape(8, 8)
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32).reshape(8, 8)
+
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _build_huffman(bits: list[int], vals: list[int]):
+    """(code, length) per value — canonical JPEG Huffman assignment."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decoder(bits: list[int], vals: list[int]):
+    """(code, length) → value lookup dict for decoding."""
+    enc = _build_huffman(bits, vals)
+    return {(c, l): v for v, (c, l) in enc.items()}
+
+
+# ------------------------------------------------------------- encoder
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill padding
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + appended bits for a signed value."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_block(w: _BitWriter, block: np.ndarray, q: np.ndarray,
+                  dc_codes, ac_codes, pred: int) -> int:
+    coef = _DCT @ (block - 128.0) @ _DCT.T
+    quant = np.round(coef / q).astype(np.int64)
+    zz = quant.ravel()[_ZIGZAG]
+    dc = int(zz[0])
+    size, bits = _magnitude(dc - pred)
+    c, l = dc_codes[size]
+    w.write(c, l)
+    if size:
+        w.write(bits, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, l = ac_codes[0xF0]  # ZRL
+            w.write(c, l)
+            run -= 16
+        size, bits = _magnitude(v)
+        c, l = ac_codes[(run << 4) | size]
+        w.write(c, l)
+        w.write(bits, size)
+        run = 0
+    if run:
+        c, l = ac_codes[0x00]  # EOB
+        w.write(c, l)
+    return dc
+
+
+def encode_jpeg(rgb: np.ndarray, subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Baseline JFIF encoder with Annex-K tables (tests +
+    synthesize_media).  `rgb`: (H, W, 3) or (H, W) uint8.
+    subsample=True writes 4:2:0 (2×2 Y blocks per MCU, box-averaged
+    chroma); restart_interval>0 emits DRI + RSTn markers — both exist so
+    the decoder's sampling/restart paths are hermetically testable."""
+    gray = rgb.ndim == 2
+    h, w = rgb.shape[:2]
+    if gray:
+        comps = [rgb.astype(np.float64)]
+        subsample = False
+    else:
+        f = rgb.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    ncomp = len(comps)
+    ys = 2 if subsample else 1  # luma sampling factor
+    mcu = 8 * ys
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    comps = [np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge")
+             for c in comps]
+    if subsample:
+        for ci in (1, 2):
+            c = comps[ci]
+            comps[ci] = c.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    samp = [(ys, ys)] + [(1, 1)] * (ncomp - 1)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") \
+            + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    qtabs = [_QUANT_LUMA] + ([] if gray else [_QUANT_CHROMA])
+    for tid, q in enumerate(qtabs):
+        out += seg(0xDB, bytes([tid]) + bytes(
+            int(x) for x in q.ravel()[_ZIGZAG]))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ncomp])
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    huffs = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if not gray:
+        huffs += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tclass, (bits, vals) in huffs:
+        out += seg(0xC4, bytes([tclass]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    dc_l = _build_huffman(*_DC_LUMA)
+    ac_l = _build_huffman(*_AC_LUMA)
+    dc_c = _build_huffman(*_DC_CHROMA)
+    ac_c = _build_huffman(*_AC_CHROMA)
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    mcu_count = 0
+    rst = 0
+    for my in range(ph // mcu):
+        for mx in range(pw // mcu):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                hs, vs = samp[ci]
+                q = _QUANT_LUMA if ci == 0 else _QUANT_CHROMA
+                dc_codes = dc_l if ci == 0 else dc_c
+                ac_codes = ac_l if ci == 0 else ac_c
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        block = comps[ci][y0: y0 + 8, x0: x0 + 8]
+                        preds[ci] = _encode_block(
+                            wtr, block, q, dc_codes, ac_codes, preds[ci])
+            mcu_count += 1
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------- decoder
+
+class _BitReader:
+    """Entropy-coded segment reader: un-stuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        while self.nbits < 25:
+            if self.pos >= len(d):
+                self.acc = (self.acc << 8) | 0xFF  # pad past EOI
+                self.nbits += 8
+                continue
+            byte = d[self.pos]
+            if byte == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    return  # restart marker — caller consumes it
+                else:
+                    return  # real marker (EOI/next segment)
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                raise ValueError("truncated entropy-coded segment")
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self):
+        """Skip to just after the next RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected restart marker")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_huff(r: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        if (code, length) in table:
+            return table[(code, length)]
+    raise ValueError("invalid Huffman code")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF decoder → (H, W, C) uint8 (C = 1 or 3, RGB).
+
+    Reads DQT/DHT/SOF0/SOS/DRI from the stream; supports 8-bit baseline
+    with 4:4:4, 4:2:2 or 4:2:0 sampling and restart intervals.  Raises
+    ValueError for progressive (SOF2), arithmetic coding, 12-bit or >3
+    components."""
+    d = payload
+    if len(d) < 4 or d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = d[pos + 1]
+        if marker == 0xD9:  # EOI without SOS
+            break
+        size = int.from_bytes(d[pos + 2: pos + 4], "big")
+        body = d[pos + 4: pos + 2 + size]
+        if pos + 2 + size > len(d):
+            raise ValueError(f"truncated segment {marker:02x}")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = body
+            while b:
+                prec, tid = b[0] >> 4, b[0] & 0xF
+                n = 64 * (2 if prec else 1)
+                raw = np.frombuffer(b[1: 1 + n],
+                                    dtype=">u2" if prec else np.uint8)
+                q = np.zeros(64, dtype=np.int32)
+                q[_ZIGZAG] = raw
+                qtabs[tid] = q.reshape(8, 8)
+                b = b[1 + n:]
+        elif marker == 0xC4:  # DHT
+            b = body
+            while b:
+                tclass, tid = b[0] >> 4, b[0] & 0xF
+                bits = list(b[1:17])
+                nval = sum(bits)
+                vals = list(b[17: 17 + nval])
+                htabs[(tclass, tid)] = _build_decoder(bits, vals)
+                b = b[17 + nval:]
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec = body[0]
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+            comps = []
+            for ci in range(nc):
+                cid, samp, qid = body[6 + 3 * ci: 9 + 3 * ci]
+                comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF,
+                              "q": qid})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported SOF type {marker:02x} "
+                             "(progressive/arithmetic)")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = {}
+            for si in range(ns):
+                cid, tsel = body[1 + 2 * si: 3 + 2 * si]
+                scan[cid] = (tsel >> 4, tsel & 0xF)
+            data_pos = pos + 2 + size
+            return _decode_scan(d, data_pos, frame, scan, qtabs, htabs,
+                                restart_interval)
+        pos += 2 + size
+    raise ValueError("no SOS segment")
+
+
+def _decode_scan(d, pos, frame, scan, qtabs, htabs, restart_interval):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        pw, ph = mcux * 8 * c["hs"], mcuy * 8 * c["vs"]
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+    r = _BitReader(d, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                r.align_restart()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_tab = htabs[(0, scan[c["id"]][0])]
+                ac_tab = htabs[(1, scan[c["id"]][1])]
+                q = qtabs[c["q"]].astype(np.float64)
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        size = _decode_huff(r, dc_tab)
+                        diff = _extend(r.receive(size), size) if size else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(r, ac_tab)
+                            run, size = rs >> 4, rs & 0xF
+                            if rs == 0x00:   # EOB
+                                break
+                            if rs == 0xF0:   # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(r.receive(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = zz
+                        coef = block.reshape(8, 8) * q
+                        px = _DCT.T @ coef @ _DCT + 128.0
+                        y0 = (my * c["vs"] + by) * 8
+                        x0 = (mx * c["hs"] + bx) * 8
+                        planes[ci][y0: y0 + 8, x0: x0 + 8] = px
+            mcu_count += 1
+    # upsample to full resolution and crop
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["hs"] != hmax or c["vs"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["vs"], axis=0),
+                          hmax // c["hs"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    y, cb, cr = full
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -6,15 +6,18 @@ and tested.  Decoding is split honestly by what pure numpy can do:
 
 * REAL decoders (no media libraries needed): `decode_wav` (RIFF/WAVE
   PCM 8/16-bit, any channel count), `decode_bmp` (BITMAPINFOHEADER
-  BI_RGB 24/32-bit, bottom-up or top-down, row padding) and — round 6 —
-  `decode_png` (stdlib zlib inflate + numpy per-row unfiltering of all
-  five filter types, 8-bit gray/RGB/RGBA/gray+alpha, non-interlaced),
-  plus real feature kernels (`audio_features`: RMS/ZCR/spectral centroid
-  via FFT; `image_features`: per-channel stats + luminance histogram).
-* STUBBED: codecs that genuinely need libjpeg/ffmpeg-class dependencies
-  (JPEG/H.264, palettized or interlaced PNG) — `decode_image_stub`
-  (deterministic fake) stands in, swap for PIL/torchaudio on a real
-  cluster.
+  BI_RGB 24/32-bit, bottom-up or top-down, row padding), and — round 6
+  — `decode_png` (stdlib zlib inflate + numpy per-row unfiltering of
+  all five filter types, 8-bit gray/RGB/RGBA/gray+alpha,
+  non-interlaced) and BASELINE JPEG (`operators/jpeg.py`: full
+  Huffman/DCT pipeline, 4:4:4/4:2:2/4:2:0, restart markers — validated
+  against real libjpeg-produced files), plus real feature kernels
+  (`audio_features`: RMS/ZCR/spectral centroid via FFT;
+  `image_features`: per-channel stats + luminance histogram).
+* STUBBED: what genuinely needs ffmpeg-class dependencies (H.264/video,
+  progressive/arithmetic JPEG, palettized or interlaced PNG) —
+  `decode_image_stub` (deterministic fake) stands in, swap for
+  PIL/torchaudio on a real cluster.
 
 `extract_media_features` auto-dispatches: payloads that ARE wav/bmp get
 the real path; everything else falls back to the stub.
@@ -346,6 +349,16 @@ def decode_media(payload: bytes, out_dim: int = 16) -> tuple[str, np.ndarray]:
             return "png", image_features(img)
         except ValueError:
             pass  # PNG magic but palettized/interlaced/truncated → stub
+    if len(payload) >= 3 and payload[:3] == b"\xff\xd8\xff":
+        try:
+            from ifeatureomega_cli_spark.operators.jpeg import decode_jpeg
+
+            img = decode_jpeg(payload)
+            if img.shape[2] < 3:
+                img = np.repeat(img[:, :, :1], 3, axis=2)
+            return "jpeg", image_features(img)
+        except ValueError:
+            pass  # JPEG magic but progressive/arithmetic/corrupt → stub
     return "stub", decode_image_stub(payload, out_dim)
 
 
@@ -435,12 +448,19 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         if kind == "image":
             w, h = 16 * (1 + i % 4) + (i % 3), 8 * (1 + i % 3)
             px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-            if (i // 3) % 2:  # alternate containers: both real decoders
+            which = (i // 3) % 3  # rotate all three real image decoders
+            if which == 0:
+                payload = encode_bmp(px)
+                meta = (w, h, 1, 0, "bmp")
+            elif which == 1:
                 payload = encode_png(px, filter_type=2)
                 meta = (w, h, 1, 0, "png")
             else:
-                payload = encode_bmp(px)
-                meta = (w, h, 1, 0, "bmp")
+                from ifeatureomega_cli_spark.operators.jpeg import (
+                    encode_jpeg)
+
+                payload = encode_jpeg(px, subsample=bool(i % 2))
+                meta = (w, h, 1, 0, "jpeg")
         elif kind == "audio":
             rate = 8000
             t = np.arange(rate // 4) / rate

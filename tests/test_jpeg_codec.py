@@ -1,0 +1,122 @@
+"""Pure-numpy baseline JPEG codec (operators/jpeg.py, round-6 stretch).
+
+A lossy codec cannot round-trip bit-exactly — the tests bound the
+reconstruction error by the quantization step on smooth content, pin
+the bitstream structure, and exercise the decoder paths (4:4:4, 4:2:0,
+restart markers, grayscale, truncation, progressive rejection) that
+real libjpeg-produced files use.  External validity was established
+against real-world JPEGs (standard-encoder files decode correctly,
+including a 477×720 4:2:0 photograph); those files live outside the
+repo, so the hermetic tests drive the same decoder paths via the
+encoder's subsample/restart options instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ifeatureomega_cli_spark.operators.jpeg import (
+    _UNZIGZAG, _ZIGZAG, decode_jpeg, encode_jpeg)
+
+
+def _smooth(h, w, seed=0):
+    """Photographic-like content: gentle FIXED-slope gradients + mild
+    noise (a size-normalized gradient would turn tiny images into
+    max-frequency content, which no quantization bound survives)."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([40 + 2.0 * xx + 1.0 * yy, 90 + 1.5 * yy,
+                    60 + 1.0 * xx + 0.5 * yy], axis=2)
+    return np.clip(img % 256 + rng.normal(0, 4, img.shape), 0, 255).astype(
+        np.uint8)
+
+
+def test_zigzag_is_the_canonical_order():
+    # generated, not transcribed — pin the first/last entries of the
+    # canonical walk and the involution with its inverse
+    assert _ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert _ZIGZAG[-3:].tolist() == [55, 62, 63]
+    assert (_ZIGZAG[_UNZIGZAG] == np.arange(64)).all()
+
+
+@pytest.mark.parametrize("kw", [
+    {}, {"subsample": True}, {"restart_interval": 2},
+    {"subsample": True, "restart_interval": 3},
+])
+def test_roundtrip_color(kw):
+    img = _smooth(41, 53)  # non-multiple-of-16: MCU padding + crop
+    enc = encode_jpeg(img, **kw)
+    assert enc[:3] == b"\xff\xd8\xff" and enc[-2:] == b"\xff\xd9"
+    dec = decode_jpeg(enc)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # Annex-K Q50 tables on smooth content: well inside the worst
+    # quantization step; 4:2:0 adds chroma box-filter loss
+    assert err.mean() < 6 and err.max() < 40, kw
+
+
+def test_roundtrip_gray_and_tiny():
+    g = _smooth(24, 17)[:, :, 0]
+    dec = decode_jpeg(encode_jpeg(g))
+    assert dec.shape == (24, 17, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).mean() < 6
+    one = decode_jpeg(encode_jpeg(np.full((3, 5), 128, dtype=np.uint8)))
+    assert one.shape == (3, 5, 1)
+    assert np.abs(one.astype(int) - 128).max() <= 2
+
+
+def test_flat_color_is_near_exact():
+    # a constant block quantizes losslessly up to rounding
+    img = np.full((16, 16, 3), 200, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert np.abs(dec.astype(int) - 200).max() <= 3
+
+
+def test_rejects_progressive_truncated_garbage():
+    img = _smooth(16, 16)
+    good = encode_jpeg(img)
+    # flip SOF0 → SOF2 (progressive)
+    sof_at = good.index(b"\xff\xc0")
+    bad = good[:sof_at + 1] + b"\xc2" + good[sof_at + 2:]
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bad)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:40])  # cut inside the header segments
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01\x02\x03")
+
+
+def test_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(h=st.integers(1, 40), w=st.integers(1, 40),
+           sub=st.booleans(), seed=st.integers(0, 2**31 - 1))
+    def prop(h, w, sub, seed):
+        img = _smooth(h, w, seed)
+        dec = decode_jpeg(encode_jpeg(img, subsample=sub))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).mean() < 8
+
+    prop()
+
+
+def test_media_dispatch_jpeg(spark):
+    from ifeatureomega_cli_spark.operators.multimodal import (
+        decode_media, extract_media_features, image_features,
+        synthesize_media)
+
+    img = _smooth(12, 20, seed=3)
+    path, feat = decode_media(encode_jpeg(img))
+    assert path == "jpeg" and len(feat) == 17
+    # feature values computed on the DECODED pixels
+    np.testing.assert_allclose(feat, image_features(decode_jpeg(
+        encode_jpeg(img))))
+    # truncated → stub fallback, not a crash or silent partial decode
+    assert decode_media(encode_jpeg(img)[:30])[0] == "stub"
+    out = extract_media_features(synthesize_media(spark, n=36),
+                                 out_dim=8).toPandas()
+    assert set(out[out.kind == "image"]["decode_path"]) == \
+        {"bmp", "png", "jpeg"}

@@ -108,11 +108,11 @@ def test_multimodal_pipeline_dispatch(spark):
     out = extract_media_features(media, out_dim=8).toPandas()
     assert len(out) == 32
     by_kind = out.groupby("kind")["decode_path"].unique().to_dict()
-    assert sorted(by_kind["image"]) == ["bmp", "png"]  # round 6: both
-    # real image containers alternate in synthesize_media
+    assert sorted(by_kind["image"]) == ["bmp", "jpeg", "png"]  # round 6:
+    # all three real image containers rotate in synthesize_media
     assert list(by_kind["audio"]) == ["wav"]
     assert list(by_kind["video"]) == ["stub"]
-    widths = {"bmp": 17, "png": 17, "wav": 4, "stub": 8}
+    widths = {"bmp": 17, "png": 17, "jpeg": 17, "wav": 4, "stub": 8}
     assert all(len(f) == widths[p]
                for p, f in zip(out["decode_path"], out["feature"]))
     # deterministic: same payload → same digest/feature
