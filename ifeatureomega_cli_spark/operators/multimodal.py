@@ -167,11 +167,12 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 def decode_png(payload: bytes) -> np.ndarray:
     """Pure-numpy+zlib PNG decoder → (height, width, channels) uint8.
 
-    Walks IHDR/IDAT/IEND chunks, inflates the concatenated IDAT stream
-    with stdlib zlib, and unfilters each scanline (the five PNG filter
-    types: None, Sub, Up, Average, Paeth).  Supports 8-bit color types
-    0 (gray), 2 (RGB), 4 (gray+alpha) and 6 (RGBA), non-interlaced.
-    Raises ValueError on palettized (type 3), 16-bit, interlaced or
+    Walks IHDR/PLTE/IDAT/IEND chunks, inflates the concatenated IDAT
+    stream with stdlib zlib, and unfilters each scanline (the five PNG
+    filter types: None, Sub, Up, Average, Paeth).  Supports 8-bit color
+    types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) and — round 6 —
+    type 3 (palettized, index depths 1/2/4/8 → RGB via PLTE lookup),
+    non-interlaced.  Raises ValueError on 16-bit, interlaced or
     truncated input — the caller falls back to the stub."""
     import zlib
 
@@ -179,6 +180,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG payload")
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     saw_iend = False
     while pos + 8 <= len(payload):
@@ -192,6 +194,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + size  # 4 length + 4 type + data + 4 crc
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -205,11 +209,23 @@ def decode_png(payload: bytes) -> np.ndarray:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if bit_depth != 8:
-        raise ValueError(f"unsupported bit depth {bit_depth}")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
-        raise ValueError(f"unsupported color type {color_type} (palette?)")
+    paletted = color_type == 3
+    if paletted:
+        if bit_depth not in (1, 2, 4, 8):
+            raise ValueError(f"unsupported palette depth {bit_depth}")
+        if plte is None or len(plte) % 3:
+            raise ValueError("palettized PNG without a valid PLTE chunk")
+        channels = 1            # one index per pixel
+        bpp = 1                 # filters act on BYTES (spec: bpp ≥ 1)
+        stride = -(-width * bit_depth // 8)
+    else:
+        if bit_depth != 8:
+            raise ValueError(f"unsupported bit depth {bit_depth}")
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+        if channels is None:
+            raise ValueError(f"unsupported color type {color_type}")
+        bpp = channels
+        stride = width * channels
     if interlace != 0:
         raise ValueError("interlaced PNG not supported")
     if width <= 0 or height <= 0:
@@ -218,14 +234,14 @@ def decode_png(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt IDAT stream: {exc}") from exc
-    stride = width * channels
     if len(raw) != height * (1 + stride):
         raise ValueError("decompressed size does not match dimensions")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
     filters = raw[:, 0]
     data = raw[:, 1:]
     out = np.zeros((height, stride), dtype=np.uint8)
-    zero_px = np.zeros(channels, dtype=np.int64)
+    n_units = stride // bpp
+    zero_px = np.zeros(bpp, dtype=np.int64)
     for y in range(height):
         f = filters[y]
         line = data[y].astype(np.int64)
@@ -235,15 +251,15 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = line
         elif f == 2:                     # Up
             cur = (line + prev) & 0xFF
-        elif f == 1:                     # Sub = prefix sum along pixels,
-            # vectorized per channel (mod-256 cumsum)
-            cur = (np.cumsum(line.reshape(width, channels), axis=0)
+        elif f == 1:                     # Sub = prefix sum along filter
+            # units, vectorized per byte-within-unit (mod-256 cumsum)
+            cur = (np.cumsum(line.reshape(n_units, bpp), axis=0)
                    & 0xFF).reshape(stride)
         elif f in (3, 4):                # Average / Paeth: left-dependent,
-            # loop over PIXELS with the channel math vectorized
-            cur2 = line.reshape(width, channels).copy()
-            prev2 = prev.reshape(width, channels)
-            for x in range(width):
+            # loop over UNITS with the per-byte math vectorized
+            cur2 = line.reshape(n_units, bpp).copy()
+            prev2 = prev.reshape(n_units, bpp)
+            for x in range(n_units):
                 a = cur2[x - 1] if x else zero_px       # left
                 b = prev2[x]                            # up
                 if f == 3:
@@ -259,7 +275,22 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unknown filter type {f} in row {y}")
         out[y] = cur.astype(np.uint8)
-    return out.reshape(height, width, channels)
+    if not paletted:
+        return out.reshape(height, width, channels)
+    # unpack sub-byte indices and look them up in the palette
+    if bit_depth == 8:
+        idx = out[:, :width]
+    else:
+        per = 8 // bit_depth
+        bits = np.unpackbits(out, axis=1).reshape(
+            height, stride * per, bit_depth)
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        idx = (bits * weights[None, None, :]).sum(axis=2)[:, :width] \
+            .astype(np.uint8)
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("palette index out of range")
+    return pal[idx]
 
 
 def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:

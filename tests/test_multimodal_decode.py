@@ -268,9 +268,15 @@ def test_png_rejects_unsupported_and_truncated():
         decode_png(good[:-9])   # clips IEND → incomplete chunk stream
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"\x89PNJ" + good[4:])
-    # palettized color type 3
+    # palettized color type without a PLTE chunk (type 3 itself is
+    # supported since round 6 — see test_png_palettized_all_depths)
     bad = bytearray(good)
     bad[8 + 8 + 9] = 3
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(bytes(bad))
+    # genuinely unknown color type
+    bad = bytearray(good)
+    bad[8 + 8 + 9] = 5
     with pytest.raises(ValueError, match="color type"):
         decode_png(bytes(bad))
     # interlaced
@@ -325,3 +331,55 @@ def test_decode_media_png_dispatch():
     # truncated PNG → stub, not silent partial decode
     path, _ = decode_media(encode_png(rgb)[:-9])
     assert path == "stub"
+
+
+def test_png_palettized_all_depths():
+    """Hand-built palettized PNGs (color type 3, PLTE lookup) at index
+    depths 1/2/4/8 — including a Sub-filtered row — reconstruct the
+    exact palette colors."""
+    import zlib
+
+    from ifeatureomega_cli_spark.operators.multimodal import (
+        _PNG_MAGIC, decode_media, decode_png)
+
+    def chunk(t, body):
+        return (len(body).to_bytes(4, "big") + t + body
+                + (zlib.crc32(t + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]],
+                   dtype=np.uint8)
+    rng = np.random.RandomState(3)
+    for depth in (1, 2, 4, 8):
+        ncol = min(2 ** depth, len(pal))
+        w, h = 11, 5  # odd width: sub-byte rows end mid-byte
+        idx = rng.randint(0, ncol, size=(h, w), dtype=np.uint8)
+        stride = -(-w * depth // 8)
+        rows = []
+        for y in range(h):
+            bits = np.unpackbits(idx[y][:, None], axis=1)[:, 8 - depth:]
+            packed = np.packbits(bits.ravel())[:stride]
+            f = 1 if y == 2 else 0  # one Sub-filtered row (bpp = 1 byte)
+            if f == 1:
+                filt = np.empty_like(packed)
+                filt[0] = packed[0]
+                filt[1:] = (packed[1:].astype(np.int64)
+                            - packed[:-1]) & 0xFF
+                rows.append(b"\x01" + filt.astype(np.uint8).tobytes())
+            else:
+                rows.append(b"\x00" + packed.tobytes())
+        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([depth, 3, 0, 0, 0]))
+        png = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+               + chunk(b"PLTE", pal.tobytes())
+               + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+               + chunk(b"IEND", b""))
+        got = decode_png(png)
+        assert got.shape == (h, w, 3), depth
+        assert (got == pal[idx]).all(), depth
+        assert decode_media(png)[0] == "png"
+    # palettized without PLTE → stub fallback, not a crash
+    bad = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(bad)
