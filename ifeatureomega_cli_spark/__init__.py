@@ -25,7 +25,8 @@ from ifeatureomega_cli_spark.operators.lag_lead import lag_lead
 from ifeatureomega_cli_spark.operators.sessionize import sessionize
 from ifeatureomega_cli_spark.operators.topk import top_k_per_group
 from ifeatureomega_cli_spark.api import (Analysis, DNADataset,
-                                         ProteinDataset, RNADataset)
+                                         LigandDataset, ProteinDataset,
+                                         RNADataset)
 
 __all__ = [
     "Analysis",
@@ -34,6 +35,7 @@ __all__ = [
     "extract_many",
     "ProteinDataset",
     "DNADataset",
+    "LigandDataset",
     "RNADataset",
     "feature_names",
     "DESCRIPTORS",

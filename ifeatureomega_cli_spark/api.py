@@ -449,3 +449,53 @@ class StructureDataset:
                                       "features"), path, names=names)
         else:  # network/HSE: already flat columns
             sinks.write_csv(self.encodings, path)
+
+
+class LigandDataset:
+    """Façade mirroring the reference's iLigand class
+    (iFeatureOmegaCLI.py:9788-9949) over the SMILES pipeline.
+
+    Reference usage                       →  Spark-native equivalent
+    ---------------------------------------------------------------
+    lig = iLigand("Chemical_SMILES.txt")  →  lig = LigandDataset(spark, path)
+    lig.get_descriptor("Constitution")    →  df = lig.get_descriptor(...)
+    lig.encodings                         →  lig.encodings (lazy DataFrame)
+    lig.display_feature_types()           →  same
+    lig.to_csv("out.csv")                 →  same (feature columns widened)
+
+    Twelve of the 24 families compute real RDKit-free chemistry (round
+    6, functions/chemdesc(_ext).py); the RDKit-gated numeric families
+    raise unless `allow_stub=True` is passed to get_descriptor.
+    """
+
+    def __init__(self, spark: SparkSession, source: str | DataFrame):
+        from ifeatureomega_cli_spark.operators.ligand import read_smiles
+
+        self.spark = spark
+        self.mols = source if isinstance(source, DataFrame) \
+            else read_smiles(spark, str(source))
+        self.encodings: DataFrame | None = None
+        self.error_msg: str | None = None
+
+    def display_feature_types(self) -> list[str]:
+        from ifeatureomega_cli_spark.operators.ligand import LIGAND_FAMILIES
+
+        for n in sorted(LIGAND_FAMILIES):
+            print(n)
+        return sorted(LIGAND_FAMILIES)
+
+    def get_descriptor(self, name: str,
+                       allow_stub: bool = False) -> DataFrame:
+        from ifeatureomega_cli_spark import structure_ligand as SL
+
+        kw = {"allow_stub": True} if allow_stub else {}
+        self.encodings = SL.ligand_descriptor(self.mols, name, **kw)
+        return self.encodings
+
+    def to_csv(self, path: str) -> None:
+        if self.encodings is None:
+            raise ValueError("call get_descriptor first (ref iLigand flow)")
+        sinks.write_csv(
+            self.encodings.filter(F.col("valid"))
+            .select(F.col("mol_id").cast("string").alias("doc_id"),
+                    "features"), path)

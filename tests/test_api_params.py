@@ -204,3 +204,30 @@ def test_extract_many_struct_fuse_bit_identical(spark):
     f32 = (extract_many(sdf, names[:3], dtype="float32").select(outs[0])
            .toPandas())
     assert np.asarray(f32.iloc[0, 0]).dtype == np.float32
+
+
+def test_ligand_dataset_facade(spark, tmp_path):
+    """LigandDataset mirrors the reference's iLigand flow (round 6):
+    file → get_descriptor → encodings → to_csv."""
+    import pandas as pd
+
+    from ifeatureomega_cli_spark import LigandDataset
+
+    p = tmp_path / "mols.txt"
+    p.write_text("CCO\nc1ccccc1\nbad((\n")
+    lig = LigandDataset(spark, str(p))
+    fams = lig.display_feature_types()
+    assert len(fams) == 24
+    out = lig.get_descriptor("Kappa")
+    rows = out.orderBy("mol_id").collect()
+    assert [r["valid"] for r in rows] == [True, True, False]
+    assert rows[0]["features"][0] == 3.0  # kappa1(CCO)
+    csv = tmp_path / "enc.csv"
+    lig.to_csv(str(csv))  # a Spark CSV directory, like every repo sink
+    parts = sorted(csv.glob("part-*.csv"))
+    got = pd.concat([pd.read_csv(f) for f in parts], ignore_index=True)
+    assert len(got) == 2 and got.shape[1] == 8  # id + 7 kappa values
+    # RDKit-gated family: honest error unless the stub is opted into
+    with pytest.raises(NotImplementedError):
+        lig.get_descriptor("Charge")
+    assert lig.get_descriptor("Charge", allow_stub=True) is not None
