@@ -226,19 +226,74 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unsupported color type {color_type}")
         bpp = channels
         stride = width * channels
-    if interlace != 0:
-        raise ValueError("interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown interlace method {interlace}")
     if width <= 0 or height <= 0:
         raise ValueError(f"bad dimensions {width}x{height}")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt IDAT stream: {exc}") from exc
-    if len(raw) != height * (1 + stride):
-        raise ValueError("decompressed size does not match dimensions")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
-    filters = raw[:, 0]
-    data = raw[:, 1:]
+
+    def samples_of(byts: np.ndarray, h: int, w: int, srow: int):
+        """Unfiltered byte rows → per-pixel sample array (h, w[, ch])."""
+        if not paletted:
+            return byts.reshape(h, w, channels)
+        if bit_depth == 8:
+            return byts[:, :w]
+        per = 8 // bit_depth
+        bits = np.unpackbits(byts, axis=1).reshape(h, srow * per, bit_depth)
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        return (bits * weights[None, None, :]).sum(axis=2)[:, :w] \
+            .astype(np.uint8)
+
+    if interlace == 0:
+        if len(raw) != height * (1 + stride):
+            raise ValueError("decompressed size does not match dimensions")
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(
+            height, 1 + stride)
+        out = _png_unfilter(rows[:, 0], rows[:, 1:], stride, bpp)
+        px = samples_of(out, height, width, stride)
+    else:
+        # Adam7: 7 sub-images, each independently filtered, scattered on
+        # an (x_start, y_start, x_step, y_step) grid
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        if paletted:
+            px = np.zeros((height, width), dtype=np.uint8)
+        else:
+            px = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys in passes:
+            pw = -(-(width - x0) // xs) if width > x0 else 0
+            ph = -(-(height - y0) // ys) if height > y0 else 0
+            if pw <= 0 or ph <= 0:
+                continue
+            prow = -(-pw * bit_depth // 8) if paletted else pw * channels
+            need = ph * (1 + prow)
+            if off + need > len(raw):
+                raise ValueError("truncated interlaced data")
+            rows = np.frombuffer(raw[off: off + need],
+                                 dtype=np.uint8).reshape(ph, 1 + prow)
+            off += need
+            sub = _png_unfilter(rows[:, 0], rows[:, 1:], prow, bpp)
+            sp = samples_of(sub, ph, pw, prow)
+            px[y0::ys, x0::xs] = sp
+        if off != len(raw):
+            raise ValueError("interlaced data size mismatch")
+    if not paletted:
+        return px
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    if int(px.max(initial=0)) >= len(pal):
+        raise ValueError("palette index out of range")
+    return pal[px]
+
+
+def _png_unfilter(filters: np.ndarray, data: np.ndarray, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Reconstruct scanlines from the five PNG filter types (shared by
+    the sequential path and each Adam7 pass)."""
+    height = len(filters)
     out = np.zeros((height, stride), dtype=np.uint8)
     n_units = stride // bpp
     zero_px = np.zeros(bpp, dtype=np.int64)
@@ -275,22 +330,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unknown filter type {f} in row {y}")
         out[y] = cur.astype(np.uint8)
-    if not paletted:
-        return out.reshape(height, width, channels)
-    # unpack sub-byte indices and look them up in the palette
-    if bit_depth == 8:
-        idx = out[:, :width]
-    else:
-        per = 8 // bit_depth
-        bits = np.unpackbits(out, axis=1).reshape(
-            height, stride * per, bit_depth)
-        weights = 1 << np.arange(bit_depth - 1, -1, -1)
-        idx = (bits * weights[None, None, :]).sum(axis=2)[:, :width] \
-            .astype(np.uint8)
-    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-    if int(idx.max(initial=0)) >= len(pal):
-        raise ValueError("palette index out of range")
-    return pal[idx]
+    return out
 
 
 def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:

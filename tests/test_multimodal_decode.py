@@ -279,10 +279,17 @@ def test_png_rejects_unsupported_and_truncated():
     bad[8 + 8 + 9] = 5
     with pytest.raises(ValueError, match="color type"):
         decode_png(bytes(bad))
-    # interlaced
+    # unknown interlace method (Adam7 itself is supported since round
+    # 6 — see test_png_adam7_interlaced)
+    bad = bytearray(good)
+    bad[8 + 8 + 12] = 2
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bytes(bad))
+    # interlace byte flipped to Adam7 without re-laying-out the data →
+    # size mismatch, honest error (never a silent wrong image)
     bad = bytearray(good)
     bad[8 + 8 + 12] = 1
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError):
         decode_png(bytes(bad))
     # corrupt deflate stream
     bad = bytearray(good)
@@ -383,3 +390,62 @@ def test_png_palettized_all_depths():
            + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="PLTE"):
         decode_png(bad)
+
+
+def test_png_adam7_interlaced():
+    """Hand-laid-out Adam7 streams (7 passes, per-pass filtering incl.
+    Up rows) reconstruct exactly — RGB and depth-2 palette variants."""
+    import zlib
+
+    from ifeatureomega_cli_spark.operators.multimodal import (
+        _PNG_MAGIC, decode_png)
+
+    def chunk(t, body):
+        return (len(body).to_bytes(4, "big") + t + body
+                + (zlib.crc32(t + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    rng = np.random.RandomState(7)
+    h, w, c = 13, 9, 3
+    img = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+    payload = bytearray()
+    for x0, y0, xs, ys in passes:
+        sub = img[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        flat = sub.reshape(ph, pw * c)
+        for y in range(ph):
+            if y % 2 == 0:
+                payload += b"\x00" + flat[y].tobytes()
+            else:  # Up-filtered row WITHIN the pass
+                payload += b"\x02" + ((flat[y].astype(np.int64)
+                                       - flat[y - 1]) & 0xFF).astype(
+                    np.uint8).tobytes()
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(
+        [8, 2, 0, 0, 1])
+    png = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(payload)))
+           + chunk(b"IEND", b""))
+    assert (decode_png(png) == img).all()
+
+    pal = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250], [7, 7, 7]],
+                   dtype=np.uint8)
+    idx = rng.randint(0, 4, size=(h, w), dtype=np.uint8)
+    payload = bytearray()
+    for x0, y0, xs, ys in passes:
+        sub = idx[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        ph, pw = sub.shape
+        srow = -(-pw * 2 // 8)
+        for y in range(ph):
+            bits = np.unpackbits(sub[y][:, None], axis=1)[:, 6:]
+            payload += b"\x00" + np.packbits(bits.ravel())[:srow].tobytes()
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(
+        [2, 3, 0, 0, 1])
+    png = (_PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
+           + chunk(b"IDAT", zlib.compress(bytes(payload)))
+           + chunk(b"IEND", b""))
+    assert (decode_png(png) == pal[idx]).all()
