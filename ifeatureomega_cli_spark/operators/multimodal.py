@@ -7,15 +7,16 @@ and tested.  Decoding is split honestly by what pure numpy can do:
 * REAL decoders (no media libraries needed): `decode_wav` (RIFF/WAVE
   PCM 8/16-bit, any channel count), `decode_bmp` (BITMAPINFOHEADER
   BI_RGB 24/32-bit, bottom-up or top-down, row padding), and — round 6
-  — `decode_png` (stdlib zlib inflate + numpy per-row unfiltering of
-  all five filter types, 8-bit gray/RGB/RGBA/gray+alpha,
-  non-interlaced) and BASELINE JPEG (`operators/jpeg.py`: full
+  — `decode_png` (stdlib zlib inflate + numpy unfiltering of all five
+  filter types; gray/RGB/RGBA/gray+alpha at 8/16-bit, palettized at
+  1/2/4/8-bit, sequential and Adam7-interlaced — the full PNG
+  still-image surface) and BASELINE JPEG (`operators/jpeg.py`: full
   Huffman/DCT pipeline, 4:4:4/4:2:2/4:2:0, restart markers — validated
   against real libjpeg-produced files), plus real feature kernels
   (`audio_features`: RMS/ZCR/spectral centroid via FFT;
   `image_features`: per-channel stats + luminance histogram).
 * STUBBED: what genuinely needs ffmpeg-class dependencies (H.264/video,
-  progressive/arithmetic JPEG, palettized or interlaced PNG) —
+  progressive/arithmetic JPEG) —
   `decode_image_stub` (deterministic fake) stands in, swap for
   PIL/torchaudio on a real cluster.
 
@@ -219,13 +220,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         bpp = 1                 # filters act on BYTES (spec: bpp ≥ 1)
         stride = -(-width * bit_depth // 8)
     else:
-        if bit_depth != 8:
+        if bit_depth not in (8, 16):
             raise ValueError(f"unsupported bit depth {bit_depth}")
         channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
         if channels is None:
             raise ValueError(f"unsupported color type {color_type}")
-        bpp = channels
-        stride = width * channels
+        bpp = channels * (bit_depth // 8)  # filter distance in BYTES
+        stride = width * bpp
     if interlace not in (0, 1):
         raise ValueError(f"unknown interlace method {interlace}")
     if width <= 0 or height <= 0:
@@ -236,8 +237,12 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"corrupt IDAT stream: {exc}") from exc
 
     def samples_of(byts: np.ndarray, h: int, w: int, srow: int):
-        """Unfiltered byte rows → per-pixel sample array (h, w[, ch])."""
+        """Unfiltered byte rows → per-pixel sample array (h, w[, ch]);
+        16-bit samples (big-endian) keep their HIGH byte — the standard
+        8-bit downscale, keeping the uint8 feature contract."""
         if not paletted:
+            if bit_depth == 16:
+                return byts.reshape(h, w, channels, 2)[:, :, :, 0].copy()
             return byts.reshape(h, w, channels)
         if bit_depth == 8:
             return byts[:, :w]
@@ -269,7 +274,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             ph = -(-(height - y0) // ys) if height > y0 else 0
             if pw <= 0 or ph <= 0:
                 continue
-            prow = -(-pw * bit_depth // 8) if paletted else pw * channels
+            prow = -(-pw * bit_depth // 8) if paletted else pw * bpp
             need = ph * (1 + prow)
             if off + need > len(raw):
                 raise ValueError("truncated interlaced data")

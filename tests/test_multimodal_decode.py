@@ -449,3 +449,39 @@ def test_png_adam7_interlaced():
            + chunk(b"IDAT", zlib.compress(bytes(payload)))
            + chunk(b"IEND", b""))
     assert (decode_png(png) == pal[idx]).all()
+
+
+def test_png_16bit_samples():
+    """16-bit PNGs decode with the standard high-byte downscale; the
+    filter distance spans the full 2-byte sample (Sub row pinned)."""
+    import zlib
+
+    from ifeatureomega_cli_spark.operators.multimodal import (
+        _PNG_MAGIC, decode_media, decode_png)
+
+    def chunk(t, body):
+        return (len(body).to_bytes(4, "big") + t + body
+                + (zlib.crc32(t + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    rng = np.random.RandomState(4)
+    h, w = 6, 5
+    img16 = rng.randint(0, 65536, size=(h, w, 3), dtype=np.uint16)
+    flat = img16.byteswap().view(np.uint8).reshape(h, w * 6)  # big-endian
+    rows = []
+    for y in range(h):
+        if y == 3:  # Sub filter with bpp = 6 bytes
+            line = flat[y].astype(np.int64)
+            filt = line.copy()
+            filt[6:] = (line[6:] - line[:-6]) & 0xFF
+            rows.append(b"\x01" + filt.astype(np.uint8).tobytes())
+        else:
+            rows.append(b"\x00" + flat[y].tobytes())
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([16, 2, 0, 0, 0]))
+    png = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+           + chunk(b"IEND", b""))
+    got = decode_png(png)
+    assert got.shape == (h, w, 3)
+    assert (got == (img16 >> 8).astype(np.uint8)).all()
+    assert decode_media(png)[0] == "png"
