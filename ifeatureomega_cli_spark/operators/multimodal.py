@@ -170,11 +170,14 @@ def decode_png(payload: bytes) -> np.ndarray:
 
     Walks IHDR/PLTE/IDAT/IEND chunks, inflates the concatenated IDAT
     stream with stdlib zlib, and unfilters each scanline (the five PNG
-    filter types: None, Sub, Up, Average, Paeth).  Supports 8-bit color
-    types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) and — round 6 —
-    type 3 (palettized, index depths 1/2/4/8 → RGB via PLTE lookup),
-    non-interlaced.  Raises ValueError on 16-bit, interlaced or
-    truncated input — the caller falls back to the stub."""
+    filter types: None, Sub, Up, Average, Paeth).  The full PNG
+    still-image surface (round 6): color types 0 (gray), 2 (RGB), 4
+    (gray+alpha), 6 (RGBA) at 8- and 16-bit sample depth (16-bit keeps
+    the big-endian high byte — the standard 8-bit downscale, preserving
+    the uint8 feature contract), type 3 (palettized, index depths
+    1/2/4/8 → RGB via PLTE lookup), sequential AND Adam7-interlaced.
+    Raises ValueError on truncated or malformed input — the caller
+    falls back to the stub."""
     import zlib
 
     if len(payload) < 8 + 25 or payload[:8] != _PNG_MAGIC:
