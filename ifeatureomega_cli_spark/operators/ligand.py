@@ -149,6 +149,9 @@ GRAPH_FAMILY_NAMES = frozenset({
     "EState", "Autocorrelation-moran", "Autocorrelation-geary",
     "Autocorrelation-broto", "Basak", "Burden", "E-state fingerprints",
     "Pharmacophore",
+    # round 7 (functions/chemdesc_props.py): Wildman-Crippen LogP/MR +
+    # Ertl TPSA + Labute ASA + the reference's own Hy/UI
+    "Molecular properties",
 })
 
 
@@ -252,10 +255,13 @@ def ligand_descriptors(
         from ifeatureomega_cli_spark.functions.chemdesc import GRAPH_FAMILIES
         from ifeatureomega_cli_spark.functions.chemdesc_ext import (
             EXT_GRAPH_FAMILIES)
+        from ifeatureomega_cli_spark.functions.chemdesc_props import (
+            PROP_FAMILIES)
         from ifeatureomega_cli_spark.functions.molgraph import (
             SmilesError, parse_smiles)
 
-        graph_kernels = {**GRAPH_FAMILIES, **EXT_GRAPH_FAMILIES}
+        graph_kernels = {**GRAPH_FAMILIES, **EXT_GRAPH_FAMILIES,
+                         **PROP_FAMILIES}
 
         for pdf in batches:
             valid, feats = [], []

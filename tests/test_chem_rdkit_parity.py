@@ -250,3 +250,80 @@ def test_cats_parity(smi):
     got = _cats_atom_types(parse_smiles(smi))
     for t in PPP:
         assert sorted(set(got[t])) == sorted(set(want[t])), (t, smi)
+
+
+# round-7 panel for the numeric chem families: aromatic flags exactly as
+# RDKit perceives them (no amide-N-in-lowercase-ring forms, where the
+# as-written-aromaticity engine documented in molgraph.py deliberately
+# differs from RDKit's perception)
+PROPS_PANEL = [
+    "CCO", "c1ccccc1", "Oc1ccccc1", "CC(=O)O", "CC(=O)Oc1ccccc1C(=O)O",
+    "c1ccc2ccccc2c1", "O=[N+]([O-])c1ccccc1", "c1ccncc1", "C1CCCCC1",
+    "Cc1ccccc1", "Nc1ccccc1", "CS(=O)C", "c1ccsc1", "c1ccoc1",
+    "c1cc[nH]c1", "CCN(CC)CC", "NC(=O)N", "CC(=O)[O-]", "C[NH3+]",
+    "FC(F)(F)c1ccccc1", "ClCCBr", "CC#N", "C=CC=C", "CSC",
+]
+
+
+@pytest.mark.parametrize("smi", PROPS_PANEL)
+def test_crippen_parity(smi):
+    """MolLogP / MolMR vs RDKit's Crippen — the Wildman-Crippen table
+    transcription adjudicated end-to-end."""
+    from rdkit.Chem import Crippen
+
+    mol = parse_smiles(smi)
+    ref = Chem.MolFromSmiles(smi)
+    from ifeatureomega_cli_spark.functions.chemdesc_props import (
+        mol_logp, mol_mr)
+    assert mol_logp(mol) == pytest.approx(Crippen.MolLogP(ref), abs=1e-3)
+    assert mol_mr(mol) == pytest.approx(Crippen.MolMR(ref), abs=1e-3)
+
+
+@pytest.mark.parametrize("smi", PROPS_PANEL)
+def test_tpsa_parity(smi):
+    from rdkit.Chem import MolSurf
+
+    from ifeatureomega_cli_spark.functions.chemdesc_props import tpsa
+    assert tpsa(parse_smiles(smi)) == pytest.approx(
+        MolSurf.TPSA(Chem.MolFromSmiles(smi)), abs=1e-2)
+
+
+@pytest.mark.parametrize("smi", PROPS_PANEL)
+def test_labute_asa_parity(smi):
+    """Labute ASA: formula is Labute 2000 / RDKit's published
+    formulation; the radii table is the documented boundary
+    (chemdesc_props._RB0 vs RDKit's internal single-bond radii).  A
+    mismatch here means a radii-digit delta, not a formula error —
+    check _RB0 against rdkit.Chem.GetPeriodicTable().GetRb0 first."""
+    from rdkit.Chem import MolSurf
+
+    from ifeatureomega_cli_spark.functions.chemdesc_props import (
+        _RB0, labute_asa)
+    tbl = Chem.GetPeriodicTable()
+    for z, r in _RB0.items():
+        assert r == pytest.approx(tbl.GetRb0(z), abs=5e-3), z
+    assert labute_asa(parse_smiles(smi)) == pytest.approx(
+        MolSurf.pyLabuteASA(Chem.MolFromSmiles(smi)), rel=1e-3)
+
+
+@pytest.mark.parametrize("smi", PROPS_PANEL)
+def test_hy_ui_parity(smi):
+    """Hy / UI vs the reference's own chem/property.py functions run on
+    RDKit mols (transcribed verbatim here, XOR quirk included)."""
+    import math as _m
+
+    from ifeatureomega_cli_spark.functions.chemdesc_props import (
+        hydrophilicity_factor, unsaturation_index)
+
+    ref = Chem.MolFromSmiles(smi)
+    nd = sum(1 for b in ref.GetBonds() if b.GetBondType() == 2)
+    nt = sum(1 for b in ref.GetBonds() if b.GetBondType() == 3)
+    na = sum(1 for b in ref.GetBonds() if b.GetBondType() == 12)
+    assert unsaturation_index(parse_smiles(smi)) == round(
+        _m.log(1 + nd + nt + na, 2), 3)
+    nheavy = ref.GetNumHeavyAtoms()
+    if nheavy ^ 2 != 0:
+        nc = sum(1 for a in ref.GetAtoms() if a.GetAtomicNum() == 6)
+        want = round(0 + nc * (1.0 / nheavy * _m.log(1.0 / nheavy, 2))
+                     + _m.sqrt(0.0 / (nheavy ^ 2)), 3)
+        assert hydrophilicity_factor(parse_smiles(smi)) == want
