@@ -152,6 +152,8 @@ GRAPH_FAMILY_NAMES = frozenset({
     # round 7 (functions/chemdesc_props.py): Wildman-Crippen LogP/MR +
     # Ertl TPSA + Labute ASA + the reference's own Hy/UI
     "Molecular properties",
+    # round 7 (functions/chemdesc_charge.py): Gasteiger-Marsili PEOE
+    "Charge",
 })
 
 
@@ -255,13 +257,15 @@ def ligand_descriptors(
         from ifeatureomega_cli_spark.functions.chemdesc import GRAPH_FAMILIES
         from ifeatureomega_cli_spark.functions.chemdesc_ext import (
             EXT_GRAPH_FAMILIES)
+        from ifeatureomega_cli_spark.functions.chemdesc_charge import (
+            CHARGE_FAMILIES)
         from ifeatureomega_cli_spark.functions.chemdesc_props import (
             PROP_FAMILIES)
         from ifeatureomega_cli_spark.functions.molgraph import (
             SmilesError, parse_smiles)
 
         graph_kernels = {**GRAPH_FAMILIES, **EXT_GRAPH_FAMILIES,
-                         **PROP_FAMILIES}
+                         **PROP_FAMILIES, **CHARGE_FAMILIES}
 
         for pdf in batches:
             valid, feats = [], []

@@ -327,3 +327,58 @@ def test_hy_ui_parity(smi):
         want = round(0 + nc * (1.0 / nheavy * _m.log(1.0 / nheavy, 2))
                      + _m.sqrt(0.0 / (nheavy ^ 2)), 3)
         assert hydrophilicity_factor(parse_smiles(smi)) == want
+
+
+# amide-free subset: Gasteiger modes follow hybridization, where the
+# documented amide-N perception divergence (molgraph.py) would shift
+# N's parameters — everything else must match RDKit to float precision
+CHARGE_PANEL = [s for s in PROPS_PANEL if s not in ("NC(=O)N",)]
+
+
+@pytest.mark.parametrize("smi", CHARGE_PANEL)
+def test_gasteiger_parity(smi):
+    """PEOE charges vs RDKit ComputeGasteigerCharges(AddHs(mol), 12) —
+    the reference's exact call (chem/charge.py:16-17)."""
+    from rdkit.Chem import rdPartialCharges
+
+    from ifeatureomega_cli_spark.functions.chemdesc_charge import (
+        _all_charges)
+
+    ref = Chem.AddHs(Chem.MolFromSmiles(smi))
+    rdPartialCharges.ComputeGasteigerCharges(ref, 12)
+    want = sorted(float(a.GetProp("_GasteigerCharge"))
+                  for a in ref.GetAtoms())
+    qs, _ = _all_charges(parse_smiles(smi))
+    np.testing.assert_allclose(sorted(qs), want, atol=1e-3)
+
+
+@pytest.mark.parametrize("smi", CHARGE_PANEL)
+def test_charge_family_parity(smi):
+    """The 25 Charge coders vs the reference's own chem/charge.py
+    aggregates evaluated over RDKit charges (quirks included: QO*/QC*
+    label swap, max-numerator Rnc/Rpc)."""
+    from rdkit.Chem import rdPartialCharges
+
+    from ifeatureomega_cli_spark.functions.chemdesc_charge import (
+        charge_descriptors)
+
+    ref = Chem.AddHs(Chem.MolFromSmiles(smi))
+    rdPartialCharges.ComputeGasteigerCharges(ref, 12)
+    qs = np.array([float(a.GetProp("_GasteigerCharge"))
+                   for a in ref.GetAtoms()])
+    zs = np.array([a.GetAtomicNum() for a in ref.GetAtoms()])
+    got = dict(zip(
+        ["SPP", "LDI", "Rnc", "Rpc", "Mac", "Tac", "Mnc", "Tnc", "Mpc",
+         "Tpc", "Qass", "QOss", "QNss", "QCss", "QHss", "Qmin", "QOmin",
+         "QNmin", "QCmin", "QHmin", "Qmax", "QOmax", "QNmax", "QCmax",
+         "QHmax"],
+        charge_descriptors(parse_smiles(smi))))
+    assert got["SPP"] == pytest.approx(
+        round(qs.max() - qs.min(), 3), abs=2e-3)
+    for name, z in (("QOss", 6), ("QNss", 7), ("QCss", 8), ("QHss", 1)):
+        sel = qs[zs == z]
+        want = float((sel ** 2).sum()) if sel.size else 0.0
+        assert got[name] == pytest.approx(want, abs=1e-3), name
+    assert got["Qass"] == pytest.approx(float((qs ** 2).sum()), abs=1e-3)
+    assert got["Qmax"] == pytest.approx(qs.max(), abs=1e-3)
+    assert got["Qmin"] == pytest.approx(qs.min(), abs=1e-3)

@@ -46,23 +46,28 @@ def test_ligand_descriptors_stub_pipeline(spark, tmp_path):
     p = tmp_path / "mols.txt"
     p.write_text("CCO\nC1CC1N\nnot a molecule!!\nCC(=O)O\n")
     mols = read_smiles(spark, str(p))
-    # Charge still runs the stub (a NUMERIC family — RDKit-gated,
-    # Gasteiger charges); eleven graph families are real since round 6,
-    # see test_chem_graph.py / test_chem_ext.py
-    out = (ligand_descriptors(mols, "Charge").toPandas()
+    # MACCS still runs the stub (a hashed-fingerprint family — RDKit's
+    # SMARTS key set); fourteen families are real as of round 7, see
+    # test_chem_graph.py / test_chem_ext.py / test_chem_props.py /
+    # test_chem_charge.py
+    out = (ligand_descriptors(mols, "MACCS fingerprints").toPandas()
            .sort_values("mol_id").reset_index(drop=True))
     # every input row present; invalid row flagged, no features
     assert len(out) == 4
     assert out["valid"].tolist() == [True, True, False, True]
     assert out.loc[2, "features"] is None
-    # stub is deterministic and family-width sized
+    # stub is deterministic and family-width sized (the reference's
+    # fp+str(j) expansion width)
     f = np.array(out.loc[0, "features"])
-    assert len(f) == family_width("Charge") == 25
-    assert np.allclose(f, descriptor_stub("CCO", "Charge"))
-    # fingerprint family widths expand like the reference's fp+str(j)
-    fp = (ligand_descriptors(mols.filter("mol_id = 0"),
-                             "MACCS fingerprints").toPandas())
-    assert len(fp.loc[0, "features"]) == 167
+    assert len(f) == family_width("MACCS fingerprints") == 167
+    assert np.allclose(f, descriptor_stub("CCO", "MACCS fingerprints"))
+    # Charge went REAL in round 7: the same pipeline now returns
+    # Gasteiger-derived values, not the stub
+    ch = (ligand_descriptors(mols.filter("mol_id = 0"), "Charge")
+          .toPandas())
+    assert len(ch.loc[0, "features"]) == 25
+    assert not np.allclose(ch.loc[0, "features"],
+                           descriptor_stub("CCO", "Charge"))
     with pytest.raises(KeyError):
         ligand_descriptors(mols, "NotAFamily")
 
@@ -77,11 +82,15 @@ def test_ligand_facade_routes_and_raises(spark, tmp_path):
     # numeric family without RDKit and without the stub opt-in: honest
     # error; graph families route straight through (real since round 6)
     with pytest.raises(NotImplementedError):
-        SL.ligand_descriptor(mols, "Charge")
-    out = SL.ligand_descriptor(mols, "Charge", allow_stub=True).toPandas()
+        SL.ligand_descriptor(mols, "MACCS fingerprints")
+    out = SL.ligand_descriptor(mols, "MACCS fingerprints",
+                               allow_stub=True).toPandas()
     assert len(out) == 1 and out.loc[0, "valid"]
     real = SL.ligand_descriptor(mols, "Kappa").toPandas()  # no opt-in
     assert real.loc[0, "features"][0] == 3.0  # kappa1(CCO), hand value
+    # Charge routes real since round 7 — no opt-in needed
+    ch = SL.ligand_descriptor(mols, "Charge").toPandas()
+    assert len(ch.loc[0, "features"]) == 25
 
 
 def test_smiles_validity_stub():
@@ -103,7 +112,7 @@ def test_rdkit_present_without_chem_port_fails_at_plan_time(spark, monkeypatch):
     monkeypatch.setattr(ligand, "_rdkit_or_none", lambda: object())
     df = spark.createDataFrame([(0, "CCO")], "mol_id long, smiles string")
     with pytest.raises(NotImplementedError, match="chem/ coder port"):
-        ligand.ligand_descriptors(df, "Charge")
+        ligand.ligand_descriptors(df, "MACCS fingerprints")
     # graph families never consult RDKit — they stay real under the fake
     out = ligand.ligand_descriptors(df, "Constitution").collect()
     assert out[0]["valid"] and len(out[0]["features"]) == 29
@@ -117,7 +126,7 @@ def test_rdkit_dispatch_with_wired_chem_port(spark, monkeypatch):
     cluster exercises, minus the chemistry."""
     from ifeatureomega_cli_spark.operators import ligand
 
-    w = ligand.family_width("Charge")
+    w = ligand.family_width("MACCS fingerprints")
 
     class _FakeChem:
         @staticmethod
@@ -131,11 +140,11 @@ def test_rdkit_dispatch_with_wired_chem_port(spark, monkeypatch):
     df = spark.createDataFrame(
         [(0, "CCO"), (1, "INVALID"), (2, "c1ccccc1")],
         "mol_id long, smiles string")
-    out = (ligand.ligand_descriptors(df, "Charge")
+    out = (ligand.ligand_descriptors(df, "MACCS fingerprints")
            .orderBy("mol_id").collect())
     assert [r["valid"] for r in out] == [True, False, True]
     assert out[1]["features"] is None
-    assert len(out[0]["features"]) == w == 25
+    assert len(out[0]["features"]) == w == 167
     assert out[2]["features"] == [8.0] * w
 
 
@@ -153,7 +162,7 @@ def test_rdkit_real_path_schema_and_widths(spark):
         [(0, "CCO"), (1, "not)a(smiles")], "mol_id long, smiles string")
     if not ligand.HAVE_CHEM_PORT:
         with pytest.raises(NotImplementedError, match="chem/ coder port"):
-            ligand.ligand_descriptors(df, "Charge")
+            ligand.ligand_descriptors(df, "MACCS fingerprints")
         # graph families are real regardless of the port flag
         out = (ligand.ligand_descriptors(df, "Constitution")
                .orderBy("mol_id").collect())
