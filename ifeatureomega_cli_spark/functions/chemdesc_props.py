@@ -703,6 +703,68 @@ def molecular_properties(mol: MolGraph) -> np.ndarray:
     ], dtype=np.float64)
 
 
+# ---------------------------------------------------------------------------
+# Moe-Type descriptors (P_VSA scheme, Labute 2000 / RDKit MolSurf +
+# EState_VSA): per-heavy-atom VSA contributions partitioned by a
+# per-atom property, and vice versa.  Bin boundaries are RDKit's
+# published ones (each descriptor's docstring in rdkit.Chem.MolSurf /
+# EState_VSA); slot k covers (b_{k-1}, b_k] (lower_bound semantics).
+# ---------------------------------------------------------------------------
+
+_SLOGP_BINS = [-0.4, -0.2, 0.0, 0.1, 0.15, 0.2, 0.25, 0.3, 0.4, 0.5, 0.6]
+_SMR_BINS = [1.29, 1.82, 2.24, 2.45, 2.75, 3.05, 3.63, 3.8, 4.0]
+_PEOE_BINS = [-0.30, -0.25, -0.20, -0.15, -0.10, -0.05, 0.0,
+              0.05, 0.10, 0.15, 0.20, 0.25, 0.30]
+_ESTATE_BINS = [-0.390, 0.290, 0.717, 1.165, 1.540, 1.807, 2.05,
+                4.69, 9.17, 15.0]
+_VSA_BINS = [4.78, 5.00, 5.410, 5.740, 6.00, 6.07, 6.45, 7.00, 11.0]
+
+
+def _binned_sum(props: np.ndarray, weights: np.ndarray,
+                bins: list[float]) -> np.ndarray:
+    out = np.zeros(len(bins) + 1, dtype=np.float64)
+    for p, w in zip(props, weights):
+        out[bisect_left(bins, p)] += w
+    return out
+
+
+def moe_type(mol: MolGraph) -> np.ndarray:
+    """The 'Moe-Type descriptors' family, reference coder order (:9831):
+    LabuteASA, TPSA, slogPVSA (12), MRVSA (10), PEOEVSA (14),
+    EstateVSA (11), VSAEstate (10) — 59 values, the vector coders
+    expanded exactly as the reference's ``fp+str(j)`` loop widens them.
+
+    Property sources: VSA weights from `labute_asa_contribs` (heavy
+    atoms, hydrogens excluded — their areas live in hContrib, matching
+    the published VSA_EState bin range), logP/MR from
+    `crippen_contribs` (implicit Hs folded into the heavy atom, as
+    RDKit's getCrippenAtomContribs returns them), charges from the
+    PEOE kernel (heavy-atom charges, as RDKit's _GasteigerCharge
+    property holds them), E-states from `estate_indices`."""
+    from ifeatureomega_cli_spark.functions.chemdesc_charge import (
+        gasteiger_charges)
+    from ifeatureomega_cli_spark.functions.chemdesc_ext import (
+        estate_indices)
+
+    heavy_mask = np.array([a.atomic_num > 1 for a in mol.atoms])
+    vsa_all, _h = labute_asa_contribs(mol)
+    vsa = vsa_all[heavy_mask]
+    crip = crippen_contribs(mol)[heavy_mask]
+    q, _qh = gasteiger_charges(mol)
+    q = q[heavy_mask]
+    es = np.asarray(estate_indices(mol), dtype=np.float64)[heavy_mask]
+    parts = [
+        np.array([labute_asa(mol), tpsa(mol)]),
+        _binned_sum(crip[:, 0], vsa, _SLOGP_BINS),
+        _binned_sum(crip[:, 1], vsa, _SMR_BINS),
+        _binned_sum(q, vsa, _PEOE_BINS),
+        _binned_sum(es, vsa, _ESTATE_BINS),
+        _binned_sum(vsa, es, _VSA_BINS),
+    ]
+    return np.concatenate(parts)
+
+
 PROP_FAMILIES = {
     "Molecular properties": molecular_properties,
+    "Moe-Type descriptors": moe_type,
 }

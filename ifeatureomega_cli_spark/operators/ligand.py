@@ -8,21 +8,24 @@ parallel, no shuffle, output schema fixed per family.
 
 The per-molecule kernel splits by what chemistry each family needs:
 
-* GRAPH FAMILIES (round 6, twelve of 24): Constitution, Topology,
+* GRAPH FAMILIES (fifteen of 24 as of round 7): Constitution, Topology,
   Connectivity, Kappa, EState, the three autocorrelations, Basak,
-  Burden, E-state fingerprints and the CATS pharmacophore are functions
-  of the molecular graph (plus the probed AtomProperty table) and
-  compute for REAL — SMILES parsed by the pure-Python
-  `functions/molgraph.py`, formulas transcribed in
-  `functions/chemdesc.py` / `functions/chemdesc_ext.py`.  No RDKit
-  needed; `valid` reflects actual parse success.
-* NUMERIC FAMILIES (charge — Gasteiger, molecular properties —
-  Crippen/TPSA/ASA, MOE surface, hashed fingerprints): genuinely need
-  RDKit's numeric machinery — with RDKit importable they would call the
-  reference's chem/ coder list; without it the clearly-marked
-  DETERMINISTIC STUB stands in (a seeded digest expanded to the family
-  width, with a syntactic validity check mimicking `MolFromSmiles`
-  returning None, ref :9871-9876).
+  Burden, E-state fingerprints and the CATS pharmacophore (round 6) —
+  plus Molecular properties (Wildman-Crippen LogP/MR, Ertl TPSA,
+  Labute ASA, Hy/UI), Charge (Gasteiger-Marsili PEOE) and Moe-Type
+  (P_VSA) from round 7 — are functions of the molecular graph (plus
+  published parameter tables) and compute for REAL — SMILES parsed by
+  the pure-Python `functions/molgraph.py`, formulas transcribed in
+  `functions/chemdesc.py` / `chemdesc_ext.py` / `chemdesc_props.py` /
+  `chemdesc_charge.py`.  No RDKit needed; `valid` reflects actual
+  parse success.
+* HASHED-FINGERPRINT FAMILIES (Daylight, MACCS, atom pairs, torsions;
+  Morgan/ECFP/FCFP until their algorithmic core lands): genuinely need
+  RDKit's hashing/SMARTS machinery for bit-exact output — with RDKit
+  importable they would call the reference's chem/ coder list; without
+  it the clearly-marked DETERMINISTIC STUB stands in (a seeded digest
+  expanded to the family width, with a syntactic validity check
+  mimicking `MolFromSmiles` returning None, ref :9871-9876).
 
 Either way the Spark-side contract — schema, invalid-row skipping, Arrow
 batch shape, distribution — is identical and is what the tests pin.
@@ -101,6 +104,9 @@ LIGAND_FAMILIES: dict[str, list[str]] = {
 # their vector coders per the reference's fp+str(j) loop, :9897-9900:
 # EState = 3×79 type-resolved vectors + 8 scalars, Burden = 4×16 BCUTs)
 _FP_WIDTHS = {
+    # Moe-Type expands its five vector coders (12+10+14+11+10) + the
+    # two scalars, per the reference's fp+str(j) loop
+    "Moe-Type descriptors": 59,
     "Daylight-type fingerprints": 2048,
     "MACCS fingerprints": 167,
     "Atom pairs fingerprints": 2048,
@@ -154,6 +160,9 @@ GRAPH_FAMILY_NAMES = frozenset({
     "Molecular properties",
     # round 7 (functions/chemdesc_charge.py): Gasteiger-Marsili PEOE
     "Charge",
+    # round 7: P_VSA scheme over the Labute areas + Crippen/PEOE/EState
+    # per-atom properties, RDKit's published bin boundaries
+    "Moe-Type descriptors",
 })
 
 

@@ -242,3 +242,52 @@ def test_ligand_family_routes_real(tmp_path):
     assert family_width("Molecular properties") == 6
     assert LIGAND_FAMILIES["Molecular properties"] == [
         "LogP", "MR", "LabuteASA", "TPSA", "Hy", "UI"]
+
+
+# ---------------------------------------------------------------- Moe-Type
+
+def test_moe_type_width_and_partition_invariants():
+    from ifeatureomega_cli_spark.functions.chemdesc_props import (
+        labute_asa_contribs, moe_type)
+    mol = parse_smiles("CC(=O)Oc1ccccc1C(=O)O")
+    v = moe_type(mol)
+    assert v.shape == (59,)
+    heavy, hc = labute_asa_contribs(mol)
+    tot = heavy.sum()
+    # every VSA-weighted histogram partitions the same total area
+    for lo, hi in ((2, 14), (14, 24), (24, 38), (38, 49)):
+        assert v[lo:hi].sum() == pytest.approx(tot), (lo, hi)
+    # scalar slots are the family's own LabuteASA / TPSA
+    assert v[0] == pytest.approx(tot + hc)
+    assert v[1] == pytest.approx(63.60, abs=1e-2)
+
+
+def test_moe_bin_boundary_semantics():
+    # lower_bound: a property exactly on a boundary falls in the LOWER
+    # slot (slot k covers (b_{k-1}, b_k])
+    from ifeatureomega_cli_spark.functions.chemdesc_props import (
+        _SLOGP_BINS, _binned_sum)
+    out = _binned_sum(np.array([-0.4, 0.0, 0.6, 0.61]),
+                      np.array([1.0, 1.0, 1.0, 1.0]), _SLOGP_BINS)
+    assert out[0] == 1.0       # -0.4 is the first boundary → slot 0
+    assert out[2] == 1.0       # 0.0 boundary → slot 2
+    assert out[10] == 1.0      # 0.6 boundary → slot 10
+    assert out[11] == 1.0      # beyond the last boundary → overflow slot
+
+
+def test_moe_type_routes_real():
+    from ifeatureomega_cli_spark.operators.ligand import (
+        GRAPH_FAMILY_NAMES, family_width)
+    assert "Moe-Type descriptors" in GRAPH_FAMILY_NAMES
+    assert family_width("Moe-Type descriptors") == 59
+
+
+def test_moe_type_reference_panel():
+    from ifeatureomega_cli_spark.functions.chemdesc_props import moe_type
+    with open("/root/reference/data_examples/Chemical_SMILES.txt") as f:
+        for line in f:
+            s = line.strip()
+            if not s:
+                continue
+            v = moe_type(parse_smiles(s))
+            assert v.shape == (59,) and np.isfinite(v).all(), s

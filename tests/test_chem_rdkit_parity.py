@@ -382,3 +382,24 @@ def test_charge_family_parity(smi):
     assert got["Qass"] == pytest.approx(float((qs ** 2).sum()), abs=1e-3)
     assert got["Qmax"] == pytest.approx(qs.max(), abs=1e-3)
     assert got["Qmin"] == pytest.approx(qs.min(), abs=1e-3)
+
+
+@pytest.mark.parametrize("smi", CHARGE_PANEL)
+def test_moe_type_parity(smi):
+    """Moe-Type P_VSA descriptors vs RDKit MolSurf/EState_VSA.  Shares
+    the Labute-radii boundary of test_labute_asa_parity — check that one
+    first on any mismatch here."""
+    from rdkit.Chem import MolSurf
+    from rdkit.Chem.EState import EState_VSA as EVSA
+
+    from ifeatureomega_cli_spark.functions.chemdesc_props import moe_type
+
+    ref = Chem.MolFromSmiles(smi)
+    want = np.concatenate([
+        [MolSurf.pyLabuteASA(ref), MolSurf.TPSA(ref)],
+        MolSurf.SlogP_VSA_(ref), MolSurf.SMR_VSA_(ref),
+        MolSurf.PEOE_VSA_(ref), EVSA.EState_VSA_(ref),
+        EVSA.VSA_EState_(ref)])
+    got = moe_type(parse_smiles(smi))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-2)
