@@ -163,6 +163,10 @@ GRAPH_FAMILY_NAMES = frozenset({
     # round 7: P_VSA scheme over the Labute areas + Crippen/PEOE/EState
     # per-atom properties, RDKit's published bin boundaries
     "Moe-Type descriptors",
+    # round 7 (functions/chemdesc_fp.py): Morgan circular fingerprints,
+    # algorithmic core with a documented 32-bit-hash boundary
+    "Morgan-ECFP4 fingerprints", "Morgan-ECFP6 fingerprints",
+    "Morgan-FCFP4 fingerprints", "Morgan-FCFP6 fingerprints",
 })
 
 
@@ -268,13 +272,16 @@ def ligand_descriptors(
             EXT_GRAPH_FAMILIES)
         from ifeatureomega_cli_spark.functions.chemdesc_charge import (
             CHARGE_FAMILIES)
+        from ifeatureomega_cli_spark.functions.chemdesc_fp import (
+            FP_FAMILIES)
         from ifeatureomega_cli_spark.functions.chemdesc_props import (
             PROP_FAMILIES)
         from ifeatureomega_cli_spark.functions.molgraph import (
             SmilesError, parse_smiles)
 
         graph_kernels = {**GRAPH_FAMILIES, **EXT_GRAPH_FAMILIES,
-                         **PROP_FAMILIES, **CHARGE_FAMILIES}
+                         **PROP_FAMILIES, **CHARGE_FAMILIES,
+                         **FP_FAMILIES}
 
         for pdf in batches:
             valid, feats = [], []
