@@ -1,10 +1,18 @@
-"""Pure-numpy baseline JPEG (JFIF) codec — no libjpeg.
+"""Pure-numpy JPEG (JFIF) codec — no libjpeg.
 
-Round 6 stretch: removes the JPEG entry from the multimodal stub list.
-Scope (honest): BASELINE sequential DCT, 8-bit, grayscale or YCbCr
-4:4:4 / 4:2:0, restart markers — the overwhelming majority of real-world
-JPEGs.  Progressive, arithmetic-coded, 12-bit and CMYK streams raise
-ValueError (the media dispatcher falls back to the stub).
+Round 6 removed the JPEG entry from the multimodal stub list (baseline
+sequential DCT); round 7 adds the PROGRESSIVE (SOF2) decoder — spectral
+selection, successive approximation (DC and AC first + refinement
+scans, shared EOB runs, per T.81 Annex G.2) — validated against every
+real progressive JPEG shipped in this container (nodejs docs, Spark's
+mllib grayscale sample, the rust embedded-book photo) plus an exact
+cross-codec differential oracle (`encode_jpeg_progressive` emits the
+same quantized coefficients as the baseline encoder, so both decodes
+must be bit-identical).
+Scope (honest): 8-bit, grayscale or YCbCr 4:4:4 / 4:2:2 / 4:2:0,
+restart markers, sequential + progressive.  Arithmetic-coded, 12-bit,
+lossless/hierarchical and CMYK streams raise ValueError (the media
+dispatcher falls back to the stub).
 
 Design notes:
 
@@ -294,6 +302,191 @@ def encode_jpeg(rgb: np.ndarray, subsample: bool = False,
     return bytes(out)
 
 
+def encode_jpeg_progressive(rgb: np.ndarray) -> bytes:
+    """Progressive (SOF2) JFIF encoder — test support for the
+    progressive decoder: writes the SAME quantized coefficients as
+    `encode_jpeg` (4:4:4 / grayscale), spread over a spectral-selection
+    + successive-approximation scan script (DC Al=1 first + DC refine;
+    AC bands 1-5 / 6-63 at Al=1 first + full-band refines to Al=0), so
+    ``decode_jpeg(encode_jpeg_progressive(x)) ==
+    decode_jpeg(encode_jpeg(x))`` EXACTLY — a cross-codec differential
+    oracle.  Emits per-block EOB0 only (the Annex K tables carry no
+    EOBn>0 symbols); the decoder's longer-EOB-run paths are covered by
+    the real-file corpus in tests."""
+    gray = rgb.ndim == 2
+    h, w = rgb.shape[:2]
+    if gray:
+        comps = [rgb.astype(np.float64)]
+    else:
+        f = rgb.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    ncomp = len(comps)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    comps = [np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge")
+             for c in comps]
+    bh, bw = ph // 8, pw // 8
+    zzs = []
+    for ci in range(ncomp):
+        q = _QUANT_LUMA if ci == 0 else _QUANT_CHROMA
+        plane = comps[ci].reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,xyjk,kl->xyil", _DCT, plane - 128.0, _DCT.T)
+        quant = np.round(coef / q).astype(np.int64)
+        zzs.append(quant.reshape(bh, bw, 64)[:, :, _ZIGZAG])
+    # header
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") \
+            + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    qtabs = [_QUANT_LUMA] + ([] if gray else [_QUANT_CHROMA])
+    for tid, qt in enumerate(qtabs):
+        out += seg(0xDB, bytes([tid]) + bytes(
+            int(x) for x in qt.ravel()[_ZIGZAG]))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)
+    huffs = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if not gray:
+        huffs += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tclass, (bits, vals) in huffs:
+        out += seg(0xC4, bytes([tclass]) + bytes(bits) + bytes(vals))
+
+    dc_codes = [_build_huffman(*_DC_LUMA), _build_huffman(*_DC_CHROMA)]
+    ac_codes = [_build_huffman(*_AC_LUMA), _build_huffman(*_AC_CHROMA)]
+
+    def sos_header(cids, ss, se, ah, al):
+        body = bytes([len(cids)])
+        for cid in cids:
+            t = 0 if cid == 1 else 1
+            body += bytes([cid, (t << 4) | t])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    def scan_bytes(emit):
+        wtr = _BitWriter()
+        emit(wtr)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    # ---- scan 1: DC first, Al=1, all components interleaved (block ==
+    # MCU at 4:4:4); grayscale degenerates to a single-component scan
+    def dc_first_scan(wtr):
+        preds = [0] * ncomp
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(ncomp):
+                    dc = int(zzs[ci][by, bx, 0]) >> 1   # arithmetic
+                    size, bits = _magnitude(dc - preds[ci])
+                    c, ln = dc_codes[0 if ci == 0 else 1][size]
+                    wtr.write(c, ln)
+                    if size:
+                        wtr.write(bits, size)
+                    preds[ci] = dc
+
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    out += scan_bytes(dc_first_scan)
+
+    # ---- AC first scans at Al=1 (per component, two bands for Y)
+    def ac_first_scan(ci, ss, se):
+        def emit(wtr):
+            codes = ac_codes[0 if ci == 0 else 1]
+            for by in range(bh):
+                for bx in range(bw):
+                    zz = zzs[ci][by, bx]
+                    run = 0
+                    for k in range(ss, se + 1):
+                        v = int(zz[k])
+                        v = (abs(v) >> 1) * (1 if v >= 0 else -1)
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            c, ln = codes[0xF0]
+                            wtr.write(c, ln)
+                            run -= 16
+                        size, bits = _magnitude(v)
+                        c, ln = codes[(run << 4) | size]
+                        wtr.write(c, ln)
+                        wtr.write(bits, size)
+                        run = 0
+                    if run:
+                        c, ln = codes[0x00]
+                        wtr.write(c, ln)
+        return emit
+
+    bands = [(0, 1, 5), (0, 6, 63)] + [(ci, 1, 63)
+                                       for ci in range(1, ncomp)]
+    for ci, ss, se in bands:
+        out += sos_header([ci + 1], ss, se, 0, 1)
+        out += scan_bytes(ac_first_scan(ci, ss, se))
+
+    # ---- AC refinement scans Ah=1 → Al=0 (libjpeg buffered-bit scheme)
+    def ac_refine_scan(ci):
+        def emit(wtr):
+            codes = ac_codes[0 if ci == 0 else 1]
+            for by in range(bh):
+                for bx in range(bw):
+                    zz = zzs[ci][by, bx]
+                    run = 0
+                    buffered: list[int] = []
+                    for k in range(1, 64):
+                        v = int(zz[k])
+                        a = abs(v)
+                        if a == 0:
+                            run += 1
+                            continue
+                        if a > 1:
+                            # history-nonzero: correction bit, run
+                            # unaffected
+                            buffered.append(a & 1)
+                            continue
+                        # newly nonzero at this precision
+                        while run > 15:
+                            c, ln = codes[0xF0]
+                            wtr.write(c, ln)
+                            run -= 16
+                            for bit in buffered:
+                                wtr.write(bit, 1)
+                            buffered = []
+                        c, ln = codes[(run << 4) | 1]
+                        wtr.write(c, ln)
+                        wtr.write(1 if v >= 0 else 0, 1)
+                        for bit in buffered:
+                            wtr.write(bit, 1)
+                        buffered = []
+                        run = 0
+                    if run or buffered:
+                        c, ln = codes[0x00]        # EOB0
+                        wtr.write(c, ln)
+                        for bit in buffered:
+                            wtr.write(bit, 1)
+        return emit
+
+    for ci in range(ncomp):
+        out += sos_header([ci + 1], 1, 63, 1, 0)
+        out += scan_bytes(ac_refine_scan(ci))
+
+    # ---- DC refinement, Ah=1 → Al=0
+    def dc_refine_scan(wtr):
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(ncomp):
+                    wtr.write(int(zzs[ci][by, bx, 0]) & 1, 1)
+
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    out += scan_bytes(dc_refine_scan)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ------------------------------------------------------------- decoder
 
 class _BitReader:
@@ -369,10 +562,10 @@ def _decode_huff(r: _BitReader, table) -> int:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF decoder → (H, W, C) uint8 (C = 1 or 3, RGB).
 
-    Reads DQT/DHT/SOF0/SOS/DRI from the stream; supports 8-bit baseline
-    with 4:4:4, 4:2:2 or 4:2:0 sampling and restart intervals.  Raises
-    ValueError for progressive (SOF2), arithmetic coding, 12-bit or >3
-    components."""
+    Reads DQT/DHT/SOF0/SOF2/SOS/DRI from the stream; supports 8-bit
+    sequential AND progressive with 4:4:4, 4:2:2 or 4:2:0 sampling and
+    restart intervals.  Raises ValueError for arithmetic coding,
+    lossless/hierarchical, 12-bit or >3 components."""
     d = payload
     if len(d) < 4 or d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -426,15 +619,34 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF,
                               "q": qid})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2 progressive (round 7)
+            prec = body[0]
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+            comps = []
+            for ci in range(nc):
+                cid, samp, qid = body[6 + 3 * ci: 9 + 3 * ci]
+                comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF,
+                              "q": qid})
+            frame = {"h": h, "w": w, "comps": comps, "progressive": True}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF type {marker:02x} "
-                             "(progressive/arithmetic)")
+                             "(lossless/arithmetic/hierarchical)")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if frame.get("progressive"):
+                # multi-scan driver owns the rest of the stream
+                return _decode_progressive(d, pos, frame, qtabs, htabs,
+                                           restart_interval)
             ns = body[0]
             scan = {}
             for si in range(ns):
@@ -499,7 +711,16 @@ def _decode_scan(d, pos, frame, scan, qtabs, htabs, restart_interval):
                         x0 = (mx * c["hs"] + bx) * 8
                         planes[ci][y0: y0 + 8, x0: x0 + 8] = px
             mcu_count += 1
-    # upsample to full resolution and crop
+    return _planes_to_image(frame, planes)
+
+
+def _planes_to_image(frame, planes) -> np.ndarray:
+    """Upsample per-component planes to full resolution, crop, and
+    convert YCbCr → RGB (shared by the sequential and progressive
+    paths)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -519,3 +740,236 @@ def _decode_scan(d, pos, frame, scan, qtabs, htabs, restart_interval):
         y + 1.772 * cb,
     ], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# -------------------------------------------------- progressive decoder
+
+def _decode_progressive(d, pos, frame, qtabs, htabs, restart_interval):
+    """SOF2 progressive driver (round 7, ITU T.81 Annex G.2): owns the
+    marker stream from the first SOS on, accumulates quantized
+    coefficients per component across every scan (DC first/refine
+    interleaved over MCUs, AC first/refine per-component over the
+    component's own block raster, spectral selection Ss..Se +
+    successive approximation Ah/Al with shared EOB runs), then
+    dequantizes and inverse-transforms once."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        cw = -(-(w * c["hs"]) // hmax)       # component pixel dims
+        ch = -(-(h * c["vs"]) // vmax)
+        c["bw"] = -(-cw // 8)                # non-interleaved block dims
+        c["bh"] = -(-ch // 8)
+        c["bw_pad"] = mcux * c["hs"]
+        c["bh_pad"] = mcuy * c["vs"]
+    coefs = [np.zeros((c["bh_pad"], c["bw_pad"], 64), dtype=np.int32)
+             for c in comps]
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = d[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        size = int.from_bytes(d[pos + 2: pos + 4], "big")
+        body = d[pos + 4: pos + 2 + size]
+        if pos + 2 + size > len(d):
+            raise ValueError(f"truncated segment {marker:02x}")
+        if marker == 0xC4:
+            b = body
+            while b:
+                tclass, tid = b[0] >> 4, b[0] & 0xF
+                bits = list(b[1:17])
+                nval = sum(bits)
+                vals = list(b[17: 17 + nval])
+                htabs[(tclass, tid)] = _build_decoder(bits, vals)
+                b = b[17 + nval:]
+        elif marker == 0xDB:
+            b = body
+            while b:
+                prec, tid = b[0] >> 4, b[0] & 0xF
+                n = 64 * (2 if prec else 1)
+                raw = np.frombuffer(b[1: 1 + n],
+                                    dtype=">u2" if prec else np.uint8)
+                q = np.zeros(64, dtype=np.int32)
+                q[_ZIGZAG] = raw
+                qtabs[tid] = q.reshape(8, 8)
+                b = b[1 + n:]
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = {}
+            order = []
+            for si in range(ns):
+                cid, tsel = body[1 + 2 * si: 3 + 2 * si]
+                scan[cid] = (tsel >> 4, tsel & 0xF)
+                order.append(cid)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            pos = _progressive_scan(
+                d, pos + 2 + size, frame, scan, order, htabs,
+                restart_interval, coefs, ss, se, ah, al,
+                mcux, mcuy)
+            continue
+        pos += 2 + size
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qtabs[c["q"]].astype(np.float64)
+        arr = coefs[ci]
+        bh, bw = arr.shape[:2]
+        blocks = arr.reshape(-1, 64).astype(np.float64)
+        nat = np.zeros_like(blocks)
+        nat[:, _ZIGZAG] = blocks
+        nat = nat.reshape(-1, 8, 8) * q[None]
+        px = np.einsum("ij,njk,kl->nil", _DCT.T, nat, _DCT) + 128.0
+        planes.append(px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+                      .reshape(bh * 8, bw * 8))
+    return _planes_to_image(frame, planes)
+
+
+def _next_marker(d, p):
+    """First non-stuffing, non-restart marker at or after p."""
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00 and \
+                not (0xD0 <= d[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(d)
+
+
+def _progressive_scan(d, pos, frame, scan, order, htabs, ri, coefs,
+                      ss, se, ah, al, mcux, mcuy):
+    """Decode one progressive scan into `coefs`; returns the position of
+    the next marker."""
+    comps = frame["comps"]
+    by_id = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+    sel = [by_id[cid] for cid in order]
+    r = _BitReader(d, pos)
+    state = {"eobrun": 0}
+
+    def dc_first(block, pred, tab):
+        size = _decode_huff(r, tab)
+        diff = _extend(r.receive(size), size) if size else 0
+        pred += diff
+        block[0] = pred << al
+        return pred
+
+    def dc_refine(block):
+        if r.read_bit():
+            block[0] |= 1 << al
+
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def ac_first(block, tab):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_huff(r, tab)
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << run) - 1
+                if run:
+                    state["eobrun"] += r.receive(run)
+                return
+            k += run
+            if k > se:
+                raise ValueError("AC index overflow")
+            block[k] = _extend(r.receive(size), size) << al
+            k += 1
+
+    def ac_refine(block, tab):
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _decode_huff(r, tab)
+                run, size = rs >> 4, rs & 0xF
+                val = 0
+                if size == 0:
+                    if run < 15:
+                        # EOB run INCLUDING this block: the tail below
+                        # still owes the rest of this band its
+                        # correction bits, then decrements
+                        state["eobrun"] = 1 << run
+                        if run:
+                            state["eobrun"] += r.receive(run)
+                        break
+                    # run == 15, size == 0: sixteen zero-history skips
+                else:
+                    val = p1 if r.read_bit() else m1
+                while k <= se:
+                    if block[k] != 0:
+                        if r.read_bit() and (block[k] & p1) == 0:
+                            block[k] += p1 if block[k] >= 0 else m1
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if val and k <= se:
+                    block[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if block[k] != 0:
+                    if r.read_bit() and (block[k] & p1) == 0:
+                        block[k] += p1 if block[k] >= 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC bands")
+    unit = 0
+    if ss == 0 and len(sel) > 1:
+        # interleaved DC scan over MCUs
+        preds = {ci: 0 for ci, _ in sel}
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if ri and unit and unit % ri == 0:
+                    r.align_restart()
+                    preds = {ci: 0 for ci, _ in sel}
+                    state["eobrun"] = 0
+                for ci, c in sel:
+                    tab = htabs.get((0, scan[c["id"]][0]))
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            block = coefs[ci][my * c["vs"] + by,
+                                              mx * c["hs"] + bx]
+                            if ah == 0:
+                                preds[ci] = dc_first(block, preds[ci], tab)
+                            else:
+                                dc_refine(block)
+                unit += 1
+    else:
+        # single-component scan over the component's own block raster
+        ci, c = sel[0]
+        pred = 0
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                if ri and unit and unit % ri == 0:
+                    r.align_restart()
+                    pred = 0
+                    state["eobrun"] = 0
+                block = coefs[ci][by, bx]
+                if ss == 0:
+                    tab = htabs.get((0, scan[c["id"]][0]))
+                    if ah == 0:
+                        pred = dc_first(block, pred, tab)
+                    else:
+                        dc_refine(block)
+                else:
+                    tab = htabs.get((1, scan[c["id"]][1]))
+                    if ah == 0:
+                        ac_first(block, tab)
+                    else:
+                        ac_refine(block, tab)
+                unit += 1
+    return _next_marker(d, r.pos)

@@ -10,13 +10,14 @@ and tested.  Decoding is split honestly by what pure numpy can do:
   — `decode_png` (stdlib zlib inflate + numpy unfiltering of all five
   filter types; gray/RGB/RGBA/gray+alpha at 8/16-bit, palettized at
   1/2/4/8-bit, sequential and Adam7-interlaced — the full PNG
-  still-image surface) and BASELINE JPEG (`operators/jpeg.py`: full
-  Huffman/DCT pipeline, 4:4:4/4:2:2/4:2:0, restart markers — validated
-  against real libjpeg-produced files), plus real feature kernels
-  (`audio_features`: RMS/ZCR/spectral centroid via FFT;
-  `image_features`: per-channel stats + luminance histogram).
-* STUBBED: what genuinely needs ffmpeg-class dependencies (H.264/video,
-  progressive/arithmetic JPEG) —
+  still-image surface) and JPEG (`operators/jpeg.py`: full Huffman/DCT
+  pipeline, 4:4:4/4:2:2/4:2:0, restart markers, BASELINE + — round 7 —
+  PROGRESSIVE with spectral selection and successive approximation —
+  validated against real libjpeg-produced files of both kinds), plus
+  real feature kernels (`audio_features`: RMS/ZCR/spectral centroid via
+  FFT; `image_features`: per-channel stats + luminance histogram).
+* STUBBED: what genuinely needs ffmpeg-class dependencies (H.264/video;
+  arithmetic-coded/12-bit/lossless JPEG) —
   `decode_image_stub` (deterministic fake) stands in, swap for
   PIL/torchaudio on a real cluster.
 
@@ -437,7 +438,7 @@ def decode_media(payload: bytes, out_dim: int = 16) -> tuple[str, np.ndarray]:
                 img = np.repeat(img[:, :, :1], 3, axis=2)
             return "jpeg", image_features(img)
         except ValueError:
-            pass  # JPEG magic but progressive/arithmetic/corrupt → stub
+            pass  # JPEG magic but arithmetic/12-bit/corrupt → stub
     return "stub", decode_image_stub(payload, out_dim)
 
 
