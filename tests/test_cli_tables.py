@@ -176,10 +176,16 @@ def test_cli_ligand_roundtrip(tmp_path):
     got = pd.read_parquet(out).sort_values("mol_id").reset_index(drop=True)
     assert got["valid"].tolist() == [True, True, False]
     assert got.loc[0, "features"][0] == 3.0  # kappa1(CCO), hand value
-    # RDKit-gated family without opt-in: honest error
+    # RDKit-gated family without opt-in: honest error (MACCS is still
+    # hashed-fingerprint-stubbed; Charge went real in round 7)
     with pytest.raises(NotImplementedError):
-        cli_main(["ligand", "--input", str(smi), "--family", "Charge",
+        cli_main(["ligand", "--input", str(smi), "--family",
+                  "MACCS fingerprints",
                   "--output", str(tmp_path / "feat2")])
-    rc = cli_main(["ligand", "--input", str(smi), "--family", "Charge",
+    rc = cli_main(["ligand", "--input", str(smi), "--family",
+                   "MACCS fingerprints",
                    "--allow-stub", "--output", str(tmp_path / "feat3")])
+    assert rc == 0
+    rc = cli_main(["ligand", "--input", str(smi), "--family", "Charge",
+                   "--output", str(tmp_path / "feat4")])
     assert rc == 0
