@@ -243,12 +243,18 @@ def _bench_ligand(spark, n_mols: int) -> dict:
         ).alias("smiles")).cache()
     rows.count()
     out = {}
-    for family in ("Constitution", "EState"):
+    # round 7 adds the two heaviest new numeric families: Charge (12
+    # PEOE iterations/mol) and Molecular properties (Crippen typing +
+    # TPSA + Labute) — map-only like the rest, so mols/s is the number
+    # that matters at 100 TB
+    for family in ("Constitution", "EState", "Charge",
+                   "Molecular properties"):
         sec, runs = _timed(lambda family=family: ligand_descriptors(
             rows, family).write.mode("overwrite").format("noop").save())
-        out[f"{family.lower()}_sec"] = sec
-        out[f"{family.lower()}_runs"] = runs
-        out[f"{family.lower()}_mols_per_sec"] = round(n_mols / sec, 1)
+        key = family.split()[0].lower()
+        out[f"{key}_sec"] = sec
+        out[f"{key}_runs"] = runs
+        out[f"{key}_mols_per_sec"] = round(n_mols / sec, 1)
     rows.unpersist()
     out["n_mols"] = n_mols
     return out
