@@ -245,10 +245,12 @@ def _bench_ligand(spark, n_mols: int) -> dict:
     out = {}
     # round 7 adds the two heaviest new numeric families: Charge (12
     # PEOE iterations/mol) and Molecular properties (Crippen typing +
-    # TPSA + Labute) — map-only like the rest, so mols/s is the number
+    # TPSA + Labute) — plus Daylight-type, the single heaviest family
+    # in the registry (exponential-in-7 ESU subgraph enumeration per
+    # molecule) — map-only like the rest, so mols/s is the number
     # that matters at 100 TB
     for family in ("Constitution", "EState", "Charge",
-                   "Molecular properties"):
+                   "Molecular properties", "Daylight-type fingerprints"):
         sec, runs = _timed(lambda family=family: ligand_descriptors(
             rows, family).write.mode("overwrite").format("noop").save())
         key = family.split()[0].lower()

@@ -8,20 +8,23 @@ parallel, no shuffle, output schema fixed per family.
 
 The per-molecule kernel splits by what chemistry each family needs:
 
-* GRAPH FAMILIES (fifteen of 24 as of round 7): Constitution, Topology,
-  Connectivity, Kappa, EState, the three autocorrelations, Basak,
-  Burden, E-state fingerprints and the CATS pharmacophore (round 6) —
-  plus Molecular properties (Wildman-Crippen LogP/MR, Ertl TPSA,
-  Labute ASA, Hy/UI), Charge (Gasteiger-Marsili PEOE) and Moe-Type
-  (P_VSA) from round 7 — are functions of the molecular graph (plus
-  published parameter tables) and compute for REAL — SMILES parsed by
-  the pure-Python `functions/molgraph.py`, formulas transcribed in
-  `functions/chemdesc.py` / `chemdesc_ext.py` / `chemdesc_props.py` /
-  `chemdesc_charge.py`.  No RDKit needed; `valid` reflects actual
-  parse success.
-* HASHED-FINGERPRINT FAMILIES (Daylight, MACCS, atom pairs, torsions;
-  Morgan/ECFP/FCFP until their algorithmic core lands): genuinely need
-  RDKit's hashing/SMARTS machinery for bit-exact output — with RDKit
+* GRAPH FAMILIES (twenty-two of 24 as of round 7): Constitution,
+  Topology, Connectivity, Kappa, EState, the three autocorrelations,
+  Basak, Burden, E-state fingerprints and the CATS pharmacophore
+  (round 6) — plus Molecular properties (Wildman-Crippen LogP/MR, Ertl
+  TPSA, Labute ASA, Hy/UI), Charge (Gasteiger-Marsili PEOE), Moe-Type
+  (P_VSA), the four Morgan/ECFP/FCFP families, Carhart atom pairs,
+  Nilakantan topological torsions and the Daylight-type subgraph
+  fingerprint from round 7 — are functions of the molecular graph
+  (plus published parameter tables / bit packings) and compute for
+  REAL — SMILES parsed by the pure-Python `functions/molgraph.py`,
+  formulas transcribed in `functions/chemdesc.py` / `chemdesc_ext.py`
+  / `chemdesc_props.py` / `chemdesc_charge.py` / `chemdesc_fp.py` /
+  `chemdesc_fp2.py`.  No RDKit needed; `valid` reflects actual parse
+  success.
+* RDKIT-GATED FAMILIES (MACCS — 166 SMARTS keys — and the reference's
+  dead 'Morgan fingerprints' entry): genuinely need RDKit's
+  SMARTS/hashing machinery for bit-exact output — with RDKit
   importable they would call the reference's chem/ coder list; without
   it the clearly-marked DETERMINISTIC STUB stands in (a seeded digest
   expanded to the family width, with a syntactic validity check
@@ -167,6 +170,12 @@ GRAPH_FAMILY_NAMES = frozenset({
     # algorithmic core with a documented 32-bit-hash boundary
     "Morgan-ECFP4 fingerprints", "Morgan-ECFP6 fingerprints",
     "Morgan-FCFP4 fingerprints", "Morgan-FCFP6 fingerprints",
+    # round 7 second half (functions/chemdesc_fp2.py): Carhart atom
+    # pairs + Nilakantan torsions (published deterministic bit-packing,
+    # exact unfolded-id parity pinnable) and the Daylight-type subgraph
+    # fingerprint (ESU enumeration, documented hash boundary)
+    "Atom pairs fingerprints", "TopologicalTorsion fingerprints",
+    "Daylight-type fingerprints",
 })
 
 
@@ -274,6 +283,8 @@ def ligand_descriptors(
             CHARGE_FAMILIES)
         from ifeatureomega_cli_spark.functions.chemdesc_fp import (
             FP_FAMILIES)
+        from ifeatureomega_cli_spark.functions.chemdesc_fp2 import (
+            FP2_FAMILIES)
         from ifeatureomega_cli_spark.functions.chemdesc_props import (
             PROP_FAMILIES)
         from ifeatureomega_cli_spark.functions.molgraph import (
@@ -281,7 +292,7 @@ def ligand_descriptors(
 
         graph_kernels = {**GRAPH_FAMILIES, **EXT_GRAPH_FAMILIES,
                          **PROP_FAMILIES, **CHARGE_FAMILIES,
-                         **FP_FAMILIES}
+                         **FP_FAMILIES, **FP2_FAMILIES}
 
         for pdf in batches:
             valid, feats = [], []

@@ -437,3 +437,49 @@ def test_morgan_structure_parity(smi):
         n_envs = int(morgan_fingerprint(
             mol, radius, nbits=1 << 30).sum())
         assert n_envs == n_ids, radius
+
+
+@pytest.mark.parametrize("smi", PROPS_PANEL)
+def test_atom_pair_torsion_exact_parity(smi):
+    """Atom pairs / torsions carry NO hash — the unfolded id multisets
+    must match RDKit EXACTLY (the transcribed Carhart/Nilakantan bit
+    packings: branch|π<<3|type<<5 atom codes; dist|min<<5|max<<14 pair
+    ids; 4×9-bit low-order-first torsion ids).  If this ever goes red
+    on an RDKit box, suspect the field ORDER inside the packed words
+    first (chemdesc_fp2.py module docstring) — the multiset CARDINALITY
+    matching while ids differ would confirm an order swap rather than
+    an enumeration bug."""
+    from rdkit.Chem.AtomPairs import Pairs, Torsions
+
+    from ifeatureomega_cli_spark.functions.chemdesc_fp2 import (
+        atom_pair_codes, torsion_codes)
+
+    mol = parse_smiles(smi)
+    ref = Chem.MolFromSmiles(smi)
+    want = dict(Pairs.GetAtomPairFingerprint(
+        ref, maxLength=10).GetNonzeroElements())
+    assert atom_pair_codes(mol) == want
+    want_t = dict(Torsions.GetTopologicalTorsionFingerprint(
+        ref).GetNonzeroElements())
+    assert torsion_codes(mol) == want_t
+
+
+@pytest.mark.parametrize("smi", PROPS_PANEL)
+def test_daylight_subgraph_enumeration_parity(smi):
+    """Daylight bit positions sit behind the documented hash boundary;
+    what IS exactly RDKit-comparable is the subgraph ENUMERATOR: per-size
+    connected-bond-subgraph counts equal FindAllSubgraphsOfLengthMToN
+    (branched subgraphs, 1..7 bonds — the RDKFingerprint default
+    universe)."""
+    from ifeatureomega_cli_spark.functions.chemdesc_fp2 import (
+        edge_subgraphs)
+
+    mol = parse_smiles(smi)
+    ref = Chem.MolFromSmiles(smi)
+    ours: dict[int, int] = {}
+    for sub in edge_subgraphs(mol, 1, 7):
+        ours[len(sub)] = ours.get(len(sub), 0) + 1
+    theirs = {size: len(subs) for size, subs in zip(
+        range(1, 8), Chem.FindAllSubgraphsOfLengthMToN(ref, 1, 7))
+        if len(subs)}
+    assert ours == theirs

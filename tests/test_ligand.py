@@ -1,10 +1,11 @@
 """Ligand plumbing twin (ref iFeatureOmegaCLI.py:9788-9949): the Spark-side
 pipeline — SMILES reader, 24-family registry, invalid-row skipping, Arrow
-batch shape — is real and pinned here.  Since round 6 the four
-graph-computable families (Constitution/Topology/Connectivity/Kappa) run
-REAL chemistry via the pure-Python molecular-graph port (see
-test_chem_graph.py); the remaining numeric families run the documented
-deterministic stub because RDKit is absent."""
+batch shape — is real and pinned here.  As of round 7 twenty-two of the
+24 families run REAL chemistry via the pure-Python molecular-graph port
+(see test_chem_graph.py / test_chem_ext.py / test_chem_props.py /
+test_chem_charge.py / test_chem_fp.py / test_chem_fp2.py); only
+SMARTS-gated MACCS and the reference-dead 'Morgan fingerprints' entry
+run the documented deterministic stub because RDKit is absent."""
 
 from __future__ import annotations
 
@@ -46,10 +47,8 @@ def test_ligand_descriptors_stub_pipeline(spark, tmp_path):
     p = tmp_path / "mols.txt"
     p.write_text("CCO\nC1CC1N\nnot a molecule!!\nCC(=O)O\n")
     mols = read_smiles(spark, str(p))
-    # MACCS still runs the stub (a hashed-fingerprint family — RDKit's
-    # SMARTS key set); fourteen families are real as of round 7, see
-    # test_chem_graph.py / test_chem_ext.py / test_chem_props.py /
-    # test_chem_charge.py
+    # MACCS still runs the stub (RDKit's SMARTS key set); the other 22
+    # families are real as of round 7, see test_chem_*.py
     out = (ligand_descriptors(mols, "MACCS fingerprints").toPandas()
            .sort_values("mol_id").reset_index(drop=True))
     # every input row present; invalid row flagged, no features
