@@ -8,23 +8,26 @@ parallel, no shuffle, output schema fixed per family.
 
 The per-molecule kernel splits by what chemistry each family needs:
 
-* GRAPH FAMILIES (twenty-two of 24 as of round 7): Constitution,
+* GRAPH FAMILIES (twenty-three of 24 as of round 7): Constitution,
   Topology, Connectivity, Kappa, EState, the three autocorrelations,
   Basak, Burden, E-state fingerprints and the CATS pharmacophore
   (round 6) — plus Molecular properties (Wildman-Crippen LogP/MR, Ertl
   TPSA, Labute ASA, Hy/UI), Charge (Gasteiger-Marsili PEOE), Moe-Type
   (P_VSA), the four Morgan/ECFP/FCFP families, Carhart atom pairs,
-  Nilakantan topological torsions and the Daylight-type subgraph
-  fingerprint from round 7 — are functions of the molecular graph
-  (plus published parameter tables / bit packings) and compute for
-  REAL — SMILES parsed by the pure-Python `functions/molgraph.py`,
-  formulas transcribed in `functions/chemdesc.py` / `chemdesc_ext.py`
-  / `chemdesc_props.py` / `chemdesc_charge.py` / `chemdesc_fp.py` /
-  `chemdesc_fp2.py`.  No RDKit needed; `valid` reflects actual parse
-  success.
-* RDKIT-GATED FAMILIES (MACCS — 166 SMARTS keys — and the reference's
-  dead 'Morgan fingerprints' entry): genuinely need RDKit's
-  SMARTS/hashing machinery for bit-exact output — with RDKit
+  Nilakantan topological torsions, the Daylight-type subgraph
+  fingerprint and MACCS keys (the 166 published SMARTS keys evaluated
+  by the original matcher in `functions/smarts.py`) from round 7 —
+  are functions of the molecular graph (plus published parameter
+  tables / bit packings) and compute for REAL — SMILES parsed by the
+  pure-Python `functions/molgraph.py`, formulas transcribed in
+  `functions/chemdesc.py` / `chemdesc_ext.py` / `chemdesc_props.py`
+  / `chemdesc_charge.py` / `chemdesc_fp.py` / `chemdesc_fp2.py` /
+  `chemdesc_maccs.py`.  No RDKit needed; `valid` reflects actual
+  parse success.
+* RDKIT-GATED FAMILIES (now only the reference's dead 'Morgan
+  fingerprints' entry — its 2048-bit hashed Morgan twin of the
+  ECFP4 family): genuinely need RDKit's hashing machinery for
+  bit-exact output — with RDKit
   importable they would call the reference's chem/ coder list; without
   it the clearly-marked DETERMINISTIC STUB stands in (a seeded digest
   expanded to the family width, with a syntactic validity check
@@ -176,6 +179,10 @@ GRAPH_FAMILY_NAMES = frozenset({
     # fingerprint (ESU enumeration, documented hash boundary)
     "Atom pairs fingerprints", "TopologicalTorsion fingerprints",
     "Daylight-type fingerprints",
+    # round 7 third wave (functions/smarts.py + chemdesc_maccs.py): the
+    # 166 published MACCS SMARTS keys evaluated by an original SMARTS
+    # subgraph matcher — no RDKit needed
+    "MACCS fingerprints",
 })
 
 
@@ -285,6 +292,8 @@ def ligand_descriptors(
             FP_FAMILIES)
         from ifeatureomega_cli_spark.functions.chemdesc_fp2 import (
             FP2_FAMILIES)
+        from ifeatureomega_cli_spark.functions.chemdesc_maccs import (
+            MACCS_FAMILIES)
         from ifeatureomega_cli_spark.functions.chemdesc_props import (
             PROP_FAMILIES)
         from ifeatureomega_cli_spark.functions.molgraph import (
@@ -292,7 +301,8 @@ def ligand_descriptors(
 
         graph_kernels = {**GRAPH_FAMILIES, **EXT_GRAPH_FAMILIES,
                          **PROP_FAMILIES, **CHARGE_FAMILIES,
-                         **FP_FAMILIES, **FP2_FAMILIES}
+                         **FP_FAMILIES, **FP2_FAMILIES,
+                         **MACCS_FAMILIES}
 
         for pdf in batches:
             valid, feats = [], []

@@ -229,8 +229,8 @@ def test_ligand_dataset_facade(spark, tmp_path):
     assert len(got) == 2 and got.shape[1] == 8  # id + 7 kappa values
     # RDKit-gated family: honest error unless the stub is opted into
     with pytest.raises(NotImplementedError):
-        lig.get_descriptor("MACCS fingerprints")
-    assert lig.get_descriptor("MACCS fingerprints",
+        lig.get_descriptor("Morgan fingerprints")
+    assert lig.get_descriptor("Morgan fingerprints",
                               allow_stub=True) is not None
     # Charge is real since round 7 — routes without opt-in
     ch = lig.get_descriptor("Charge").orderBy("mol_id").collect()

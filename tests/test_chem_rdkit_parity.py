@@ -483,3 +483,48 @@ def test_daylight_subgraph_enumeration_parity(smi):
         range(1, 8), Chem.FindAllSubgraphsOfLengthMToN(ref, 1, 7))
         if len(subs)}
     assert ours == theirs
+
+
+@pytest.mark.parametrize("smi", PROPS_PANEL)
+def test_smarts_matcher_parity(smi):
+    """The original SMARTS engine vs RDKit's matcher, pattern-by-pattern
+    over the MACCS table (the engine's reason to exist): uniquified
+    match count must agree for every non-special key on the aromatic-
+    notation panel.  A disagreement localises to one (pattern, molecule)
+    pair — report includes both."""
+    from ifeatureomega_cli_spark.functions.chemdesc_maccs import (
+        MACCS_SMARTS)
+    from ifeatureomega_cli_spark.functions.smarts import substruct_matches
+
+    mol = parse_smiles(smi)
+    ref = Chem.MolFromSmiles(smi)
+    bad = []
+    for key, (patt, _) in MACCS_SMARTS.items():
+        if patt == "?":
+            continue
+        q = Chem.MolFromSmarts(patt)
+        want = len(ref.GetSubstructMatches(q, uniquify=True))
+        got = len(substruct_matches(mol, patt))
+        if got != want:
+            bad.append((key, patt, want, got))
+    assert not bad, f"{smi}: {bad}"
+
+
+@pytest.mark.parametrize("smi", PROPS_PANEL)
+def test_maccs_exact_bit_parity(smi):
+    """Full 167-bit MACCS vector vs MACCSkeys.GenMACCSKeys — the
+    transcription of the key table AND the three code-handled specials
+    (isotope / aromatic-ring-count / fragment-count) adjudicated
+    bit-for-bit."""
+    from rdkit.Chem import MACCSkeys
+
+    from ifeatureomega_cli_spark.functions.chemdesc_maccs import (
+        maccs_fingerprint)
+
+    ours = maccs_fingerprint(parse_smiles(smi))
+    theirs = MACCSkeys.GenMACCSKeys(Chem.MolFromSmiles(smi))
+    want = np.zeros(167)
+    for b in theirs.GetOnBits():
+        want[b] = 1.0
+    assert np.array_equal(ours, want), \
+        f"{smi}: ours {np.flatnonzero(ours)} vs rdkit {np.flatnonzero(want)}"

@@ -176,14 +176,15 @@ def test_cli_ligand_roundtrip(tmp_path):
     got = pd.read_parquet(out).sort_values("mol_id").reset_index(drop=True)
     assert got["valid"].tolist() == [True, True, False]
     assert got.loc[0, "features"][0] == 3.0  # kappa1(CCO), hand value
-    # RDKit-gated family without opt-in: honest error (MACCS is still
-    # hashed-fingerprint-stubbed; Charge went real in round 7)
+    # RDKit-gated family without opt-in: honest error (the dead
+    # 'Morgan fingerprints' entry is the one remaining stub; Charge and
+    # MACCS went real in round 7)
     with pytest.raises(NotImplementedError):
         cli_main(["ligand", "--input", str(smi), "--family",
-                  "MACCS fingerprints",
+                  "Morgan fingerprints",
                   "--output", str(tmp_path / "feat2")])
     rc = cli_main(["ligand", "--input", str(smi), "--family",
-                   "MACCS fingerprints",
+                   "Morgan fingerprints",
                    "--allow-stub", "--output", str(tmp_path / "feat3")])
     assert rc == 0
     rc = cli_main(["ligand", "--input", str(smi), "--family", "Charge",

@@ -1,11 +1,12 @@
 """Ligand plumbing twin (ref iFeatureOmegaCLI.py:9788-9949): the Spark-side
 pipeline — SMILES reader, 24-family registry, invalid-row skipping, Arrow
-batch shape — is real and pinned here.  As of round 7 twenty-two of the
+batch shape — is real and pinned here.  As of round 7 twenty-three of the
 24 families run REAL chemistry via the pure-Python molecular-graph port
 (see test_chem_graph.py / test_chem_ext.py / test_chem_props.py /
-test_chem_charge.py / test_chem_fp.py / test_chem_fp2.py); only
-SMARTS-gated MACCS and the reference-dead 'Morgan fingerprints' entry
-run the documented deterministic stub because RDKit is absent."""
+test_chem_charge.py / test_chem_fp.py / test_chem_fp2.py /
+test_chem_maccs.py); only the reference-dead hashed-Morgan entry
+'Morgan fingerprints' runs the documented deterministic stub because
+RDKit is absent."""
 
 from __future__ import annotations
 
@@ -47,9 +48,10 @@ def test_ligand_descriptors_stub_pipeline(spark, tmp_path):
     p = tmp_path / "mols.txt"
     p.write_text("CCO\nC1CC1N\nnot a molecule!!\nCC(=O)O\n")
     mols = read_smiles(spark, str(p))
-    # MACCS still runs the stub (RDKit's SMARTS key set); the other 22
-    # families are real as of round 7, see test_chem_*.py
-    out = (ligand_descriptors(mols, "MACCS fingerprints").toPandas()
+    # 'Morgan fingerprints' (the reference's dead hashed-Morgan entry)
+    # still runs the stub; the other 23 families are real as of round 7
+    # (MACCS included — see test_chem_maccs.py)
+    out = (ligand_descriptors(mols, "Morgan fingerprints").toPandas()
            .sort_values("mol_id").reset_index(drop=True))
     # every input row present; invalid row flagged, no features
     assert len(out) == 4
@@ -58,8 +60,8 @@ def test_ligand_descriptors_stub_pipeline(spark, tmp_path):
     # stub is deterministic and family-width sized (the reference's
     # fp+str(j) expansion width)
     f = np.array(out.loc[0, "features"])
-    assert len(f) == family_width("MACCS fingerprints") == 167
-    assert np.allclose(f, descriptor_stub("CCO", "MACCS fingerprints"))
+    assert len(f) == family_width("Morgan fingerprints") == 2048
+    assert np.allclose(f, descriptor_stub("CCO", "Morgan fingerprints"))
     # Charge went REAL in round 7: the same pipeline now returns
     # Gasteiger-derived values, not the stub
     ch = (ligand_descriptors(mols.filter("mol_id = 0"), "Charge")
@@ -81,8 +83,8 @@ def test_ligand_facade_routes_and_raises(spark, tmp_path):
     # numeric family without RDKit and without the stub opt-in: honest
     # error; graph families route straight through (real since round 6)
     with pytest.raises(NotImplementedError):
-        SL.ligand_descriptor(mols, "MACCS fingerprints")
-    out = SL.ligand_descriptor(mols, "MACCS fingerprints",
+        SL.ligand_descriptor(mols, "Morgan fingerprints")
+    out = SL.ligand_descriptor(mols, "Morgan fingerprints",
                                allow_stub=True).toPandas()
     assert len(out) == 1 and out.loc[0, "valid"]
     real = SL.ligand_descriptor(mols, "Kappa").toPandas()  # no opt-in
@@ -111,7 +113,7 @@ def test_rdkit_present_without_chem_port_fails_at_plan_time(spark, monkeypatch):
     monkeypatch.setattr(ligand, "_rdkit_or_none", lambda: object())
     df = spark.createDataFrame([(0, "CCO")], "mol_id long, smiles string")
     with pytest.raises(NotImplementedError, match="chem/ coder port"):
-        ligand.ligand_descriptors(df, "MACCS fingerprints")
+        ligand.ligand_descriptors(df, "Morgan fingerprints")
     # graph families never consult RDKit — they stay real under the fake
     out = ligand.ligand_descriptors(df, "Constitution").collect()
     assert out[0]["valid"] and len(out[0]["features"]) == 29
@@ -125,7 +127,7 @@ def test_rdkit_dispatch_with_wired_chem_port(spark, monkeypatch):
     cluster exercises, minus the chemistry."""
     from ifeatureomega_cli_spark.operators import ligand
 
-    w = ligand.family_width("MACCS fingerprints")
+    w = ligand.family_width("Morgan fingerprints")
 
     class _FakeChem:
         @staticmethod
@@ -139,11 +141,11 @@ def test_rdkit_dispatch_with_wired_chem_port(spark, monkeypatch):
     df = spark.createDataFrame(
         [(0, "CCO"), (1, "INVALID"), (2, "c1ccccc1")],
         "mol_id long, smiles string")
-    out = (ligand.ligand_descriptors(df, "MACCS fingerprints")
+    out = (ligand.ligand_descriptors(df, "Morgan fingerprints")
            .orderBy("mol_id").collect())
     assert [r["valid"] for r in out] == [True, False, True]
     assert out[1]["features"] is None
-    assert len(out[0]["features"]) == w == 167
+    assert len(out[0]["features"]) == w == 2048
     assert out[2]["features"] == [8.0] * w
 
 
@@ -161,7 +163,7 @@ def test_rdkit_real_path_schema_and_widths(spark):
         [(0, "CCO"), (1, "not)a(smiles")], "mol_id long, smiles string")
     if not ligand.HAVE_CHEM_PORT:
         with pytest.raises(NotImplementedError, match="chem/ coder port"):
-            ligand.ligand_descriptors(df, "MACCS fingerprints")
+            ligand.ligand_descriptors(df, "Morgan fingerprints")
         # graph families are real regardless of the port flag
         out = (ligand.ligand_descriptors(df, "Constitution")
                .orderBy("mol_id").collect())
