@@ -247,10 +247,12 @@ def _bench_ligand(spark, n_mols: int) -> dict:
     # PEOE iterations/mol) and Molecular properties (Crippen typing +
     # TPSA + Labute) — plus Daylight-type, the single heaviest family
     # in the registry (exponential-in-7 ESU subgraph enumeration per
-    # molecule) — map-only like the rest, so mols/s is the number
-    # that matters at 100 TB
+    # molecule), and MACCS (166 SMARTS patterns through the original
+    # backtracking matcher) — map-only like the rest, so mols/s is the
+    # number that matters at 100 TB
     for family in ("Constitution", "EState", "Charge",
-                   "Molecular properties", "Daylight-type fingerprints"):
+                   "Molecular properties", "Daylight-type fingerprints",
+                   "MACCS fingerprints"):
         sec, runs = _timed(lambda family=family: ligand_descriptors(
             rows, family).write.mode("overwrite").format("noop").save())
         key = family.split()[0].lower()

@@ -70,3 +70,22 @@ def test_crosssample_pstnp_knn_exist():
 
     for fn in ("fit_pstnp", "pstnp_transform", "pstnp", "knn_features"):
         assert callable(getattr(crosssample, fn))
+
+
+def test_ligand_tally_matches_code():
+    """COVERAGE.md's §2.7 headline (23/24 real) derives from
+    GRAPH_FAMILY_NAMES, so the doc can't drift when a family flips from
+    stub to real (round 7: MACCS joined, 'Morgan fingerprints' is the
+    one stub left)."""
+    from ifeatureomega_cli_spark.operators.ligand import (
+        GRAPH_FAMILY_NAMES, LIGAND_FAMILIES)
+
+    real = len(GRAPH_FAMILY_NAMES)
+    total = len(LIGAND_FAMILIES)
+    assert GRAPH_FAMILY_NAMES <= set(LIGAND_FAMILIES)
+    assert (real, total) == (23, 24)
+    assert set(LIGAND_FAMILIES) - GRAPH_FAMILY_NAMES == \
+        {"Morgan fingerprints"}
+    doc = COVERAGE.read_text()
+    m = re.search(r"§2\.7 Ligand — ✅ (\d+)/(\d+) families REAL", doc)
+    assert m and (int(m.group(1)), int(m.group(2))) == (real, total)
