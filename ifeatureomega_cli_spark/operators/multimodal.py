@@ -16,13 +16,18 @@ and tested.  Decoding is split honestly by what pure numpy can do:
   validated against real libjpeg-produced files of both kinds), plus
   real feature kernels (`audio_features`: RMS/ZCR/spectral centroid via
   FFT; `image_features`: per-channel stats + luminance histogram).
-* STUBBED: what genuinely needs ffmpeg-class dependencies (H.264/video;
-  arithmetic-coded/12-bit/lossless JPEG) —
-  `decode_image_stub` (deterministic fake) stands in, swap for
-  PIL/torchaudio on a real cluster.
+  Round 7 adds VIDEO: `operators/video.py` parses the RIFF/AVI
+  container from scratch and decodes MJPEG (via the repo's own JPEG
+  decoder) and raw-DIB frame streams with uniform frame SAMPLING —
+  `video_features` touches only k frames per row regardless of length.
+* STUBBED: what genuinely needs ffmpeg-class dependencies
+  (H.264/H.265/VP9 inter-frame codecs; arithmetic-coded/12-bit/lossless
+  JPEG) — `decode_image_stub` (deterministic fake) stands in, swap for
+  PIL/torchaudio/ffmpeg on a real cluster.
 
-`extract_media_features` auto-dispatches: payloads that ARE wav/bmp get
-the real path; everything else falls back to the stub.
+`extract_media_features` auto-dispatches: payloads that ARE
+wav/bmp/png/jpeg/avi get the real path; everything else falls back to
+the stub.
 """
 
 from __future__ import annotations
@@ -416,6 +421,13 @@ def decode_media(payload: bytes, out_dim: int = 16) -> tuple[str, np.ndarray]:
             return "wav", audio_features(samples, rate)
         except ValueError:
             pass  # RIFF magic but float/24-bit/truncated PCM → stub
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        try:
+            from ifeatureomega_cli_spark.operators.video import video_features
+
+            return "avi", video_features(payload)
+        except ValueError:
+            pass  # AVI magic but H.264-class codec / truncated → stub
     if len(payload) >= 2 and payload[:2] == b"BM":
         try:
             return "bmp", image_features(decode_bmp(payload))
@@ -428,7 +440,7 @@ def decode_media(payload: bytes, out_dim: int = 16) -> tuple[str, np.ndarray]:
                 img = np.repeat(img[:, :, :1], 3, axis=2)
             return "png", image_features(img)
         except ValueError:
-            pass  # PNG magic but palettized/interlaced/truncated → stub
+            pass  # PNG magic but truncated/exotic (all color types are real)
     if len(payload) >= 3 and payload[:3] == b"\xff\xd8\xff":
         try:
             from ifeatureomega_cli_spark.operators.jpeg import decode_jpeg
@@ -518,8 +530,9 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table for tests: REAL payloads where the pure-
-    numpy decoders apply (image → 24-bit BMP, audio → 16-bit PCM WAV) and
-    seeded opaque bytes for video (exercises the stub fallback)."""
+    numpy decoders apply (image → BMP/PNG/JPEG, audio → 16-bit PCM WAV,
+    video → MJPEG/raw-DIB AVI) and seeded opaque bytes for every third
+    video row (exercises the stub fallback, the H.264 boundary)."""
     rng = np.random.RandomState(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -548,8 +561,21 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             payload = encode_wav(tone, rate)
             meta = (0, 0, 1, rate, "pcm16")
         else:
-            payload = rng.bytes(rng.randint(64, 4096))
-            meta = (64 * (1 + i % 4), 64 * (1 + i % 3), 1 + i % 30, 16000,
-                    "fake")
+            which = (i // 3) % 3  # rotate mjpeg / rawrgb / opaque-fake
+            if which < 2:
+                from ifeatureomega_cli_spark.operators.video import (
+                    encode_avi)
+
+                w, h, nf = 16 * (1 + i % 3), 16, 2 + i % 4
+                base = rng.randint(0, 200, size=(h, w, 3), dtype=np.uint8)
+                frames = [np.clip(base.astype(np.int16) + 10 * j, 0, 255)
+                          .astype(np.uint8) for j in range(nf)]
+                codec = "mjpeg" if which == 0 else "rawrgb"
+                payload = encode_avi(frames, fps=5 + i % 10, codec=codec)
+                meta = (w, h, nf, 0, codec)
+            else:
+                payload = rng.bytes(rng.randint(64, 4096))
+                meta = (64 * (1 + i % 4), 64 * (1 + i % 3), 1 + i % 30,
+                        16000, "fake")
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -99,8 +99,9 @@ def test_sinks(spark, tmp_path):
 
 
 def test_multimodal_pipeline_dispatch(spark):
-    """Real decode paths for wav/bmp/png payloads, stub fallback for
-    opaque (video) bytes — all through the one mapInPandas pipeline."""
+    """Real decode paths for wav/bmp/png/avi payloads, stub fallback for
+    opaque (fake-codec video) bytes — all through one mapInPandas
+    pipeline."""
     from ifeatureomega_cli_spark.operators.multimodal import (
         extract_media_features, synthesize_media)
 
@@ -111,8 +112,10 @@ def test_multimodal_pipeline_dispatch(spark):
     assert sorted(by_kind["image"]) == ["bmp", "jpeg", "png"]  # round 6:
     # all three real image containers rotate in synthesize_media
     assert list(by_kind["audio"]) == ["wav"]
-    assert list(by_kind["video"]) == ["stub"]
-    widths = {"bmp": 17, "png": 17, "jpeg": 17, "wav": 4, "stub": 8}
+    assert sorted(by_kind["video"]) == ["avi", "stub"]  # round 7: MJPEG +
+    # raw-DIB AVI rows decode for real; the fake-codec third still stubs
+    widths = {"bmp": 17, "png": 17, "jpeg": 17, "wav": 4, "stub": 8,
+              "avi": 21}
     assert all(len(f) == widths[p]
                for p, f in zip(out["decode_path"], out["feature"]))
     # deterministic: same payload → same digest/feature
