@@ -19,15 +19,18 @@ and tested.  Decoding is split honestly by what pure numpy can do:
   Round 7 adds VIDEO: `operators/video.py` parses the RIFF/AVI
   container from scratch and decodes MJPEG (via the repo's own JPEG
   decoder) and raw-DIB frame streams with uniform frame SAMPLING —
-  `video_features` touches only k frames per row regardless of length.
+  `video_features` touches only k frames per row regardless of length —
+  and GIF: `operators/gif.py`, a real LZW codec (variable 3..12-bit
+  codes, table reset) + interlace + local palettes, first frame of
+  animated streams.
 * STUBBED: what genuinely needs ffmpeg-class dependencies
   (H.264/H.265/VP9 inter-frame codecs; arithmetic-coded/12-bit/lossless
   JPEG) — `decode_image_stub` (deterministic fake) stands in, swap for
   PIL/torchaudio/ffmpeg on a real cluster.
 
 `extract_media_features` auto-dispatches: payloads that ARE
-wav/bmp/png/jpeg/avi get the real path; everything else falls back to
-the stub.
+wav/bmp/png/jpeg/gif/avi get the real path; everything else falls back
+to the stub.
 """
 
 from __future__ import annotations
@@ -441,6 +444,13 @@ def decode_media(payload: bytes, out_dim: int = 16) -> tuple[str, np.ndarray]:
             return "png", image_features(img)
         except ValueError:
             pass  # PNG magic but truncated/exotic (all color types are real)
+    if len(payload) >= 6 and payload[:4] == b"GIF8":
+        try:
+            from ifeatureomega_cli_spark.operators.gif import decode_gif
+
+            return "gif", image_features(decode_gif(payload))
+        except ValueError:
+            pass  # GIF magic but truncated/malformed → stub
     if len(payload) >= 3 and payload[:3] == b"\xff\xd8\xff":
         try:
             from ifeatureomega_cli_spark.operators.jpeg import decode_jpeg
@@ -541,13 +551,20 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         if kind == "image":
             w, h = 16 * (1 + i % 4) + (i % 3), 8 * (1 + i % 3)
             px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-            which = (i // 3) % 3  # rotate all three real image decoders
+            which = (i // 3) % 4  # rotate all four real image decoders
             if which == 0:
                 payload = encode_bmp(px)
                 meta = (w, h, 1, 0, "bmp")
             elif which == 1:
                 payload = encode_png(px, filter_type=2)
                 meta = (w, h, 1, 0, "png")
+            elif which == 3:
+                from ifeatureomega_cli_spark.operators.gif import encode_gif
+
+                pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+                px = pal[rng.randint(0, 16, size=(h, w))]
+                payload = encode_gif(px, interlace=bool(i % 2))
+                meta = (w, h, 1, 0, "gif")
             else:
                 from ifeatureomega_cli_spark.operators.jpeg import (
                     encode_jpeg)

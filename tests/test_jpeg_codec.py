@@ -121,7 +121,7 @@ def test_media_dispatch_jpeg(spark):
     out = extract_media_features(synthesize_media(spark, n=36),
                                  out_dim=8).toPandas()
     assert set(out[out.kind == "image"]["decode_path"]) == \
-        {"bmp", "png", "jpeg"}
+        {"bmp", "png", "jpeg", "gif"}
 
 
 # ------------------------------------------------- progressive (round 7)

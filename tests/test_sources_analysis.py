@@ -109,13 +109,13 @@ def test_multimodal_pipeline_dispatch(spark):
     out = extract_media_features(media, out_dim=8).toPandas()
     assert len(out) == 32
     by_kind = out.groupby("kind")["decode_path"].unique().to_dict()
-    assert sorted(by_kind["image"]) == ["bmp", "jpeg", "png"]  # round 6:
-    # all three real image containers rotate in synthesize_media
+    assert sorted(by_kind["image"]) == ["bmp", "gif", "jpeg", "png"]
+    # round 7: all four real image containers rotate in synthesize_media
     assert list(by_kind["audio"]) == ["wav"]
     assert sorted(by_kind["video"]) == ["avi", "stub"]  # round 7: MJPEG +
     # raw-DIB AVI rows decode for real; the fake-codec third still stubs
-    widths = {"bmp": 17, "png": 17, "jpeg": 17, "wav": 4, "stub": 8,
-              "avi": 21}
+    widths = {"bmp": 17, "png": 17, "jpeg": 17, "gif": 17, "wav": 4,
+              "stub": 8, "avi": 21}
     assert all(len(f) == widths[p]
                for p, f in zip(out["decode_path"], out["feature"]))
     # deterministic: same payload → same digest/feature
