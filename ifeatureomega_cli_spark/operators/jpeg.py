@@ -9,8 +9,12 @@ mllib grayscale sample, the rust embedded-book photo) plus an exact
 cross-codec differential oracle (`encode_jpeg_progressive` emits the
 same quantized coefficients as the baseline encoder, so both decodes
 must be bit-identical).
-Scope (honest): 8-bit, grayscale or YCbCr 4:4:4 / 4:2:2 / 4:2:0,
-restart markers, sequential + progressive.  Arithmetic-coded, 12-bit,
+Scope (honest): 8-bit AND 12-bit samples (extended sequential per
+T.81 — 12-bit decodes to uint16), grayscale or YCbCr 4:4:4 / 4:2:2 /
+4:2:0, restart markers, sequential + progressive Huffman, AND — round
+7 late — sequential ARITHMETIC coding (SOF9 + DAC, T.81 Annex D
+QM-coder in `operators/jpeg_arith.py`, validated bit-exact against
+libjpeg coefficient dumps).  Arithmetic-progressive (SOF10),
 lossless/hierarchical and CMYK streams raise ValueError (the media
 dispatcher falls back to the stub).
 
@@ -118,6 +122,17 @@ _AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
 
+# Flat tables for 12-bit sample precision — Annex K's example tables
+# only cover the 8-bit symbol range (DC categories ≤ 11, AC size ≤ 10).
+# Canonical and Kraft-valid: DC categories 0..15 at 5 bits (16·2⁻⁵ = ½);
+# AC EOB/ZRL + every (run, size ≤ 14) at 9 bits (226·2⁻⁹ < ½).
+_DC_EXT = ([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+           list(range(16)))
+_AC_EXT_VALS = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                               for s in range(1, 15)]
+_AC_EXT = ([0, 0, 0, 0, 0, 0, 0, 0, len(_AC_EXT_VALS),
+            0, 0, 0, 0, 0, 0, 0], _AC_EXT_VALS)
+
 
 def _build_huffman(bits: list[int], vals: list[int]):
     """(code, length) per value — canonical JPEG Huffman assignment."""
@@ -175,8 +190,8 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def _encode_block(w: _BitWriter, block: np.ndarray, q: np.ndarray,
-                  dc_codes, ac_codes, pred: int) -> int:
-    coef = _DCT @ (block - 128.0) @ _DCT.T
+                  dc_codes, ac_codes, pred: int, center: int = 128) -> int:
+    coef = _DCT @ (block - float(center)) @ _DCT.T
     quant = np.round(coef / q).astype(np.int64)
     zz = quant.ravel()[_ZIGZAG]
     dc = int(zz[0])
@@ -207,12 +222,17 @@ def _encode_block(w: _BitWriter, block: np.ndarray, q: np.ndarray,
 
 
 def encode_jpeg(rgb: np.ndarray, subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """Baseline JFIF encoder with Annex-K tables (tests +
-    synthesize_media).  `rgb`: (H, W, 3) or (H, W) uint8.
-    subsample=True writes 4:2:0 (2×2 Y blocks per MCU, box-averaged
-    chroma); restart_interval>0 emits DRI + RSTn markers — both exist so
-    the decoder's sampling/restart paths are hermetically testable."""
+                restart_interval: int = 0, bits: int = 8) -> bytes:
+    """Sequential JFIF encoder with Annex-K tables (tests +
+    synthesize_media).  `rgb`: (H, W, 3) or (H, W) uint8 — or, with
+    bits=12, uint16 samples in 0..4095 (extended sequential, SOF1,
+    flat Kraft-valid Huffman tables since Annex K's stop at the 8-bit
+    symbol range).  subsample=True writes 4:2:0 (2×2 Y blocks per MCU,
+    box-averaged chroma); restart_interval>0 emits DRI + RSTn markers —
+    all exist so the decoder's paths are hermetically testable."""
+    if bits not in (8, 12):
+        raise ValueError(f"unsupported sample precision {bits}")
+    center = 1 << (bits - 1)
     gray = rgb.ndim == 2
     h, w = rgb.shape[:2]
     if gray:
@@ -223,8 +243,8 @@ def encode_jpeg(rgb: np.ndarray, subsample: bool = False,
         r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
         comps = [
             0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + center,
+            0.5 * r - 0.418688 * g - 0.081312 * b + center,
         ]
     ncomp = len(comps)
     ys = 2 if subsample else 1  # luma sampling factor
@@ -248,17 +268,23 @@ def encode_jpeg(rgb: np.ndarray, subsample: bool = False,
     for tid, q in enumerate(qtabs):
         out += seg(0xDB, bytes([tid]) + bytes(
             int(x) for x in q.ravel()[_ZIGZAG]))
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+    sof = bytes([bits]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
         + bytes([ncomp])
     for ci in range(ncomp):
         hs, vs = samp[ci]
         sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
-    huffs = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    out += seg(0xC0 if bits == 8 else 0xC1, sof)
+    if bits == 8:
+        dc_luma, ac_luma, dc_chroma, ac_chroma = (
+            _DC_LUMA, _AC_LUMA, _DC_CHROMA, _AC_CHROMA)
+    else:
+        dc_luma = dc_chroma = _DC_EXT
+        ac_luma = ac_chroma = _AC_EXT
+    huffs = [(0x00, dc_luma), (0x10, ac_luma)]
     if not gray:
-        huffs += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
-    for tclass, (bits, vals) in huffs:
-        out += seg(0xC4, bytes([tclass]) + bytes(bits) + bytes(vals))
+        huffs += [(0x01, dc_chroma), (0x11, ac_chroma)]
+    for tclass, (tbits, tvals) in huffs:
+        out += seg(0xC4, bytes([tclass]) + bytes(tbits) + bytes(tvals))
     if restart_interval:
         out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes([ncomp])
@@ -267,10 +293,10 @@ def encode_jpeg(rgb: np.ndarray, subsample: bool = False,
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
 
-    dc_l = _build_huffman(*_DC_LUMA)
-    ac_l = _build_huffman(*_AC_LUMA)
-    dc_c = _build_huffman(*_DC_CHROMA)
-    ac_c = _build_huffman(*_AC_CHROMA)
+    dc_l = _build_huffman(*dc_luma)
+    ac_l = _build_huffman(*ac_luma)
+    dc_c = _build_huffman(*dc_chroma)
+    ac_c = _build_huffman(*ac_chroma)
     wtr = _BitWriter()
     preds = [0] * ncomp
     mcu_count = 0
@@ -294,7 +320,8 @@ def encode_jpeg(rgb: np.ndarray, subsample: bool = False,
                         x0 = (mx * hs + bx) * 8
                         block = comps[ci][y0: y0 + 8, x0: x0 + 8]
                         preds[ci] = _encode_block(
-                            wtr, block, q, dc_codes, ac_codes, preds[ci])
+                            wtr, block, q, dc_codes, ac_codes, preds[ci],
+                            center)
             mcu_count += 1
     wtr.flush()
     out += wtr.out
@@ -560,18 +587,20 @@ def _decode_huff(r: _BitReader, table) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF decoder → (H, W, C) uint8 (C = 1 or 3, RGB).
+    """JFIF decoder → (H, W, C) uint8, or uint16 for 12-bit streams
+    (C = 1 or 3, RGB).
 
-    Reads DQT/DHT/SOF0/SOF2/SOS/DRI from the stream; supports 8-bit
-    sequential AND progressive with 4:4:4, 4:2:2 or 4:2:0 sampling and
-    restart intervals.  Raises ValueError for arithmetic coding,
-    lossless/hierarchical, 12-bit or >3 components."""
+    Reads DQT/DHT/SOF0/SOF1/SOF2/SOS/DRI from the stream; supports 8-
+    and 12-bit sequential AND progressive with 4:4:4, 4:2:2 or 4:2:0
+    sampling and restart intervals.  Raises ValueError for arithmetic
+    coding, lossless/hierarchical or >3 components."""
     d = payload
     if len(d) < 4 or d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
+    arith_cond: dict = {"dc": {}, "ac": {}}
     frame = None
     restart_interval = 0
     while pos + 4 <= len(d):
@@ -604,9 +633,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(b[17: 17 + nval])
                 htabs[(tclass, tid)] = _build_decoder(bits, vals)
                 b = b[17 + nval:]
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 sequential
             prec = body[0]
-            if prec != 8:
+            if prec not in (8, 12):   # 12-bit: extended sequential (C1)
                 raise ValueError(f"unsupported precision {prec}")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
@@ -618,10 +647,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, samp, qid = body[6 + 3 * ci: 9 + 3 * ci]
                 comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF,
                               "q": qid})
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec}
         elif marker == 0xC2:  # SOF2 progressive (round 7)
             prec = body[0]
-            if prec != 8:
+            if prec not in (8, 12):
                 raise ValueError(f"unsupported precision {prec}")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
@@ -633,11 +662,37 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, samp, qid = body[6 + 3 * ci: 9 + 3 * ci]
                 comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF,
                               "q": qid})
-            frame = {"h": h, "w": w, "comps": comps, "progressive": True}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps, "progressive": True,
+                     "prec": prec}
+        elif marker == 0xC9:  # SOF9: arithmetic sequential (round 7)
+            prec = body[0]
+            if prec not in (8, 12):
+                raise ValueError(f"unsupported precision {prec}")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+            comps = []
+            for ci in range(nc):
+                cid, samp, qid = body[6 + 3 * ci: 9 + 3 * ci]
+                comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF,
+                              "q": qid})
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
+                     "arith": True}
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            b = body
+            while len(b) >= 2:
+                tc, tb, val = b[0] >> 4, b[0] & 0xF, b[1]
+                if tc == 0:
+                    arith_cond["dc"][tb] = (val & 0xF, val >> 4)  # (L, U)
+                else:
+                    arith_cond["ac"][tb] = val                    # Kx
+                b = b[2:]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF type {marker:02x} "
-                             "(lossless/arithmetic/hierarchical)")
+                             "(lossless/arith-progressive/hierarchical)")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -653,6 +708,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, tsel = body[1 + 2 * si: 3 + 2 * si]
                 scan[cid] = (tsel >> 4, tsel & 0xF)
             data_pos = pos + 2 + size
+            if frame.get("arith"):
+                from ifeatureomega_cli_spark.operators.jpeg_arith import (
+                    decode_arith_scan)
+
+                return decode_arith_scan(d, data_pos, frame, scan, qtabs,
+                                         arith_cond, restart_interval)
             return _decode_scan(d, data_pos, frame, scan, qtabs, htabs,
                                 restart_interval)
         pos += 2 + size
@@ -661,6 +722,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 def _decode_scan(d, pos, frame, scan, qtabs, htabs, restart_interval):
     h, w, comps = frame["h"], frame["w"], frame["comps"]
+    center = 1 << (frame.get("prec", 8) - 1)   # 128 (8-bit) / 2048 (12-bit)
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -706,7 +768,7 @@ def _decode_scan(d, pos, frame, scan, qtabs, htabs, restart_interval):
                         block = np.zeros(64, dtype=np.float64)
                         block[_ZIGZAG] = zz
                         coef = block.reshape(8, 8) * q
-                        px = _DCT.T @ coef @ _DCT + 128.0
+                        px = _DCT.T @ coef @ _DCT + center
                         y0 = (my * c["vs"] + by) * 8
                         x0 = (mx * c["hs"] + bx) * 8
                         planes[ci][y0: y0 + 8, x0: x0 + 8] = px
@@ -719,6 +781,9 @@ def _planes_to_image(frame, planes) -> np.ndarray:
     convert YCbCr → RGB (shared by the sequential and progressive
     paths)."""
     h, w, comps = frame["h"], frame["w"], frame["comps"]
+    prec = frame.get("prec", 8)
+    center, maxval = 1 << (prec - 1), (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
     full = []
@@ -729,17 +794,17 @@ def _planes_to_image(frame, planes) -> np.ndarray:
                           hmax // c["hs"], axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        out = np.clip(np.round(full[0]), 0, maxval).astype(dtype)
         return out[:, :, None]
     y, cb, cr = full
-    cb = cb - 128.0
-    cr = cr - 128.0
+    cb = cb - center
+    cr = cr - center
     rgb = np.stack([
         y + 1.402 * cr,
         y - 0.344136 * cb - 0.714136 * cr,
         y + 1.772 * cb,
     ], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxval).astype(dtype)
 
 
 # -------------------------------------------------- progressive decoder
@@ -824,7 +889,8 @@ def _decode_progressive(d, pos, frame, qtabs, htabs, restart_interval):
         nat = np.zeros_like(blocks)
         nat[:, _ZIGZAG] = blocks
         nat = nat.reshape(-1, 8, 8) * q[None]
-        px = np.einsum("ij,njk,kl->nil", _DCT.T, nat, _DCT) + 128.0
+        px = np.einsum("ij,njk,kl->nil", _DCT.T, nat, _DCT) \
+            + (1 << (frame.get("prec", 8) - 1))
         planes.append(px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
                       .reshape(bh * 8, bw * 8))
     return _planes_to_image(frame, planes)

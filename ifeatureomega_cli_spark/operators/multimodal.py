@@ -23,9 +23,14 @@ and tested.  Decoding is split honestly by what pure numpy can do:
   and GIF: `operators/gif.py`, a real LZW codec (variable 3..12-bit
   codes, table reset) + interlace + local palettes, first frame of
   animated streams.
+  Round 7 late also lands 12-bit JPEG (uint16 decode) and sequential
+  ARITHMETIC-coded JPEG (`operators/jpeg_arith.py`: T.81 QM-coder with
+  the state table PROBED from the system libjpeg, validated bit-exact
+  against libjpeg coefficient dumps).
 * STUBBED: what genuinely needs ffmpeg-class dependencies
-  (H.264/H.265/VP9 inter-frame codecs; arithmetic-coded/12-bit/lossless
-  JPEG) — `decode_image_stub` (deterministic fake) stands in, swap for
+  (H.264/H.265/VP9 inter-frame codecs) plus the rare JPEG corners
+  (arithmetic-PROGRESSIVE, lossless/hierarchical) —
+  `decode_image_stub` (deterministic fake) stands in, swap for
   PIL/torchaudio/ffmpeg on a real cluster.
 
 `extract_media_features` auto-dispatches: payloads that ARE
@@ -456,6 +461,8 @@ def decode_media(payload: bytes, out_dim: int = 16) -> tuple[str, np.ndarray]:
             from ifeatureomega_cli_spark.operators.jpeg import decode_jpeg
 
             img = decode_jpeg(payload)
+            if img.dtype == np.uint16:   # 12-bit stream → 8-bit features
+                img = (img >> 4).astype(np.uint8)
             if img.shape[2] < 3:
                 img = np.repeat(img[:, :, :1], 3, axis=2)
             return "jpeg", image_features(img)
