@@ -12,11 +12,11 @@ must be bit-identical).
 Scope (honest): 8-bit AND 12-bit samples (extended sequential per
 T.81 — 12-bit decodes to uint16), grayscale or YCbCr 4:4:4 / 4:2:2 /
 4:2:0, restart markers, sequential + progressive Huffman, AND — round
-7 late — sequential ARITHMETIC coding (SOF9 + DAC, T.81 Annex D
-QM-coder in `operators/jpeg_arith.py`, validated bit-exact against
-libjpeg coefficient dumps).  Arithmetic-progressive (SOF10),
-lossless/hierarchical and CMYK streams raise ValueError (the media
-dispatcher falls back to the stub).
+7 late — ARITHMETIC coding, both sequential (SOF9) and progressive
+(SOF10), via the T.81 Annex D QM-coder in `operators/jpeg_arith.py`,
+validated bit-exact against libjpeg coefficient dumps on 11 real
+streams.  Only lossless/hierarchical and CMYK streams raise
+ValueError (the media dispatcher falls back to the stub).
 
 Design notes:
 
@@ -664,7 +664,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                               "q": qid})
             frame = {"h": h, "w": w, "comps": comps, "progressive": True,
                      "prec": prec}
-        elif marker == 0xC9:  # SOF9: arithmetic sequential (round 7)
+        elif marker in (0xC9, 0xCA):  # SOF9/SOF10: arithmetic (round 7)
             prec = body[0]
             if prec not in (8, 12):
                 raise ValueError(f"unsupported precision {prec}")
@@ -679,7 +679,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF,
                               "q": qid})
             frame = {"h": h, "w": w, "comps": comps, "prec": prec,
-                     "arith": True}
+                     "arith": True, "progressive": marker == 0xCA}
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             b = body
             while len(b) >= 2:
@@ -689,10 +689,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 else:
                     arith_cond["ac"][tb] = val                    # Kx
                 b = b[2:]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF type {marker:02x} "
-                             "(lossless/arith-progressive/hierarchical)")
+                             "(lossless/hierarchical)")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -700,6 +700,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             if frame.get("progressive"):
                 # multi-scan driver owns the rest of the stream
+                if frame.get("arith"):
+                    from ifeatureomega_cli_spark.operators.jpeg_arith \
+                        import decode_arith_progressive
+
+                    return decode_arith_progressive(
+                        d, pos, frame, qtabs, arith_cond, restart_interval)
                 return _decode_progressive(d, pos, frame, qtabs, htabs,
                                            restart_interval)
             ns = body[0]

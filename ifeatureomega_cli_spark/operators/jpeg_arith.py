@@ -278,21 +278,15 @@ def decode_arith_coefficients(d, pos, frame, scan, conditioning,
     return coefs
 
 
-def decode_arith_scan(d, pos, frame, scan, qtabs, conditioning,
-                      restart_interval):
-    """Sequential arithmetic scan → decoded image: entropy-decode all
-    coefficient blocks, then one vectorized dequant + IDCT finish
-    (plane assembly / color conversion shared with the Huffman paths
-    via jpeg._planes_to_image)."""
+def _finish(frame, coefs, qtabs):
+    """Vectorized dequant + IDCT over zigzag coefficient arrays, shared
+    by the sequential and progressive arithmetic paths."""
     from ifeatureomega_cli_spark.operators.jpeg import (
         _DCT, _ZIGZAG, _planes_to_image)
 
-    comps = frame["comps"]
     center = 1 << (frame.get("prec", 8) - 1)
-    coefs = decode_arith_coefficients(d, pos, frame, scan, conditioning,
-                                      restart_interval)
     planes = []
-    for ci, c in enumerate(comps):
+    for ci, c in enumerate(frame["comps"]):
         q = qtabs[c["q"]].astype(np.float64)
         arr = coefs[ci]
         bh, bw = arr.shape[:2]
@@ -304,6 +298,222 @@ def decode_arith_scan(d, pos, frame, scan, qtabs, conditioning,
         planes.append(px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
                       .reshape(bh * 8, bw * 8))
     return _planes_to_image(frame, planes)
+
+
+def decode_arith_scan(d, pos, frame, scan, qtabs, conditioning,
+                      restart_interval):
+    """Sequential arithmetic scan → decoded image: entropy-decode all
+    coefficient blocks, then one vectorized dequant + IDCT finish
+    (plane assembly / color conversion shared with the Huffman paths
+    via jpeg._planes_to_image)."""
+    coefs = decode_arith_coefficients(d, pos, frame, scan, conditioning,
+                                      restart_interval)
+    return _finish(frame, coefs, qtabs)
+
+
+# ------------------------------------------- progressive (SOF10, G.2)
+
+def decode_arith_progressive_coefficients(d, pos, frame, conditioning,
+                                          restart_interval):
+    """Arithmetic progressive driver: owns the marker stream from the
+    first SOS on, accumulating zigzag coefficients per component across
+    DC first/refine (interleaved MCU walk) and AC first/refine
+    (component block-raster walk) scans per T.81 G.2 — each scan
+    restarts the QM coder and its statistics.  Returns the coefficient
+    arrays; `decode_arith_progressive` adds the IDCT finish."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        cw = -(-(w * c["hs"]) // hmax)
+        ch = -(-(h * c["vs"]) // vmax)
+        c["bw"] = -(-cw // 8)
+        c["bh"] = -(-ch // 8)
+    coefs = [np.zeros((mcuy * c["vs"], mcux * c["hs"], 64), dtype=np.int32)
+             for c in comps]
+    by_id = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+    ri = restart_interval
+
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = d[pos + 1]
+        if marker == 0xD9:
+            break
+        size = int.from_bytes(d[pos + 2: pos + 4], "big")
+        body = d[pos + 4: pos + 2 + size]
+        if pos + 2 + size > len(d):
+            raise ValueError(f"truncated segment {marker:02x}")
+        if marker == 0xCC:
+            b = body
+            while len(b) >= 2:
+                tc, tb, val = b[0] >> 4, b[0] & 0xF, b[1]
+                if tc == 0:
+                    conditioning["dc"][tb] = (val & 0xF, val >> 4)
+                else:
+                    conditioning["ac"][tb] = val
+                b = b[2:]
+        elif marker == 0xDD:
+            ri = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = {}
+            order = []
+            for si in range(ns):
+                cid, tsel = body[1 + 2 * si: 3 + 2 * si]
+                scan[cid] = (tsel >> 4, tsel & 0xF)
+                order.append(cid)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            pos = _arith_progressive_scan(
+                d, pos + 2 + size, frame, scan, order, by_id, conditioning,
+                ri, coefs, ss, se, ah, al, mcux, mcuy)
+            continue
+        pos += 2 + size
+    return coefs
+
+
+def decode_arith_progressive(d, pos, frame, qtabs, conditioning,
+                             restart_interval):
+    coefs = decode_arith_progressive_coefficients(
+        d, pos, frame, conditioning, restart_interval)
+    return _finish(frame, coefs, qtabs)
+
+
+def _arith_progressive_scan(d, pos, frame, scan, order, by_id, cond,
+                            ri, coefs, ss, se, ah, al, mcux, mcuy):
+    """One arithmetic progressive scan; returns the next marker
+    position.  Models per T.81 G.2 / the sequential F.2.4 models with
+    successive-approximation point transforms: DC refine and the sign
+    of newly-significant AC refine coefficients use the non-adaptive
+    0.5 bin."""
+    sel = [by_id[cid] for cid in order]
+
+    def fresh():
+        return ({t: bytearray(DC_STAT_BINS)
+                 for t in {scan[cid][0] for cid in order}},
+                {t: bytearray(AC_STAT_BINS)
+                 for t in {scan[cid][1] for cid in order}},
+                bytearray([113]), [0] * len(frame["comps"]),
+                [0] * len(frame["comps"]))
+
+    dec = ArithDecoder(d, pos)
+    dc_stats, ac_stats, fixed, dc_ctx, last_dc = fresh()
+    p1, m1 = 1 << al, -1 << al
+
+    def do_restart(rst):
+        nonlocal dec, dc_stats, ac_stats, fixed, dc_ctx, last_dc
+        src = dec.src
+        if src.marker is None:
+            p = src.bp
+            while p + 1 < len(d):
+                if d[p] != 0xFF:
+                    p += 1
+                elif d[p + 1] == 0x00:
+                    p += 2
+                elif d[p + 1] == 0xFF:
+                    p += 1
+                else:
+                    break
+            src.marker = d[p + 1] if p + 1 < len(d) else -1
+            src.marker_at = p
+        if src.marker != 0xD0 + rst:
+            raise ValueError("missing restart marker in progressive scan")
+        dec = ArithDecoder(d, src.marker_at + 2)
+        dc_stats, ac_stats, fixed, dc_ctx, last_dc = fresh()
+
+    if ss == 0:
+        # ----- DC scan: interleaved MCU walk (or single component)
+        interleaved = len(order) > 1
+        if interleaved:
+            nx, ny = mcux, mcuy
+        else:
+            ci0, c0 = sel[0]
+            nx, ny = c0["bw"], c0["bh"]
+        n = 0
+        rst = 0
+        for my in range(ny):
+            for mx in range(nx):
+                if ri and n and n % ri == 0:
+                    do_restart(rst)
+                    rst = (rst + 1) % 8
+                for ci, c in sel:
+                    dtab = scan[c["id"]][0]
+                    vs, hs = (c["vs"], c["hs"]) if interleaved else (1, 1)
+                    for by in range(vs):
+                        for bx in range(hs):
+                            zz = coefs[ci][my * vs + by, mx * hs + bx]
+                            if ah == 0:
+                                L, U = cond["dc"].get(dtab, (0, 1))
+                                last_dc[ci] = _decode_dc(
+                                    dec, dc_stats[dtab], dc_ctx, ci,
+                                    last_dc[ci], L, U)
+                                zz[0] = last_dc[ci] << al
+                            else:
+                                if dec.decode(fixed, 0):
+                                    zz[0] |= p1
+                n += 1
+    else:
+        # ----- AC scan: single component over its own block raster
+        ci, c = sel[0]
+        atab = scan[c["id"]][1]
+        kx = cond["ac"].get(atab, 5)
+        n = 0
+        rst = 0
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                if ri and n and n % ri == 0:
+                    do_restart(rst)
+                    rst = (rst + 1) % 8
+                zz = coefs[ci][by, bx]
+                if ah == 0:
+                    # AC first: the sequential model at point transform al
+                    before = zz[ss: se + 1].copy()
+                    _decode_ac(dec, ac_stats[atab], fixed, zz, kx, ss, se)
+                    new = zz[ss: se + 1] != before
+                    zz[ss: se + 1][new] <<= al
+                else:
+                    _decode_ac_refine(dec, ac_stats[atab], fixed, zz,
+                                      ss, se, p1, m1)
+                n += 1
+
+    # position of the next marker (skip stuffed/fill/restart bytes)
+    src = dec.src
+    p = src.marker_at if src.marker is not None else src.bp
+    from ifeatureomega_cli_spark.operators.jpeg import _next_marker
+    return _next_marker(d, p)
+
+
+def _decode_ac_refine(dec, stats, fixed, zz, ss, se, p1, m1):
+    """G.2: AC successive-approximation refinement of one block."""
+    kex = se
+    while kex >= 1 and zz[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(stats, st):     # EOB
+                return
+        while True:
+            if zz[k]:                     # previously significant
+                if dec.decode(stats, st + 2):
+                    zz[k] += m1 if zz[k] < 0 else p1
+                break
+            if dec.decode(stats, st + 1):  # newly significant
+                zz[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arith AC refine index overflow")
+        k += 1
+
+
+# ----------------------------------------------------------- encoder twin
 
 
 def arith_coefficients_from_stream(payload: bytes):
@@ -326,7 +536,7 @@ def arith_coefficients_from_stream(payload: bytes):
         marker = d[pos + 1]
         size = int.from_bytes(d[pos + 2: pos + 4], "big")
         body = d[pos + 4: pos + 2 + size]
-        if marker == 0xC9:
+        if marker in (0xC9, 0xCA):
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             comps = []
@@ -334,7 +544,8 @@ def arith_coefficients_from_stream(payload: bytes):
                 cid, samp, qid = body[6 + 3 * ci: 9 + 3 * ci]
                 comps.append({"id": cid, "hs": samp >> 4,
                               "vs": samp & 0xF, "q": qid})
-            frame = {"h": h, "w": w, "comps": comps, "prec": body[0]}
+            frame = {"h": h, "w": w, "comps": comps, "prec": body[0],
+                     "progressive": marker == 0xCA}
         elif marker == 0xCC:
             b = body
             while len(b) >= 2:
@@ -348,7 +559,11 @@ def arith_coefficients_from_stream(payload: bytes):
             ri = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:
             if frame is None:
-                raise ValueError("SOS before SOF9")
+                raise ValueError("SOS before SOF9/SOF10")
+            if frame.get("progressive"):
+                coefs = decode_arith_progressive_coefficients(
+                    d, pos, frame, cond, ri)
+                return frame, coefs
             scan = {}
             for si in range(body[0]):
                 cid, tsel = body[1 + 2 * si: 3 + 2 * si]

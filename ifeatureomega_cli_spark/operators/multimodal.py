@@ -23,13 +23,14 @@ and tested.  Decoding is split honestly by what pure numpy can do:
   and GIF: `operators/gif.py`, a real LZW codec (variable 3..12-bit
   codes, table reset) + interlace + local palettes, first frame of
   animated streams.
-  Round 7 late also lands 12-bit JPEG (uint16 decode) and sequential
-  ARITHMETIC-coded JPEG (`operators/jpeg_arith.py`: T.81 QM-coder with
-  the state table PROBED from the system libjpeg, validated bit-exact
-  against libjpeg coefficient dumps).
+  Round 7 late also lands 12-bit JPEG (uint16 decode) and
+  ARITHMETIC-coded JPEG, sequential AND progressive
+  (`operators/jpeg_arith.py`: T.81 QM-coder with the state table
+  PROBED from the system libjpeg, validated bit-exact against libjpeg
+  coefficient dumps on 11 real streams).
 * STUBBED: what genuinely needs ffmpeg-class dependencies
-  (H.264/H.265/VP9 inter-frame codecs) plus the rare JPEG corners
-  (arithmetic-PROGRESSIVE, lossless/hierarchical) —
+  (H.264/H.265/VP9 inter-frame codecs) plus lossless/hierarchical
+  JPEG —
   `decode_image_stub` (deterministic fake) stands in, swap for
   PIL/torchaudio/ffmpeg on a real cluster.
 

