@@ -468,7 +468,7 @@ def decode_media(payload: bytes, out_dim: int = 16) -> tuple[str, np.ndarray]:
                 img = np.repeat(img[:, :, :1], 3, axis=2)
             return "jpeg", image_features(img)
         except ValueError:
-            pass  # JPEG magic but arithmetic/12-bit/corrupt → stub
+            pass  # JPEG magic but lossless/hierarchical/corrupt → stub
     return "stub", decode_image_stub(payload, out_dim)
 
 
