@@ -1081,14 +1081,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ordering contract: the driver grades exactly the FIRST 50 dict
     # entries; all 52 queries have been hash-oracled since round 6, so
-    # any prefix is green.  Round 7 (VERDICT r6 item 5): rotate
-    # ivf_topk / dbscan_embeddings INTO the graded prefix for one round
-    # so the official CORRECTNESS artifact records their green at least
-    # once; the two rows pushed out (impute_mean, minmax_norm) have been
-    # hash-green in every round since they landed.
+    # any prefix is green.  Round 7 rotated ivf_topk / dbscan_embeddings
+    # into the graded prefix (CORRECTNESS_r07 rows 1-2, both green);
+    # round 8 (VERDICT r7 item 5) restores the canonical order, so the
+    # graded 50 again includes zscore_norm / minmax_norm and the two
+    # rotated rows — officially green on record — sit at positions 51-52.
     return {
-        "ivf_topk": q_ivf_topk,
-        "dbscan_embeddings": q_dbscan_embeddings,
         "asof_join": q_asof_join,
         "asof_join_skew": q_asof_join_skew,
         "asof_tolerance": q_asof_tolerance,
@@ -1139,6 +1137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_mean": q_impute_mean,
         "zscore_norm": q_zscore_norm,
         "minmax_norm": q_minmax_norm,
+        "ivf_topk": q_ivf_topk,
+        "dbscan_embeddings": q_dbscan_embeddings,
     }
 
 

@@ -59,6 +59,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from functools import lru_cache
 
+import numpy as np
+
 from ifeatureomega_cli_spark.functions.molgraph import MolGraph
 
 
@@ -149,6 +151,10 @@ class Query:
     # common case in the MACCS table) — lets the matcher skip the
     # nested ;/,/& evaluator; None otherwise
     simple: list = field(default_factory=list)
+    # compiled vectorized tests (round 8): per atom/bond expression a
+    # (canonical key, mask fn) pair; MolProps caches masks by key
+    atom_tests: list = field(default_factory=list)
+    bond_tests: list = field(default_factory=list)
 
     def _finalize(self) -> None:
         n = len(self.atom_exprs)
@@ -214,6 +220,8 @@ class Query:
                 self.simple.append(expr[0][0][0][1:])
             else:
                 self.simple.append(None)
+        self.atom_tests = [_compile_atom_expr(e) for e in self.atom_exprs]
+        self.bond_tests = [_compile_bond_expr(e) for _, _, e in self.bonds]
 
 
 # ---------------------------------------------------------------------------
@@ -505,7 +513,8 @@ class MolProps:
 
     __slots__ = ("mol", "n", "anum", "arom", "hcount", "charge", "iso",
                  "deg", "inring", "nbrs", "border", "barom", "bring",
-                 "_rec_cache", "_rsizes", "anum_counts")
+                 "_rec_cache", "_rsizes", "anum_counts", "eidx",
+                 "_amask_cache", "_bmask_cache", "_qmask_cache")
 
     def __init__(self, mol: MolGraph):
         self.mol = mol
@@ -518,9 +527,11 @@ class MolProps:
         self.nbrs = [[] for _ in range(n)]
         self.border = [b.order for b in mol.bonds]
         self.barom = [b.order == 1.5 for b in mol.bonds]
+        self.eidx: dict[tuple[int, int], int] = {}
         for k, b in enumerate(mol.bonds):
             self.nbrs[b.a].append((b.b, k))
             self.nbrs[b.b].append((b.a, k))
+            self.eidx[(b.a, b.b)] = self.eidx[(b.b, b.a)] = k
         self.deg = [len(nb) for nb in self.nbrs]
         self.bring = self._ring_bonds()
         self.inring = [any(self.bring[k] for _, k in self.nbrs[i])
@@ -531,6 +542,57 @@ class MolProps:
         for z in self.anum:
             counts[z] = counts.get(z, 0) + 1
         self.anum_counts = counts
+        # compiled-mask caches (round 8 throughput work): canonical
+        # atom/bond-expression key -> per-atom/per-bond bool mask, and
+        # (query.src, q_atom) -> final candidate mask incl. the
+        # structural screens.  Shared across all 166 MACCS patterns —
+        # `[!#6;!#1]` evaluates ONCE per molecule, not once per pattern
+        # per candidate atom.
+        self._amask_cache: dict[str, np.ndarray] = {}
+        self._bmask_cache: dict[str, np.ndarray] = {}
+        self._qmask_cache: dict[tuple[str, int], list[bool]] = {}
+
+    # lazy numpy property tables the mask compiler reads --------------
+    def _arrays(self) -> dict[str, np.ndarray]:
+        cached = self._amask_cache.get("\0arrays")
+        if cached is None:
+            border = np.asarray(self.border, dtype=np.float64)
+            val = np.zeros(self.n, dtype=np.int64)
+            if len(self.mol.bonds):
+                ab = np.array([(b.a, b.b) for b in self.mol.bonds])
+                np.add.at(val, ab[:, 0], np.rint(border).astype(np.int64))
+                np.add.at(val, ab[:, 1], np.rint(border).astype(np.int64))
+            hc = np.asarray(self.hcount, dtype=np.int64)
+            cached = {
+                "anum": np.asarray(self.anum, dtype=np.int64),
+                "arom": np.asarray(self.arom, dtype=bool),
+                "hcount": hc,
+                "charge": np.asarray(self.charge, dtype=np.int64),
+                "iso": np.asarray(self.iso, dtype=np.int64),
+                "deg": np.asarray(self.deg, dtype=np.int64),
+                "inring": np.asarray(self.inring, dtype=bool),
+                "conn": np.asarray(self.deg, dtype=np.int64) + hc,
+                "val": val + hc,
+                "border": border,
+                "barom": np.asarray(self.barom, dtype=bool),
+                "bring": np.asarray(self.bring, dtype=bool),
+            }
+            self._amask_cache["\0arrays"] = cached
+        return cached
+
+    def amask(self, key: str, fn) -> np.ndarray:
+        m = self._amask_cache.get(key)
+        if m is None:
+            m = fn(self)
+            self._amask_cache[key] = m
+        return m
+
+    def bmask(self, key: str, fn) -> list[bool]:
+        m = self._bmask_cache.get(key)
+        if m is None:
+            m = fn(self).tolist()
+            self._bmask_cache[key] = m
+        return m
 
     def _ring_bonds(self) -> list[bool]:
         """True for every bond on a cycle (= non-bridge), via iterative
@@ -582,6 +644,164 @@ class MolProps:
 
 def prep(mol: MolGraph) -> MolProps:
     return MolProps(mol)
+
+
+# ---------------------------------------------------------------------------
+# compiled vectorized evaluation (round 8)
+#
+# Every atom/bond expression compiles ONCE (at query build) into a
+# canonical key + a closure producing a bool mask over all molecule
+# atoms/bonds; MolProps caches masks by key, so an expression shared by
+# many patterns (the MACCS table reuses `[!#6;!#1]`, `[R]`, `a` ...)
+# costs one vectorized pass per molecule total.  Recursive $(...)
+# environments stay per-atom (they ARE subgraph searches) but are only
+# evaluated on atoms surviving the vectorized part of their AND group,
+# and memoise through MolProps._rec_cache as before.
+# ---------------------------------------------------------------------------
+
+def _prim_key(neg: bool, kind: str, arg) -> str:
+    if kind == "rec":
+        a = f"$({arg.src})"
+    else:
+        a = str(arg)
+    return ("!" if neg else "") + kind + ":" + a
+
+
+def _expr_key(expr: list) -> str:
+    return ";".join(
+        ",".join("&".join(_prim_key(*p) for p in and_group)
+                 for and_group in or_group)
+        for or_group in expr)
+
+
+def _compile_prim_mask(kind: str, arg):
+    """Vector-mask closure for one non-recursive primitive."""
+    if kind == "num":
+        return lambda A, mp: A["anum"] == arg
+    if kind == "sym":
+        z, ar = arg
+        return lambda A, mp: (A["anum"] == z) & (A["arom"] == ar)
+    if kind == "any":
+        return lambda A, mp: np.ones(mp.n, dtype=bool)
+    if kind == "arom":
+        return lambda A, mp: A["arom"] == arg
+    if kind == "hcount":
+        return lambda A, mp: A["hcount"] == arg
+    if kind == "ring":
+        return lambda A, mp: A["inring"] == arg
+    if kind == "rsize":
+        def rsize(A, mp):
+            m = np.zeros(mp.n, dtype=bool)
+            idx = mp.ring_sizes().get(arg)
+            if idx:
+                m[list(idx)] = True
+            return m
+        return rsize
+    if kind == "deg":
+        return lambda A, mp: A["deg"] == arg
+    if kind == "conn":
+        return lambda A, mp: A["conn"] == arg
+    if kind == "val":
+        return lambda A, mp: A["val"] == arg
+    if kind == "chg":
+        return lambda A, mp: A["charge"] == arg
+    if kind == "iso":
+        return lambda A, mp: A["iso"] == arg
+    raise SmartsError(f"unknown primitive {kind!r}")
+
+
+def _compile_atom_expr(expr: list) -> tuple[str, object]:
+    """(canonical key, fn(mp) -> bool mask over atoms)."""
+    key = _expr_key(expr)
+    # compile structure: [or_group][and_group] -> (vector_prims, rec_prims)
+    compiled = []
+    for or_group in expr:
+        groups = []
+        for and_group in or_group:
+            vecs = []
+            recs = []
+            for neg, kind, arg in and_group:
+                if kind == "rec":
+                    recs.append((neg, arg))
+                else:
+                    vecs.append((neg, _compile_prim_mask(kind, arg)))
+            groups.append((vecs, recs))
+        compiled.append(groups)
+
+    def fn(mp: MolProps) -> np.ndarray:
+        A = mp._arrays()
+        out = np.ones(mp.n, dtype=bool)
+        for groups in compiled:                      # ';' — all hold
+            acc = np.zeros(mp.n, dtype=bool)
+            for vecs, recs in groups:                # ',' — any holds
+                m = np.ones(mp.n, dtype=bool)
+                for neg, pf in vecs:
+                    pm = pf(A, mp)
+                    m &= ~pm if neg else pm
+                    if not m.any():
+                        break
+                if m.any() and recs:
+                    for i in np.nonzero(m)[0]:
+                        for neg, sub in recs:
+                            kk = (id(sub), int(i))
+                            hit = mp._rec_cache.get(kk)
+                            if hit is None:
+                                hit = _has_match(mp, sub, anchor=int(i))
+                                mp._rec_cache[kk] = hit
+                            if hit == neg:
+                                m[i] = False
+                                break
+                acc |= m
+                if acc.all():
+                    break
+            out &= acc
+            if not out.any():
+                break
+        return out
+
+    return key, fn
+
+
+def _compile_bond_expr(expr: list | None) -> tuple[str, object]:
+    if expr is None:
+        return "~def", lambda mp: (
+            (mp._arrays()["border"] == 1.0) | mp._arrays()["barom"])
+    key = "b:" + _expr_key(expr)
+
+    def prim(kind):
+        if kind == "anyb":
+            return lambda B: np.ones(len(B["border"]), dtype=bool)
+        if kind == "single":
+            return lambda B: B["border"] == 1.0
+        if kind == "double":
+            return lambda B: B["border"] == 2.0
+        if kind == "triple":
+            return lambda B: B["border"] == 3.0
+        if kind == "aromatic":
+            return lambda B: B["barom"]
+        if kind == "ringb":
+            return lambda B: B["bring"]
+        raise SmartsError(f"unknown bond primitive {kind!r}")
+
+    compiled = [[[(neg, prim(kind)) for neg, kind, _ in and_group]
+                 for and_group in or_group] for or_group in expr]
+
+    def fn(mp: MolProps) -> np.ndarray:
+        B = mp._arrays()
+        nb = len(mp.border)
+        out = np.ones(nb, dtype=bool)
+        for groups in compiled:
+            acc = np.zeros(nb, dtype=bool)
+            for and_group in groups:
+                m = np.ones(nb, dtype=bool)
+                for neg, pf in and_group:
+                    pm = pf(B)
+                    m &= ~pm if neg else pm
+                acc |= m
+            out &= acc
+        return out
+
+    return key, fn
 
 
 # ---------------------------------------------------------------------------
@@ -673,6 +893,30 @@ def _eval_bond(mp: MolProps, k: int, expr: list | None) -> bool:
 # matching
 # ---------------------------------------------------------------------------
 
+def _qmasks(mp: MolProps, q: Query) -> tuple[list, list]:
+    """Per query atom the final candidate mask (compiled expression
+    mask AND the structural degree/ring screens) and per query bond
+    the compiled bond mask, both as plain bool lists (list indexing
+    beats ndarray scalar reads in the backtracker).  Cached whole on
+    the MolProps by query src — anchored recursive-environment
+    searches re-enter once per molecule atom and hit the cache."""
+    cached = mp._qmask_cache.get(q.src)
+    if cached is not None:
+        return cached
+    amasks: list[list[bool]] = []
+    for qi, (key, fn) in enumerate(q.atom_tests):
+        arr = mp.amask(key, fn)
+        if q.qdeg[qi] > 0:
+            arr = arr & (mp._arrays()["deg"] >= q.qdeg[qi])
+        if q.cyc_atom[qi]:
+            arr = arr & mp._arrays()["inring"]
+        amasks.append(arr.tolist())
+    bmasks = [mp.bmask(key, fn) for key, fn in q.bond_tests]
+    cached = (amasks, bmasks)
+    mp._qmask_cache[q.src] = cached
+    return cached
+
+
 def _search(mp: MolProps, q: Query, anchor: int | None,
             first_only: bool) -> list[tuple[int, ...]]:
     n_q = len(q.atom_exprs)
@@ -680,43 +924,32 @@ def _search(mp: MolProps, q: Query, anchor: int | None,
     used = [False] * mp.n
     out: list[tuple[int, ...]] = []
     order = q.order if anchor is None else q.order_anchored
-    bonds = q.bonds
-    qdeg, cyc_atom, cyc_bond = q.qdeg, q.cyc_atom, q.cyc_bond
-    mdeg, inring, bring = mp.deg, mp.inring, mp.bring
-    simple = q.simple
+    cyc_bond = q.cyc_bond
+    bring, eidx, nbrs = mp.bring, mp.eidx, mp.nbrs
+    amasks, bmasks = _qmasks(mp, q)
 
     def rec(step: int) -> bool:
         if step == n_q:
             out.append(tuple(mapping))
             return first_only
         qi, edges = order[step]
+        am = amasks[qi]
         if edges:
             # candidates: molecule neighbours of the first placed parent
             pj, pk = edges[0]
-            cands = [j for j, _ in mp.nbrs[mapping[pj]]]
+            cands = [j for j, _ in nbrs[mapping[pj]]]
         elif anchor is not None and step == 0:
             cands = [anchor]
         else:
-            cands = range(mp.n)
+            cands = [i for i, v in enumerate(am) if v]
         for m in cands:
-            if used[m]:
-                continue
-            # structural prunings first — cheap list reads that cut the
-            # search space before any expression evaluation
-            if mdeg[m] < qdeg[qi] or (cyc_atom[qi] and not inring[m]):
-                continue
-            sp = simple[qi]
-            if sp is not None:
-                if not _eval_prim(mp, m, sp[0], sp[1]):
-                    continue
-            elif not _eval_atom(mp, m, q.atom_exprs[qi]):
+            if used[m] or not am[m]:
                 continue
             ok = True
             for pj, bk in edges:
-                pm = mapping[pj]
-                mk = next((k for j, k in mp.nbrs[m] if j == pm), None)
+                mk = eidx.get((m, mapping[pj]))
                 if mk is None or (cyc_bond[bk] and not bring[mk]) \
-                        or not _eval_bond(mp, mk, bonds[bk][2]):
+                        or not bmasks[bk][mk]:
                     ok = False
                     break
             if not ok:
