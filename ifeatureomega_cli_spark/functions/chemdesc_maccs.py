@@ -285,7 +285,11 @@ def maccs_fingerprint(mol: MolGraph) -> np.ndarray:
             if _has_match(mp, q):
                 bits[key] = 1.0
         else:
-            raw = _search(mp, q, anchor=None, first_only=False)
+            # distinct_gt stops the enumeration as soon as thresh+1
+            # distinct atom sets exist — symmetric embeddings (12 of a
+            # 6-ring pattern in benzene) need not all be walked
+            raw = _search(mp, q, anchor=None, first_only=False,
+                          distinct_gt=thresh)
             seen = {frozenset(m) for m in raw}
             if len(seen) > thresh:
                 bits[key] = 1.0

@@ -536,7 +536,9 @@ class MolProps:
         self.bring = self._ring_bonds()
         self.inring = [any(self.bring[k] for _, k in self.nbrs[i])
                        for i in range(n)]
-        self._rec_cache: dict[tuple[int, int], bool] = {}
+        # keyed by (sub-query SOURCE, atom): identical $(...) texts in
+        # different patterns share one memo entry per molecule
+        self._rec_cache: dict[tuple[str, int], bool] = {}
         self._rsizes: dict[int, set[int]] | None = None
         counts: dict[int, int] = {}
         for z in self.anum:
@@ -580,18 +582,49 @@ class MolProps:
             self._amask_cache["\0arrays"] = cached
         return cached
 
-    def amask(self, key: str, fn) -> np.ndarray:
+    # int-bitmask layer: bit i = atom/bond i matches.  Molecules are
+    # small (tens of atoms), so a whole mask is one Python int and
+    # per-query/per-expression combination collapses to int ANDs —
+    # numpy at this size costs ~µs per op in allocation overhead,
+    # which dominated the MACCS kernel (round-8 profile: mask plumbing
+    # was ~2.7 ms of the 5.7 ms/mol budget).  Both primitives and full
+    # expressions cache here by canonical key, so `!#6`, `[R]`, `a`...
+    # shared across the 166 MACCS patterns each cost one pass per mol.
+    def aint(self, key: str, fn) -> int:
         m = self._amask_cache.get(key)
         if m is None:
             m = fn(self)
             self._amask_cache[key] = m
         return m
 
-    def bmask(self, key: str, fn) -> list[bool]:
+    def bint(self, key: str, fn) -> int:
         m = self._bmask_cache.get(key)
         if m is None:
-            m = fn(self).tolist()
+            m = fn(self)
             self._bmask_cache[key] = m
+        return m
+
+    def deg_at_least(self, k: int) -> int:
+        """Int mask of atoms with degree >= k (the qdeg screen)."""
+        key = f"\0deg>={k}"
+        m = self._amask_cache.get(key)
+        if m is None:
+            m = _to_bits(np.asarray(self.deg) >= k)
+            self._amask_cache[key] = m
+        return m
+
+    def inring_bits(self) -> int:
+        m = self._amask_cache.get("\0inring")
+        if m is None:
+            m = _to_bits(np.asarray(self.inring, dtype=bool))
+            self._amask_cache["\0inring"] = m
+        return m
+
+    def bring_bits(self) -> int:
+        m = self._bmask_cache.get("\0bring")
+        if m is None:
+            m = _to_bits(np.asarray(self.bring, dtype=bool))
+            self._bmask_cache["\0bring"] = m
         return m
 
     def _ring_bonds(self) -> list[bool]:
@@ -646,6 +679,14 @@ def prep(mol: MolGraph) -> MolProps:
     return MolProps(mol)
 
 
+def _to_bits(arr: np.ndarray) -> int:
+    """bool ndarray -> int with bit i set where arr[i] (LSB = index 0)."""
+    if not len(arr):
+        return 0
+    return int.from_bytes(
+        np.packbits(arr, bitorder="little").tobytes(), "little")
+
+
 # ---------------------------------------------------------------------------
 # compiled vectorized evaluation (round 8)
 #
@@ -675,45 +716,50 @@ def _expr_key(expr: list) -> str:
 
 
 def _compile_prim_mask(kind: str, arg):
-    """Vector-mask closure for one non-recursive primitive."""
+    """Int-mask closure (fn(mp) -> bitmask over atoms) for one
+    non-recursive primitive.  Evaluated at most once per molecule per
+    distinct primitive (MolProps.aint caches by canonical key)."""
     if kind == "num":
-        return lambda A, mp: A["anum"] == arg
+        return lambda mp: _to_bits(mp._arrays()["anum"] == arg)
     if kind == "sym":
         z, ar = arg
-        return lambda A, mp: (A["anum"] == z) & (A["arom"] == ar)
+        return lambda mp: _to_bits(
+            (mp._arrays()["anum"] == z) & (mp._arrays()["arom"] == ar))
     if kind == "any":
-        return lambda A, mp: np.ones(mp.n, dtype=bool)
+        return lambda mp: (1 << mp.n) - 1
     if kind == "arom":
-        return lambda A, mp: A["arom"] == arg
+        return lambda mp: _to_bits(mp._arrays()["arom"] == arg)
     if kind == "hcount":
-        return lambda A, mp: A["hcount"] == arg
+        return lambda mp: _to_bits(mp._arrays()["hcount"] == arg)
     if kind == "ring":
-        return lambda A, mp: A["inring"] == arg
+        return lambda mp: _to_bits(mp._arrays()["inring"] == arg)
     if kind == "rsize":
-        def rsize(A, mp):
-            m = np.zeros(mp.n, dtype=bool)
-            idx = mp.ring_sizes().get(arg)
-            if idx:
-                m[list(idx)] = True
-            return m
+        def rsize(mp):
+            bits = 0
+            for i in mp.ring_sizes().get(arg, ()):
+                bits |= 1 << i
+            return bits
         return rsize
     if kind == "deg":
-        return lambda A, mp: A["deg"] == arg
+        return lambda mp: _to_bits(mp._arrays()["deg"] == arg)
     if kind == "conn":
-        return lambda A, mp: A["conn"] == arg
+        return lambda mp: _to_bits(mp._arrays()["conn"] == arg)
     if kind == "val":
-        return lambda A, mp: A["val"] == arg
+        return lambda mp: _to_bits(mp._arrays()["val"] == arg)
     if kind == "chg":
-        return lambda A, mp: A["charge"] == arg
+        return lambda mp: _to_bits(mp._arrays()["charge"] == arg)
     if kind == "iso":
-        return lambda A, mp: A["iso"] == arg
+        return lambda mp: _to_bits(mp._arrays()["iso"] == arg)
     raise SmartsError(f"unknown primitive {kind!r}")
 
 
 def _compile_atom_expr(expr: list) -> tuple[str, object]:
-    """(canonical key, fn(mp) -> bool mask over atoms)."""
+    """(canonical key, fn(mp) -> int bitmask over atoms)."""
     key = _expr_key(expr)
-    # compile structure: [or_group][and_group] -> (vector_prims, rec_prims)
+    # compile structure: [or_group][and_group] ->
+    #   ([(neg, prim_key, prim_fn)], [(neg, sub_query)])
+    # prim keys are stored UNnegated (negation applied in the
+    # combiner), so the per-primitive cache never splits on polarity.
     compiled = []
     for or_group in expr:
         groups = []
@@ -724,38 +770,48 @@ def _compile_atom_expr(expr: list) -> tuple[str, object]:
                 if kind == "rec":
                     recs.append((neg, arg))
                 else:
-                    vecs.append((neg, _compile_prim_mask(kind, arg)))
+                    vecs.append((neg, _prim_key(False, kind, arg),
+                                 _compile_prim_mask(kind, arg)))
             groups.append((vecs, recs))
         compiled.append(groups)
 
-    def fn(mp: MolProps) -> np.ndarray:
-        A = mp._arrays()
-        out = np.ones(mp.n, dtype=bool)
+    def fn(mp: MolProps) -> int:
+        full = (1 << mp.n) - 1
+        aint = mp.aint
+        rec_cache = mp._rec_cache
+        out = full
         for groups in compiled:                      # ';' — all hold
-            acc = np.zeros(mp.n, dtype=bool)
+            acc = 0
             for vecs, recs in groups:                # ',' — any holds
-                m = np.ones(mp.n, dtype=bool)
-                for neg, pf in vecs:
-                    pm = pf(A, mp)
-                    m &= ~pm if neg else pm
-                    if not m.any():
+                m = full
+                for neg, pk, pf in vecs:
+                    pm = aint(pk, pf)
+                    m &= (pm ^ full) if neg else pm
+                    if not m:
                         break
-                if m.any() and recs:
-                    for i in np.nonzero(m)[0]:
+                if m and recs:
+                    # recursive $(...) environments stay per-atom (they
+                    # ARE subgraph searches) but only run on atoms that
+                    # survived the vectorized part, memoized per atom
+                    rem = m
+                    while rem:
+                        lsb = rem & -rem
+                        i = lsb.bit_length() - 1
+                        rem ^= lsb
                         for neg, sub in recs:
-                            kk = (id(sub), int(i))
-                            hit = mp._rec_cache.get(kk)
+                            kk = (sub.src, i)
+                            hit = rec_cache.get(kk)
                             if hit is None:
-                                hit = _has_match(mp, sub, anchor=int(i))
-                                mp._rec_cache[kk] = hit
+                                hit = _has_match(mp, sub, anchor=i)
+                                rec_cache[kk] = hit
                             if hit == neg:
-                                m[i] = False
+                                m ^= lsb
                                 break
                 acc |= m
-                if acc.all():
+                if acc == full:
                     break
             out &= acc
-            if not out.any():
+            if not out:
                 break
         return out
 
@@ -764,39 +820,40 @@ def _compile_atom_expr(expr: list) -> tuple[str, object]:
 
 def _compile_bond_expr(expr: list | None) -> tuple[str, object]:
     if expr is None:
-        return "~def", lambda mp: (
+        return "b:~def", lambda mp: _to_bits(
             (mp._arrays()["border"] == 1.0) | mp._arrays()["barom"])
     key = "b:" + _expr_key(expr)
 
     def prim(kind):
         if kind == "anyb":
-            return lambda B: np.ones(len(B["border"]), dtype=bool)
+            return lambda mp: (1 << len(mp.border)) - 1
         if kind == "single":
-            return lambda B: B["border"] == 1.0
+            return lambda mp: _to_bits(mp._arrays()["border"] == 1.0)
         if kind == "double":
-            return lambda B: B["border"] == 2.0
+            return lambda mp: _to_bits(mp._arrays()["border"] == 2.0)
         if kind == "triple":
-            return lambda B: B["border"] == 3.0
+            return lambda mp: _to_bits(mp._arrays()["border"] == 3.0)
         if kind == "aromatic":
-            return lambda B: B["barom"]
+            return lambda mp: _to_bits(mp._arrays()["barom"])
         if kind == "ringb":
-            return lambda B: B["bring"]
+            return lambda mp: _to_bits(mp._arrays()["bring"])
         raise SmartsError(f"unknown bond primitive {kind!r}")
 
-    compiled = [[[(neg, prim(kind)) for neg, kind, _ in and_group]
+    compiled = [[[(neg, "b1:" + kind, prim(kind))
+                  for neg, kind, _ in and_group]
                  for and_group in or_group] for or_group in expr]
 
-    def fn(mp: MolProps) -> np.ndarray:
-        B = mp._arrays()
-        nb = len(mp.border)
-        out = np.ones(nb, dtype=bool)
+    def fn(mp: MolProps) -> int:
+        full = (1 << len(mp.border)) - 1
+        bint = mp.bint
+        out = full
         for groups in compiled:
-            acc = np.zeros(nb, dtype=bool)
+            acc = 0
             for and_group in groups:
-                m = np.ones(nb, dtype=bool)
-                for neg, pf in and_group:
-                    pm = pf(B)
-                    m &= ~pm if neg else pm
+                m = full
+                for neg, pk, pf in and_group:
+                    pm = bint(pk, pf)
+                    m &= (pm ^ full) if neg else pm
                 acc |= m
             out &= acc
         return out
@@ -836,7 +893,7 @@ def _eval_prim(mp: MolProps, i: int, kind: str, arg) -> bool:
     if kind == "iso":
         return mp.iso[i] == arg
     if kind == "rec":
-        key = (id(arg), i)
+        key = (arg.src, i)
         hit = mp._rec_cache.get(key)
         if hit is None:
             hit = _has_match(mp, arg, anchor=i)
@@ -893,44 +950,69 @@ def _eval_bond(mp: MolProps, k: int, expr: list | None) -> bool:
 # matching
 # ---------------------------------------------------------------------------
 
-def _qmasks(mp: MolProps, q: Query) -> tuple[list, list]:
+def _qmasks(mp: MolProps, q: Query) -> tuple[list[int], list[int]]:
     """Per query atom the final candidate mask (compiled expression
     mask AND the structural degree/ring screens) and per query bond
-    the compiled bond mask, both as plain bool lists (list indexing
-    beats ndarray scalar reads in the backtracker).  Cached whole on
-    the MolProps by query src — anchored recursive-environment
-    searches re-enter once per molecule atom and hit the cache."""
+    the compiled bond mask (with the ring-closure bring requirement
+    folded in), all as int bitmasks — per-query combination is a few
+    int ANDs on cached per-expression masks.  Cached whole on the
+    MolProps by query src — anchored recursive-environment searches
+    re-enter once per molecule atom and hit the cache."""
     cached = mp._qmask_cache.get(q.src)
     if cached is not None:
         return cached
-    amasks: list[list[bool]] = []
+    amasks: list[int] = []
     for qi, (key, fn) in enumerate(q.atom_tests):
-        arr = mp.amask(key, fn)
+        bits = mp.aint(key, fn)
         if q.qdeg[qi] > 0:
-            arr = arr & (mp._arrays()["deg"] >= q.qdeg[qi])
+            bits &= mp.deg_at_least(q.qdeg[qi])
         if q.cyc_atom[qi]:
-            arr = arr & mp._arrays()["inring"]
-        amasks.append(arr.tolist())
-    bmasks = [mp.bmask(key, fn) for key, fn in q.bond_tests]
+            bits &= mp.inring_bits()
+        amasks.append(bits)
+    bmasks: list[int] = []
+    for bk, (key, fn) in enumerate(q.bond_tests):
+        bits = mp.bint(key, fn)
+        if q.cyc_bond[bk]:
+            bits &= mp.bring_bits()
+        bmasks.append(bits)
     cached = (amasks, bmasks)
     mp._qmask_cache[q.src] = cached
     return cached
 
 
 def _search(mp: MolProps, q: Query, anchor: int | None,
-            first_only: bool) -> list[tuple[int, ...]]:
+            first_only: bool,
+            distinct_gt: int | None = None) -> list[tuple[int, ...]]:
+    """All embeddings (or the first, with first_only).  With
+    distinct_gt=k the search stops as soon as MORE than k distinct
+    atom SETS have been seen — the MACCS count-threshold keys only
+    need len(distinct) > k, not the full symmetric enumeration."""
     n_q = len(q.atom_exprs)
-    mapping = [-1] * n_q
-    used = [False] * mp.n
-    out: list[tuple[int, ...]] = []
-    order = q.order if anchor is None else q.order_anchored
-    cyc_bond = q.cyc_bond
-    bring, eidx, nbrs = mp.bring, mp.eidx, mp.nbrs
     amasks, bmasks = _qmasks(mp, q)
+    # a query atom (or bond) with zero candidates can never embed —
+    # skip the backtracker outright (common: charge/ring-constrained
+    # patterns surviving the element screens)
+    for am in amasks:
+        if not am:
+            return []
+    for bm in bmasks:
+        if not bm:
+            return []
+    mapping = [-1] * n_q
+    used = 0                      # int bitmask of placed molecule atoms
+    out: list[tuple[int, ...]] = []
+    seen: set[frozenset[int]] = set()
+    order = q.order if anchor is None else q.order_anchored
+    eidx, nbrs = mp.eidx, mp.nbrs
 
     def rec(step: int) -> bool:
+        nonlocal used
         if step == n_q:
             out.append(tuple(mapping))
+            if distinct_gt is not None:
+                seen.add(frozenset(mapping))
+                if len(seen) > distinct_gt:
+                    return True
             return first_only
         qi, edges = order[step]
         am = amasks[qi]
@@ -939,27 +1021,34 @@ def _search(mp: MolProps, q: Query, anchor: int | None,
             pj, pk = edges[0]
             cands = [j for j, _ in nbrs[mapping[pj]]]
         elif anchor is not None and step == 0:
-            cands = [anchor]
+            cands = (anchor,)
         else:
-            cands = [i for i, v in enumerate(am) if v]
+            # ascending set bits of the candidate mask (LSB-first keeps
+            # the pre-bitmask enumerate order, so uniquify picks the
+            # same representative per atom set)
+            cands = []
+            free = am
+            while free:
+                lsb = free & -free
+                cands.append(lsb.bit_length() - 1)
+                free ^= lsb
         for m in cands:
-            if used[m] or not am[m]:
+            if (used >> m) & 1 or not (am >> m) & 1:
                 continue
             ok = True
             for pj, bk in edges:
                 mk = eidx.get((m, mapping[pj]))
-                if mk is None or (cyc_bond[bk] and not bring[mk]) \
-                        or not bmasks[bk][mk]:
+                if mk is None or not (bmasks[bk] >> mk) & 1:
                     ok = False
                     break
             if not ok:
                 continue
             mapping[qi] = m
-            used[m] = True
+            used |= 1 << m
             if rec(step + 1):
                 return True
             mapping[qi] = -1
-            used[m] = False
+            used ^= 1 << m
         return False
 
     rec(0)
