@@ -15,8 +15,10 @@ T.81 — 12-bit decodes to uint16), grayscale or YCbCr 4:4:4 / 4:2:2 /
 7 late — ARITHMETIC coding, both sequential (SOF9) and progressive
 (SOF10), via the T.81 Annex D QM-coder in `operators/jpeg_arith.py`,
 validated bit-exact against libjpeg coefficient dumps on 11 real
-streams.  Only lossless/hierarchical and CMYK streams raise
-ValueError (the media dispatcher falls back to the stub).
+streams — and, round 8, LOSSLESS (SOF3, T.81 Annex H: the seven
+neighbor predictors + point transform, 2-16 bit samples, no DCT).
+Only hierarchical and CMYK streams raise ValueError (the media
+dispatcher falls back to the stub).
 
 Design notes:
 
@@ -329,6 +331,105 @@ def encode_jpeg(rgb: np.ndarray, subsample: bool = False,
     return bytes(out)
 
 
+# Flat DC-style Huffman table for lossless streams: SSSS categories
+# 0..16 (category 16 = the special diff=32768 symbol), all at 5 bits —
+# canonical and Kraft-valid (17 * 2^-5 < 1).
+_DC_LOSSLESS = ([0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                list(range(17)))
+
+
+def encode_jpeg_lossless(img: np.ndarray, predictor: int = 1,
+                         pt: int = 0, bits: int | None = None,
+                         restart_interval: int = 0) -> bytes:
+    """Lossless (SOF3) encoder — test support for `_decode_lossless`.
+
+    `img`: (H, W) or (H, W, C<=4) non-negative integers; `bits` is the
+    sample precision (default: smallest 2..16 that fits the data).
+    Components are written in one interleaved scan at 1x1 sampling
+    (what real lossless writers emit).  The point transform Pt drops
+    `pt` low bits before prediction (the decoder shifts back — the
+    round-trip then reconstructs img with the low bits zeroed).
+    """
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nc = img.shape
+    if nc > 4:
+        raise ValueError(f"unsupported component count {nc}")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"bad lossless predictor {predictor}")
+    if bits is None:
+        bits = max(2, int(img.max()).bit_length())
+    if not 2 <= bits <= 16:
+        raise ValueError(f"unsupported sample precision {bits}")
+    samples = (img.astype(np.int64) >> pt)
+    default = 1 << (bits - pt - 1)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DHT: one table (class 0, id 0) shared by every component
+    tbits, tvals = _DC_LOSSLESS
+    seg = bytes([0x00]) + bytes(tbits) + bytes(tvals)
+    out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+    # SOF3
+    sof = bytes([bits]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc3" + (len(sof) + 2).to_bytes(2, "big") + sof
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
+    # SOS: Ss = predictor, Se = 0, Ah = 0, Al = Pt
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    codes = _build_huffman(tbits, tvals)
+    wtr = _BitWriter()
+    rstart = [(0, 0)] * nc
+    rst = 0
+    mcu_count = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                for ci in range(nc):
+                    rstart[ci] = (y, x)
+            for ci in range(nc):
+                p = samples[:, :, ci]
+                ry, rx = rstart[ci]
+                if y == ry and x >= rx:
+                    px = default if x == rx else int(p[y, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    ra, rb, rc = (int(p[y, x - 1]), int(p[y - 1, x]),
+                                  int(p[y - 1, x - 1]))
+                    px = (ra, rb, rc, ra + rb - rc,
+                          ra + ((rb - rc) >> 1), rb + ((ra - rc) >> 1),
+                          (ra + rb) >> 1)[predictor - 1]
+                diff = (int(p[y, x]) - px) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536
+                if diff == -32768:            # category 16, no extra bits
+                    c, l = codes[16]
+                    wtr.write(c, l)
+                else:
+                    size, ebits = _magnitude(diff)
+                    c, l = codes[size]
+                    wtr.write(c, l)
+                    if size:
+                        wtr.write(ebits, size)
+            mcu_count += 1
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_progressive(rgb: np.ndarray) -> bytes:
     """Progressive (SOF2) JFIF encoder — test support for the
     progressive decoder: writes the SAME quantized coefficients as
@@ -593,7 +694,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     Reads DQT/DHT/SOF0/SOF1/SOF2/SOS/DRI from the stream; supports 8-
     and 12-bit sequential AND progressive with 4:4:4, 4:2:2 or 4:2:0
     sampling and restart intervals.  Raises ValueError for arithmetic
-    coding, lossless/hierarchical or >3 components."""
+    Lossless (SOF3) streams decode per Annex H (see _decode_lossless;
+    2-16 bit, returns uint8/uint16 without color transform).  Raises
+    ValueError for hierarchical streams or >3 DCT components."""
     d = payload
     if len(d) < 4 or d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -689,10 +792,26 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 else:
                     arith_cond["ac"][tb] = val                    # Kx
                 b = b[2:]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
+        elif marker == 0xC3:  # SOF3 lossless (round 8, T.81 Annex H)
+            prec = body[0]
+            if not 2 <= prec <= 16:
+                raise ValueError(f"unsupported precision {prec}")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc < 1 or nc > 4:
+                raise ValueError(f"unsupported component count {nc}")
+            comps = []
+            for ci in range(nc):
+                cid, samp, qid = body[6 + 3 * ci: 9 + 3 * ci]
+                comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF,
+                              "q": qid})
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
+                     "lossless": True}
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF type {marker:02x} "
-                             "(lossless/hierarchical)")
+                             "(hierarchical)")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -714,6 +833,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, tsel = body[1 + 2 * si: 3 + 2 * si]
                 scan[cid] = (tsel >> 4, tsel & 0xF)
             data_pos = pos + 2 + size
+            if frame.get("lossless"):
+                predictor = body[1 + 2 * ns]          # Ss = selection 1..7
+                pt = body[3 + 2 * ns] & 0xF           # Al = point transform
+                return _decode_lossless(d, data_pos, frame, scan, htabs,
+                                        predictor, pt, restart_interval)
             if frame.get("arith"):
                 from ifeatureomega_cli_spark.operators.jpeg_arith import (
                     decode_arith_scan)
@@ -780,6 +904,121 @@ def _decode_scan(d, pos, frame, scan, qtabs, htabs, restart_interval):
                         planes[ci][y0: y0 + 8, x0: x0 + 8] = px
             mcu_count += 1
     return _planes_to_image(frame, planes)
+
+
+def _decode_lossless(d, pos, frame, scan, htabs, predictor, pt,
+                     restart_interval) -> np.ndarray:
+    """SOF3 lossless scan (round 8, ITU T.81 Annex H): no DCT, no
+    quantization — each sample is a Huffman-coded difference (DC-style
+    SSSS category + extended bits; SSSS=16 means diff=32768 with no
+    extra bits) from a neighbor prediction:
+
+        1 Ra   2 Rb   3 Rc   4 Ra+Rb-Rc
+        5 Ra+((Rb-Rc)>>1)   6 Rb+((Ra-Rc)>>1)   7 (Ra+Rb)>>1
+
+    First sample of the scan (and of each restart interval) predicts
+    the midpoint 2^(P-Pt-1); the rest of that first line uses Ra; the
+    first sample of every later line uses Rb (H.1.1).  Arithmetic is
+    modulo 2^16; decoded values are shifted left by the point
+    transform Pt.  No color transform runs — lossless components are
+    emitted as-is (grayscale or RGB-like planes), per common practice
+    (the standard defines none for SOF3).
+
+    Scope: single-component scans at any sampling, or interleaved
+    multi-component scans with uniform 1x1 sampling (what real
+    lossless writers emit); other layouts raise ValueError.
+    """
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    prec = frame["prec"]
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"bad lossless predictor {predictor}")
+    scomps = [c for c in comps if c["id"] in scan]
+    interleaved = len(scomps) > 1
+    if interleaved and any(c["hs"] != 1 or c["vs"] != 1 for c in scomps):
+        raise ValueError("subsampled interleaved lossless scan")
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    dims = []
+    for c in scomps:
+        dims.append((-(-h * c["vs"] // vmax), -(-w * c["hs"] // hmax)))
+    planes = [np.zeros(dim, dtype=np.int32) for dim in dims]
+    tabs = [htabs[(0, scan[c["id"]][0])] for c in scomps]
+    default = 1 << (prec - pt - 1)
+    r = _BitReader(d, pos)
+
+    def read_diff(tab) -> int:
+        ssss = _decode_huff(r, tab)
+        if ssss == 0:
+            return 0
+        if ssss == 16:
+            return 32768
+        return _extend(r.receive(ssss), ssss)
+
+    # restart bookkeeping: (row, col) of the first sample after the
+    # most recent restart, per plane — the H.1.1 start-of-scan rules
+    # re-apply from that position
+    rstart = [(0, 0)] * len(planes)
+
+    def place(pi: int, y: int, x: int, diff: int):
+        p = planes[pi]
+        ry, rx = rstart[pi]
+        if y == ry and x >= rx:
+            if x == rx:
+                px = default
+            else:
+                px = p[y, x - 1]                        # Ra
+        elif x == 0:
+            px = p[y - 1, 0]                            # Rb
+        else:
+            ra = int(p[y, x - 1])
+            rb = int(p[y - 1, x])
+            rc = int(p[y - 1, x - 1])
+            if predictor == 1:
+                px = ra
+            elif predictor == 2:
+                px = rb
+            elif predictor == 3:
+                px = rc
+            elif predictor == 4:
+                px = ra + rb - rc
+            elif predictor == 5:
+                px = ra + ((rb - rc) >> 1)
+            elif predictor == 6:
+                px = rb + ((ra - rc) >> 1)
+            else:
+                px = (ra + rb) >> 1
+        p[y, x] = (int(px) + diff) & 0xFFFF
+
+    if interleaved:
+        ph, pw = dims[0]
+        mcu_count = 0
+        for y in range(ph):
+            for x in range(pw):
+                if restart_interval and mcu_count and \
+                        mcu_count % restart_interval == 0:
+                    r.align_restart()
+                    for pi in range(len(planes)):
+                        rstart[pi] = (y, x)
+                for pi in range(len(planes)):
+                    place(pi, y, x, read_diff(tabs[pi]))
+                mcu_count += 1
+    else:
+        ph, pw = dims[0]
+        mcu_count = 0
+        for y in range(ph):
+            for x in range(pw):
+                if restart_interval and mcu_count and \
+                        mcu_count % restart_interval == 0:
+                    r.align_restart()
+                    rstart[0] = (y, x)
+                place(0, y, x, read_diff(tabs[0]))
+                mcu_count += 1
+
+    maxval = (1 << prec) - 1
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    out = [np.clip(p.astype(np.int64) << pt, 0, maxval)
+           .astype(dtype)[:h, :w] for p in planes]
+    return np.stack(out, axis=2)
 
 
 def _planes_to_image(frame, planes) -> np.ndarray:

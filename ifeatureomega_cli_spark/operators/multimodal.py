@@ -28,9 +28,9 @@ and tested.  Decoding is split honestly by what pure numpy can do:
   (`operators/jpeg_arith.py`: T.81 QM-coder with the state table
   PROBED from the system libjpeg, validated bit-exact against libjpeg
   coefficient dumps on 11 real streams).
+  Round 8 adds LOSSLESS (SOF3) JPEG — Annex H predictors, 2-16 bit.
 * STUBBED: what genuinely needs ffmpeg-class dependencies
-  (H.264/H.265/VP9 inter-frame codecs) plus lossless/hierarchical
-  JPEG —
+  (H.264/H.265/VP9 inter-frame codecs) plus hierarchical JPEG —
   `decode_image_stub` (deterministic fake) stands in, swap for
   PIL/torchaudio/ffmpeg on a real cluster.
 
@@ -462,13 +462,14 @@ def decode_media(payload: bytes, out_dim: int = 16) -> tuple[str, np.ndarray]:
             from ifeatureomega_cli_spark.operators.jpeg import decode_jpeg
 
             img = decode_jpeg(payload)
-            if img.dtype == np.uint16:   # 12-bit stream → 8-bit features
-                img = (img >> 4).astype(np.uint8)
+            if img.dtype == np.uint16:   # >8-bit stream → 8-bit features
+                shift = max(0, int(img.max()).bit_length() - 8)
+                img = (img >> shift).astype(np.uint8)
             if img.shape[2] < 3:
                 img = np.repeat(img[:, :, :1], 3, axis=2)
             return "jpeg", image_features(img)
         except ValueError:
-            pass  # JPEG magic but lossless/hierarchical/corrupt → stub
+            pass  # JPEG magic but hierarchical/CMYK/corrupt → stub
     return "stub", decode_image_stub(payload, out_dim)
 
 

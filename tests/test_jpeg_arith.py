@@ -121,12 +121,19 @@ def test_progressive_arith_matches_huffman_progressive():
     assert decode_media(payload)[0] == "jpeg"
 
 
-def test_lossless_sof_honest_boundary():
+def test_hierarchical_sof_honest_boundary():
+    """Round 8 made SOF3 lossless REAL (test_jpeg_lossless.py); the
+    honest refusal boundary is now hierarchical.  A DCT stream
+    relabeled SOF3 still raises — its Ss=0 is not a valid lossless
+    predictor — just with the lossless decoder's own message."""
     payload = bytearray(open(os.path.join(FIXDIR, "seq444_q90.jpg"),
                              "rb").read())
     at = bytes(payload).find(b"\xff\xc9")
-    payload[at + 1] = 0xC3                # rewrite SOF9 → SOF3 lossless
-    with pytest.raises(ValueError, match="SOF type c3"):
+    payload[at + 1] = 0xCD                # rewrite SOF9 → differential
+    with pytest.raises(ValueError, match="SOF type cd"):
+        decode_jpeg(bytes(payload))
+    payload[at + 1] = 0xC3                # relabel as lossless
+    with pytest.raises(ValueError, match="predictor"):
         decode_jpeg(bytes(payload))
 
 
