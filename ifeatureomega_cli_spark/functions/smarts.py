@@ -147,10 +147,6 @@ class Query:
     cyc_bond: list = field(default_factory=list)
     cyc_atom: list = field(default_factory=list)
     order_anchored: list = field(default_factory=list)
-    # (kind, arg) when the atom expr is one positive primitive (the
-    # common case in the MACCS table) — lets the matcher skip the
-    # nested ;/,/& evaluator; None otherwise
-    simple: list = field(default_factory=list)
     # compiled vectorized tests (round 8): per atom/bond expression a
     # (canonical key, mask fn) pair; MolProps caches masks by key
     atom_tests: list = field(default_factory=list)
@@ -213,13 +209,6 @@ class Query:
         seed = max(range(n),
                    key=lambda i: (_sel_score(self.atom_exprs[i]), -i))
         self.order = (self.order_anchored if seed == 0 else build(seed))
-        self.simple = []
-        for expr in self.atom_exprs:
-            if (len(expr) == 1 and len(expr[0]) == 1
-                    and len(expr[0][0]) == 1 and not expr[0][0][0][0]):
-                self.simple.append(expr[0][0][0][1:])
-            else:
-                self.simple.append(None)
         self.atom_tests = [_compile_atom_expr(e) for e in self.atom_exprs]
         self.bond_tests = [_compile_bond_expr(e) for _, _, e in self.bonds]
 
@@ -862,7 +851,13 @@ def _compile_bond_expr(expr: list | None) -> tuple[str, object]:
 
 
 # ---------------------------------------------------------------------------
-# evaluation
+# scalar reference evaluation
+#
+# The matcher runs on the compiled int-bitmask path above; these
+# per-atom/per-bond evaluators are the independent REFERENCE semantics
+# — simple, direct transcriptions of the precedence ladder — kept as
+# the differential oracle the compiled path is tested against
+# (tests/test_smarts.py::test_compiled_masks_match_scalar_reference).
 # ---------------------------------------------------------------------------
 
 def _eval_prim(mp: MolProps, i: int, kind: str, arg) -> bool:

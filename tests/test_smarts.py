@@ -207,3 +207,45 @@ def test_parse_errors():
     for bad in ("C(", "C1CC", "[C", "C)", ""):
         with pytest.raises(SmartsError):
             parse_smarts(bad)
+
+
+# -- compiled path vs scalar reference ---------------------------------
+
+
+def test_compiled_masks_match_scalar_reference():
+    """Differential oracle: the int-bitmask compiled evaluation (the
+    production matcher path, round 8) must agree bit-for-bit with the
+    scalar precedence-ladder evaluators on every atom/bond expression
+    of every MACCS pattern, over a panel spanning aromatics, charges,
+    rings, chains and multi-fragment molecules."""
+    from ifeatureomega_cli_spark.functions.chemdesc_maccs import MACCS_SMARTS
+    from ifeatureomega_cli_spark.functions.smarts import (
+        MolProps, _eval_atom, _eval_bond)
+
+    panel = [
+        "c1ccccc1", "CCO", "CC(=O)Oc1ccccc1C(=O)O", "C1CCNCC1",
+        "O=[N+]([O-])c1ccc(Cl)cc1", "CSCC(N)C(=O)O", "ClC(Cl)(Cl)C",
+        "O=S(=O)(N)c1ccc(N)cc1", "c1ccc2ccccc2c1", "CC(C)(C)C",
+        "[Na+].[Cl-]", "C#N", "OCC1CCCCC1", "c1ccncc1",
+    ]
+    mols = [parse_smiles(s) for s in panel]
+    patterns = sorted({p for p, _ in MACCS_SMARTS.values() if p != "?"})
+    assert len(patterns) > 100
+    for patt in patterns:
+        q = parse_smarts(patt)
+        for mol in mols:
+            mp = MolProps(mol)
+            for qi, (key, fn) in enumerate(q.atom_tests):
+                bits = mp.aint(key, fn)
+                want = [_eval_atom(mp, i, q.atom_exprs[qi])
+                        for i in range(mp.n)]
+                got = [(bits >> i) & 1 == 1 for i in range(mp.n)]
+                assert got == want, (patt, qi, panel[mols.index(mol)])
+            for bk, (key, fn) in enumerate(q.bond_tests):
+                bits = mp.bint(key, fn)
+                expr = q.bonds[bk][2]
+                want = [_eval_bond(mp, k, expr)
+                        for k in range(len(mp.border))]
+                got = [(bits >> k) & 1 == 1
+                       for k in range(len(mp.border))]
+                assert got == want, (patt, bk)
