@@ -16,9 +16,11 @@ T.81 — 12-bit decodes to uint16), grayscale or YCbCr 4:4:4 / 4:2:2 /
 (SOF10), via the T.81 Annex D QM-coder in `operators/jpeg_arith.py`,
 validated bit-exact against libjpeg coefficient dumps on 11 real
 streams — and, round 8, LOSSLESS (SOF3, T.81 Annex H: the seven
-neighbor predictors + point transform, 2-16 bit samples, no DCT).
-Only hierarchical and CMYK streams raise ValueError (the media
-dispatcher falls back to the stub).
+neighbor predictors + point transform, 2-16 bit samples, no DCT) and
+HIERARCHICAL (DHP, Annex J: EXP reference expansion + differential
+SOF5/SOF7 frames).  The full T.81 decode surface is covered except
+CMYK color and progressive/arithmetic frames inside a hierarchy,
+which raise ValueError (the media dispatcher falls back to the stub).
 
 Design notes:
 
@@ -430,6 +432,170 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 1,
     return bytes(out)
 
 
+def _lossless_entropy(samples: np.ndarray, codes, predictor: int,
+                      default: int, diff_src: np.ndarray | None) -> bytes:
+    """Entropy-code a (H, W, C) sample array for a lossless frame.
+    diff_src=None: neighbor prediction per Annex H (predictor 1-7,
+    scan-start default).  diff_src given: DIFFERENTIAL frame — code
+    samples-minus-diff_src mod 2^16 (Annex J.2.3, no prediction)."""
+    h, w, nc = samples.shape
+    wtr = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                p = samples[:, :, ci]
+                if diff_src is not None:
+                    px = int(diff_src[y, x, ci])
+                elif y == 0:
+                    px = default if x == 0 else int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    ra, rb, rc = (int(p[y, x - 1]), int(p[y - 1, x]),
+                                  int(p[y - 1, x - 1]))
+                    px = (ra, rb, rc, ra + rb - rc,
+                          ra + ((rb - rc) >> 1), rb + ((ra - rc) >> 1),
+                          (ra + rb) >> 1)[predictor - 1]
+                diff = (int(p[y, x]) - px) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536
+                if diff == -32768:
+                    c, l = codes[16]
+                    wtr.write(c, l)
+                else:
+                    size, ebits = _magnitude(diff)
+                    c, l = codes[size]
+                    wtr.write(c, l)
+                    if size:
+                        wtr.write(ebits, size)
+    wtr.flush()
+    return bytes(wtr.out)
+
+
+def _sof_segment(marker: int, bits: int, h: int, w: int, nc: int) -> bytes:
+    sof = bytes([bits]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    return bytes([0xFF, marker]) + (len(sof) + 2).to_bytes(2, "big") + sof
+
+
+def encode_jpeg_hierarchical(img: np.ndarray, levels: int = 2,
+                             lossless: bool = True, predictor: int = 1,
+                             bits: int | None = None) -> bytes:
+    """Hierarchical (DHP, Annex J) encoder — test support for
+    `_decode_hierarchical`.
+
+    Builds a `levels`-deep decimation pyramid; the coarsest level is a
+    non-differential frame, each finer level an EXP + differential
+    frame against the expanded reconstruction.  lossless=True writes
+    an SOF3 + SOF7 chain — exact round-trip by construction (the
+    lossless base reconstructs bit-identically, so every differential
+    closes).  lossless=False (grayscale only) writes an SOF0 + SOF5
+    DCT chain with a unit quant table on the differentials, closed-
+    loop against this module's own decoder.
+    """
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nc = img.shape
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    if bits is None:
+        bits = max(2, int(img.max()).bit_length()) if lossless else 8
+    pyramid = [img.astype(np.int64)]
+    for _ in range(levels - 1):
+        pyramid.append(pyramid[-1][::2, ::2])
+    pyramid.reverse()               # coarsest first
+
+    out = bytearray(b"\xff\xd8")
+    dhp = _sof_segment(0xDE, bits, h, w, nc)
+    out += dhp
+    if lossless:
+        tbits, tvals = _DC_LOSSLESS
+        seg = bytes([0x00]) + bytes(tbits) + bytes(tvals)
+        out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+        codes = _build_huffman(tbits, tvals)
+        default = 1 << (bits - 1)
+        recon = None
+        for li, level in enumerate(pyramid):
+            lh, lw = level.shape[:2]
+            if li == 0:
+                out += _sof_segment(0xC3, bits, lh, lw, nc)
+                sos = bytes([nc])
+                for ci in range(nc):
+                    sos += bytes([ci + 1, 0x00])
+                sos += bytes([predictor, 0, 0])
+                out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+                out += _lossless_entropy(level, codes, predictor,
+                                         default, None)
+                recon = level
+            else:
+                ref = np.stack([_expand_ref(recon[:, :, ci], 1, 1)
+                                for ci in range(nc)], axis=2)[:lh, :lw]
+                out += b"\xff\xdf\x00\x03\x11"          # EXP both axes
+                out += _sof_segment(0xC7, bits, lh, lw, nc)
+                sos = bytes([nc])
+                for ci in range(nc):
+                    sos += bytes([ci + 1, 0x00])
+                sos += bytes([0, 0, 0])                 # Ss=0: differential
+                out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+                out += _lossless_entropy(level, codes, 0, default, ref)
+                recon = level                           # exact closure
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # DCT chain (grayscale): embed the coarsest level as this module's
+    # own sequential encoding (segments reused verbatim), then unit-
+    # quant differential frames closed against our decoder.
+    if nc != 1:
+        raise ValueError("DCT hierarchical encoder supports grayscale")
+    base = pyramid[0][:, :, 0].astype(np.uint8)
+    base_bytes = encode_jpeg(base)
+    out += base_bytes[2:-2]                    # strip SOI/EOI
+    recon = decode_jpeg(base_bytes)[:, :, 0].astype(np.int64)
+    q1 = np.ones((8, 8), dtype=np.int32)
+    for level in pyramid[1:]:
+        lh, lw = level.shape[:2]
+        ref = _expand_ref(recon, 1, 1)[:lh, :lw]
+        diff = level[:, :, 0] - ref
+        # DQT id 1: unit table for the differential
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0x01]) \
+            + bytes(q1.ravel()[_ZIGZAG].astype(np.uint8).tolist())
+        # flat extended tables (class 0/1, id 1) cover the diff range
+        for tclass, (tb, tv) in ((0, _DC_EXT), (1, _AC_EXT)):
+            seg = bytes([(tclass << 4) | 0x01]) + bytes(tb) + bytes(tv)
+            out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+        out += b"\xff\xdf\x00\x03\x11"
+        out += _sof_segment(0xC5, 8, lh, lw, 1)
+        out[-1] = 0x01                          # frame's quant id -> 1
+        sos = bytes([1, 1, 0x11, 0, 63, 0])
+        out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+        dc_codes = _build_huffman(*_DC_EXT)
+        ac_codes = _build_huffman(*_AC_EXT)
+        ph, pw = -(-lh // 8) * 8, -(-lw // 8) * 8
+        padded = np.zeros((ph, pw), dtype=np.float64)
+        padded[:lh, :lw] = diff
+        wtr = _BitWriter()
+        pred = 0
+        rec_diff = np.zeros((ph, pw), dtype=np.int64)
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                block = padded[by: by + 8, bx: bx + 8]
+                pred = _encode_block(wtr, block, q1, dc_codes, ac_codes,
+                                     pred, center=0)
+                # closed loop: decoder-side rounded IDCT of the
+                # quantized coefficients
+                coef = np.round(_DCT @ block @ _DCT.T)
+                rec_diff[by: by + 8, bx: bx + 8] = np.rint(
+                    _DCT.T @ coef @ _DCT)
+        wtr.flush()
+        out += wtr.out
+        # mirror the decoder: reference components are clamped images
+        recon = np.clip(ref + rec_diff[:lh, :lw], 0, 255)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_progressive(rgb: np.ndarray) -> bytes:
     """Progressive (SOF2) JFIF encoder — test support for the
     progressive decoder: writes the SAME quantized coefficients as
@@ -695,8 +861,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     and 12-bit sequential AND progressive with 4:4:4, 4:2:2 or 4:2:0
     sampling and restart intervals.  Raises ValueError for arithmetic
     Lossless (SOF3) streams decode per Annex H (see _decode_lossless;
-    2-16 bit, returns uint8/uint16 without color transform).  Raises
-    ValueError for hierarchical streams or >3 DCT components."""
+    2-16 bit, returns uint8/uint16 without color transform);
+    hierarchical (DHP) progressions per Annex J (see
+    _decode_hierarchical).  Raises ValueError for CMYK (>3 DCT
+    components) and for differential frames outside a hierarchy."""
     d = payload
     if len(d) < 4 or d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -808,10 +976,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                               "q": qid})
             frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "lossless": True}
+        elif marker == 0xDE:  # DHP: hierarchical progression (round 8)
+            return _decode_hierarchical(d, pos, qtabs, htabs)
         elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF type {marker:02x} "
-                             "(hierarchical)")
+                             "(differential frame outside a "
+                             "hierarchical progression)")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -851,8 +1022,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def _decode_scan(d, pos, frame, scan, qtabs, htabs, restart_interval):
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
     center = 1 << (frame.get("prec", 8) - 1)   # 128 (8-bit) / 2048 (12-bit)
+    planes, _ = _scan_planes(d, pos, frame, scan, qtabs, htabs,
+                             restart_interval, center)
+    return _planes_to_image(frame, planes)
+
+
+def _scan_planes(d, pos, frame, scan, qtabs, htabs, restart_interval,
+                 center):
+    """Sequential-DCT MCU loop → (per-component planes, end position).
+    `center` is the IDCT level shift — 2^(P-1) for a normal frame, 0
+    for a DIFFERENTIAL frame in a hierarchical progression (Annex J:
+    differential frames code source-minus-reference, which has no
+    level shift)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -903,7 +1086,7 @@ def _decode_scan(d, pos, frame, scan, qtabs, htabs, restart_interval):
                         x0 = (mx * c["hs"] + bx) * 8
                         planes[ci][y0: y0 + 8, x0: x0 + 8] = px
             mcu_count += 1
-    return _planes_to_image(frame, planes)
+    return planes, _next_marker(d, r.pos)
 
 
 def _decode_lossless(d, pos, frame, scan, htabs, predictor, pt,
@@ -928,9 +1111,27 @@ def _decode_lossless(d, pos, frame, scan, htabs, predictor, pt,
     multi-component scans with uniform 1x1 sampling (what real
     lossless writers emit); other layouts raise ValueError.
     """
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    h, w = frame["h"], frame["w"]
     prec = frame["prec"]
-    if not 1 <= predictor <= 7:
+    planes, _ = _lossless_planes(d, pos, frame, scan, htabs, predictor,
+                                 pt, restart_interval)
+    maxval = (1 << prec) - 1
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    out = [np.clip(p.astype(np.int64) << pt, 0, maxval)
+           .astype(dtype)[:h, :w] for p in planes]
+    return np.stack(out, axis=2)
+
+
+def _lossless_planes(d, pos, frame, scan, htabs, predictor, pt,
+                     restart_interval, diff_mode=False):
+    """Lossless sample loop → (per-component int32 planes, end
+    position).  With diff_mode (differential frame in a hierarchical
+    progression, SOF7) there is NO neighbor prediction — each decoded
+    value is the raw signed difference from the reference component
+    (Annex J.2.3); the caller adds it to the reference mod 2^16."""
+    prec = frame["prec"]
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    if not diff_mode and not 1 <= predictor <= 7:
         raise ValueError(f"bad lossless predictor {predictor}")
     scomps = [c for c in comps if c["id"] in scan]
     interleaved = len(scomps) > 1
@@ -961,6 +1162,9 @@ def _decode_lossless(d, pos, frame, scan, htabs, predictor, pt,
 
     def place(pi: int, y: int, x: int, diff: int):
         p = planes[pi]
+        if diff_mode:          # raw signed difference, no prediction
+            p[y, x] = diff
+            return
         ry, rx = rstart[pi]
         if y == ry and x >= rx:
             if x == rx:
@@ -1014,11 +1218,214 @@ def _decode_lossless(d, pos, frame, scan, htabs, predictor, pt,
                 place(0, y, x, read_diff(tabs[0]))
                 mcu_count += 1
 
+    return planes, _next_marker(d, r.pos)
+
+
+def _expand_ref(p: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """EXP reference expansion (T.81 J.1.1.2): double the plane
+    horizontally and/or vertically — even outputs copy the input
+    sample, odd outputs are the rounded mean of the two neighbors,
+    the last column/row replicates the edge."""
+    if eh:
+        h_, w_ = p.shape
+        q = np.empty((h_, 2 * w_), dtype=p.dtype)
+        q[:, 0::2] = p
+        if w_ > 1:
+            q[:, 1:-1:2] = (p[:, :-1] + p[:, 1:] + 1) >> 1
+        q[:, -1] = p[:, -1]
+        p = q
+    if ev:
+        h_, w_ = p.shape
+        q = np.empty((2 * h_, w_), dtype=p.dtype)
+        q[0::2, :] = p
+        if h_ > 1:
+            q[1:-1:2, :] = (p[:-1, :] + p[1:, :] + 1) >> 1
+        q[-1, :] = p[-1, :]
+        p = q
+    return p
+
+
+def _decode_hierarchical(d, pos, qtabs, htabs) -> np.ndarray:
+    """Hierarchical progression driver (round 8, T.81 Annex J).
+
+    `pos` points at the DHP marker.  The progression is a sequence of
+    frames: the first non-differential (SOF0/1 sequential DCT or SOF3
+    lossless, possibly at reduced resolution), later frames
+    DIFFERENTIAL (SOF5 sequential DCT / SOF7 lossless) coding
+    source-minus-reference, where the reference is the accumulated
+    reconstruction, optionally doubled by a preceding EXP marker.
+    Reference accumulation is int32; DCT differentials add rounded
+    IDCT output (no level shift), lossless differentials add mod 2^16.
+    Final assembly clamps to [0, 2^P-1]; a 3-component DCT progression
+    converts YCbCr like the non-hierarchical path, lossless
+    progressions stack components raw (same conventions as the
+    corresponding non-hierarchical decoders).
+
+    Scope (honest): Huffman frames only, uniform 1x1 sampling across
+    components, single-scan frames; progressive (SOF6/2) or
+    arithmetic (SOF13-15/9-11) frames inside a hierarchy raise
+    ValueError.  DNL segments are skipped.
+    """
+    size = int.from_bytes(d[pos + 2: pos + 4], "big")
+    body = d[pos + 4: pos + 2 + size]
+    prec = body[0]
+    h = int.from_bytes(body[1:3], "big")
+    w = int.from_bytes(body[3:5], "big")
+    nc = body[5]
+    dhp_comps = []
+    for ci in range(nc):
+        cid, samp, qid = body[6 + 3 * ci: 9 + 3 * ci]
+        if samp != 0x11:
+            raise ValueError("hierarchical: only 1x1 sampling supported")
+        dhp_comps.append({"id": cid, "hs": 1, "vs": 1, "q": qid})
+    pos += 2 + size
+
+    refs: dict[int, np.ndarray] = {}
+    pending_exp: tuple[int, int] | None = None
+    restart_interval = 0
+    frame = None
+    initial_lossless = None
+    while pos + 2 <= len(d):
+        if d[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = d[pos + 1]
+        if marker == 0xD9:  # EOI — progression complete
+            break
+        size = int.from_bytes(d[pos + 2: pos + 4], "big")
+        body = d[pos + 4: pos + 2 + size]
+        if marker == 0xDB:
+            b = body
+            while b:
+                tprec, tid = b[0] >> 4, b[0] & 0xF
+                n = 64 * (2 if tprec else 1)
+                raw = np.frombuffer(b[1: 1 + n],
+                                    dtype=">u2" if tprec else np.uint8)
+                q = np.zeros(64, dtype=np.int32)
+                q[_ZIGZAG] = raw
+                qtabs[tid] = q.reshape(8, 8)
+                b = b[1 + n:]
+        elif marker == 0xC4:
+            b = body
+            while b:
+                tclass, tid = b[0] >> 4, b[0] & 0xF
+                bits = list(b[1:17])
+                nval = sum(bits)
+                vals = list(b[17: 17 + nval])
+                htabs[(tclass, tid)] = _build_decoder(bits, vals)
+                b = b[17 + nval:]
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDF:  # EXP
+            pending_exp = (body[0] >> 4, body[0] & 0xF)
+        elif marker == 0xDC:  # DNL — dims come from the SOF here
+            pass
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC7):
+            fprec = body[0]
+            fh = int.from_bytes(body[1:3], "big")
+            fw = int.from_bytes(body[3:5], "big")
+            fnc = body[5]
+            comps = []
+            for ci in range(fnc):
+                cid, samp, qid = body[6 + 3 * ci: 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError(
+                        "hierarchical: only 1x1 sampling supported")
+                comps.append({"id": cid, "hs": 1, "vs": 1, "q": qid})
+            frame = {"h": fh, "w": fw, "comps": comps, "prec": fprec,
+                     "lossless": marker in (0xC3, 0xC7),
+                     "diff": marker in (0xC5, 0xC7)}
+            if initial_lossless is None:
+                initial_lossless = frame["lossless"]
+        elif marker in (0xC2, 0xC6, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported hierarchical frame type "
+                             f"{marker:02x}")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF in hierarchy")
+            ns = body[0]
+            scan = {}
+            for si in range(ns):
+                cid, tsel = body[1 + 2 * si: 3 + 2 * si]
+                scan[cid] = (tsel >> 4, tsel & 0xF)
+            data_pos = pos + 2 + size
+            if frame["lossless"]:
+                predictor = body[1 + 2 * ns]
+                pt = body[3 + 2 * ns] & 0xF
+                if frame["diff"]:
+                    if predictor != 0:
+                        raise ValueError(
+                            "differential lossless scan requires Ss=0")
+                    if pt:
+                        raise ValueError("point transform unsupported "
+                                         "in differential frames")
+                    planes, endpos = _lossless_planes(
+                        d, data_pos, frame, scan, htabs, 0, 0,
+                        restart_interval, diff_mode=True)
+                else:
+                    planes, endpos = _lossless_planes(
+                        d, data_pos, frame, scan, htabs, predictor, pt,
+                        restart_interval)
+                    planes = [p.astype(np.int32) << pt for p in planes]
+            else:
+                center = 0 if frame["diff"] else 1 << (frame["prec"] - 1)
+                fplanes, endpos = _scan_planes(
+                    d, data_pos, frame, scan, qtabs, htabs,
+                    restart_interval, center)
+                planes = [np.rint(p).astype(np.int32) for p in fplanes]
+            scomps = [c for c in frame["comps"] if c["id"] in scan]
+            for plane, c in zip(planes, scomps):
+                plane = plane[:frame["h"], :frame["w"]]
+                if frame["diff"]:
+                    ref = refs.get(c["id"])
+                    if ref is None:
+                        raise ValueError(
+                            f"differential frame for component "
+                            f"{c['id']} with no reference")
+                    if pending_exp:
+                        ref = _expand_ref(ref, *pending_exp)
+                    ref = ref[:frame["h"], :frame["w"]]
+                    if ref.shape != plane.shape:
+                        raise ValueError(
+                            f"reference {ref.shape} does not cover "
+                            f"differential frame {plane.shape}")
+                    if frame["lossless"]:
+                        refs[c["id"]] = (ref + plane) & 0xFFFF
+                    else:
+                        # reference components are reconstructed
+                        # IMAGES — clamp like any decoder output
+                        refs[c["id"]] = np.clip(
+                            ref + plane, 0, (1 << frame["prec"]) - 1)
+                else:
+                    refs[c["id"]] = (plane if frame["lossless"] else
+                                     np.clip(plane, 0,
+                                             (1 << frame["prec"]) - 1))
+            pending_exp = None
+            pos = endpos
+            continue
+        pos += 2 + size
+
+    if initial_lossless is None:
+        raise ValueError("hierarchical progression with no frames")
+    missing = [c["id"] for c in dhp_comps if c["id"] not in refs]
+    if missing:
+        raise ValueError(f"hierarchy ended without components {missing}")
+    planes = []
+    for c in dhp_comps:
+        p = refs[c["id"]]
+        if p.shape != (h, w):
+            raise ValueError(
+                f"component {c['id']} ended at {p.shape}, DHP says "
+                f"{(h, w)} (missing final EXP/differential frame?)")
+        planes.append(p)
     maxval = (1 << prec) - 1
     dtype = np.uint8 if prec <= 8 else np.uint16
-    out = [np.clip(p.astype(np.int64) << pt, 0, maxval)
-           .astype(dtype)[:h, :w] for p in planes]
-    return np.stack(out, axis=2)
+    if initial_lossless or len(planes) == 1:
+        out = [np.clip(p, 0, maxval).astype(dtype) for p in planes]
+        return np.stack(out, axis=2)
+    # DCT color progression: same YCbCr finish as the flat decoders
+    full_frame = {"h": h, "w": w, "comps": dhp_comps, "prec": prec}
+    return _planes_to_image(full_frame,
+                            [p.astype(np.float64) for p in planes])
 
 
 def _planes_to_image(frame, planes) -> np.ndarray:

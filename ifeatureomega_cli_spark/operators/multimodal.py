@@ -28,9 +28,11 @@ and tested.  Decoding is split honestly by what pure numpy can do:
   (`operators/jpeg_arith.py`: T.81 QM-coder with the state table
   PROBED from the system libjpeg, validated bit-exact against libjpeg
   coefficient dumps on 11 real streams).
-  Round 8 adds LOSSLESS (SOF3) JPEG — Annex H predictors, 2-16 bit.
+  Round 8 adds LOSSLESS (SOF3) JPEG — Annex H predictors, 2-16 bit —
+  and HIERARCHICAL (DHP/EXP/SOF5/SOF7) progressions: the full T.81
+  decode surface minus CMYK.
 * STUBBED: what genuinely needs ffmpeg-class dependencies
-  (H.264/H.265/VP9 inter-frame codecs) plus hierarchical JPEG —
+  (H.264/H.265/VP9 inter-frame codecs) —
   `decode_image_stub` (deterministic fake) stands in, swap for
   PIL/torchaudio/ffmpeg on a real cluster.
 

@@ -121,11 +121,12 @@ def test_progressive_arith_matches_huffman_progressive():
     assert decode_media(payload)[0] == "jpeg"
 
 
-def test_hierarchical_sof_honest_boundary():
-    """Round 8 made SOF3 lossless REAL (test_jpeg_lossless.py); the
-    honest refusal boundary is now hierarchical.  A DCT stream
-    relabeled SOF3 still raises — its Ss=0 is not a valid lossless
-    predictor — just with the lossless decoder's own message."""
+def test_differential_sof_honest_boundary():
+    """Round 8 made SOF3 lossless AND DHP hierarchy real; the refusal
+    boundary for bare SOF markers is now a DIFFERENTIAL frame outside
+    a hierarchical progression.  A DCT stream relabeled SOF3 still
+    raises — its Ss=0 is not a valid lossless predictor — just with
+    the lossless decoder's own message."""
     payload = bytearray(open(os.path.join(FIXDIR, "seq444_q90.jpg"),
                              "rb").read())
     at = bytes(payload).find(b"\xff\xc9")
