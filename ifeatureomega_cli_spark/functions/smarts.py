@@ -51,7 +51,18 @@ backtracking subgraph search seeded from query atom 0, candidates
 drawn from neighbours of already-mapped atoms, every query bond
 (tree + ring closure) checked at placement time.  Recursive
 environments are evaluated with the candidate pinned to the
-sub-query's atom 0 and memoised per (sub-query, atom).
+sub-query's atom 0 and memoised per (sub-query source, atom).
+
+Round 8 execution model: every atom/bond expression compiles once
+into int-BITMASK closures (bit i = atom/bond i matches), cached on
+the MolProps by canonical key so expressions AND primitives shared
+across patterns (the MACCS table reuses ``[!#6;!#1]``, ``[R]``,
+``a``...) cost one pass per molecule; the backtracker tests
+candidates with shifts and the per-query screens collapse to int
+ANDs.  The scalar precedence-ladder evaluators remain as the
+independent reference semantics, differentially tested against the
+compiled path over the whole MACCS table
+(tests/test_smarts.py::test_compiled_masks_match_scalar_reference).
 """
 
 from __future__ import annotations
