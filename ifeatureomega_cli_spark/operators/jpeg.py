@@ -18,9 +18,12 @@ validated bit-exact against libjpeg coefficient dumps on 11 real
 streams — and, round 8, LOSSLESS (SOF3, T.81 Annex H: the seven
 neighbor predictors + point transform, 2-16 bit samples, no DCT) and
 HIERARCHICAL (DHP, Annex J: EXP reference expansion + differential
-SOF5/SOF7 frames).  The full T.81 decode surface is covered except
-CMYK color and progressive/arithmetic frames inside a hierarchy,
-which raise ValueError (the media dispatcher falls back to the stub).
+SOF5/SOF7 frames) and Adobe 4-component CMYK/YCCK sequential streams
+(APP14 transform, inverted-ink multiply to RGB).  The full T.81
+decode surface is covered; the remaining refusals are 4-component
+progressive/arithmetic streams and non-Huffman/progressive frames
+inside a hierarchy (ValueError — the media dispatcher falls back to
+the stub).
 
 Design notes:
 
@@ -330,6 +333,70 @@ def encode_jpeg(rgb: np.ndarray, subsample: bool = False,
     wtr.flush()
     out += wtr.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_adobe(cmyk: np.ndarray, ycck: bool = False) -> bytes:
+    """Adobe 4-component sequential encoder — test support for the
+    CMYK/YCCK decode path.  `cmyk`: (H, W, 4) uint8 STORED values
+    (Adobe inverted-ink convention, i.e. stored = 255 - ink).
+    ycck=True forward-converts the first three channels to YCbCr
+    before coding (APP14 transform 2); otherwise they are coded as-is
+    (transform 0).  1x1 sampling, Annex-K luma tables for every
+    component."""
+    if cmyk.ndim != 3 or cmyk.shape[2] != 4:
+        raise ValueError("expected (H, W, 4) stored-CMYK samples")
+    h, w = cmyk.shape[:2]
+    f = cmyk.astype(np.float64)
+    if ycck:
+        c, m, ye = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        comps = [
+            0.299 * c + 0.587 * m + 0.114 * ye,
+            -0.168736 * c - 0.331264 * m + 0.5 * ye + 128,
+            0.5 * c - 0.418688 * m - 0.081312 * ye + 128,
+            f[:, :, 3],
+        ]
+    else:
+        comps = [f[:, :, ci] for ci in range(4)]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    comps = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+             for p in comps]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") \
+            + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xEE, b"Adobe\x00\x64\x00\x00\x00\x00"
+               + bytes([2 if ycck else 0]))
+    out += seg(0xDB, bytes([0]) + bytes(
+        int(x) for x in _QUANT_LUMA.ravel()[_ZIGZAG]))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([4])
+    for ci in range(4):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC0, sof)
+    for tclass, (tbits, tvals) in ((0x00, _DC_LUMA), (0x10, _AC_LUMA)):
+        out += seg(0xC4, bytes([tclass]) + bytes(tbits) + bytes(tvals))
+    sos = bytes([4])
+    for ci in range(4):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    dc = _build_huffman(*_DC_LUMA)
+    ac = _build_huffman(*_AC_LUMA)
+    wtr = _BitWriter()
+    preds = [0] * 4
+    for my in range(ph // 8):
+        for mx in range(pw // 8):
+            for ci in range(4):
+                block = comps[ci][my * 8: my * 8 + 8,
+                                  mx * 8: mx * 8 + 8]
+                preds[ci] = _encode_block(wtr, block, _QUANT_LUMA, dc,
+                                          ac, preds[ci], 128)
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -863,8 +930,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     Lossless (SOF3) streams decode per Annex H (see _decode_lossless;
     2-16 bit, returns uint8/uint16 without color transform);
     hierarchical (DHP) progressions per Annex J (see
-    _decode_hierarchical).  Raises ValueError for CMYK (>3 DCT
-    components) and for differential frames outside a hierarchy."""
+    _decode_hierarchical); Adobe 4-component CMYK/YCCK sequential
+    streams convert to RGB (see _adobe_to_rgb).  Raises ValueError
+    for 4-component progressive/arithmetic streams and differential
+    frames outside a hierarchy."""
     d = payload
     if len(d) < 4 or d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -874,6 +943,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     arith_cond: dict = {"dc": {}, "ac": {}}
     frame = None
     restart_interval = 0
+    adobe_transform = None   # APP14: 0 CMYK, 1 YCbCr, 2 YCCK
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -904,6 +974,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(b[17: 17 + nval])
                 htabs[(tclass, tid)] = _build_decoder(bits, vals)
                 b = b[17 + nval:]
+        elif marker == 0xEE and body[:5] == b"Adobe":  # APP14
+            adobe_transform = body[11] if len(body) > 11 else 0
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 sequential
             prec = body[0]
             if prec not in (8, 12):   # 12-bit: extended sequential (C1)
@@ -911,7 +983,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):   # 4: Adobe CMYK/YCCK (round 8)
                 raise ValueError(f"unsupported component count {nc}")
             comps = []
             for ci in range(nc):
@@ -988,6 +1060,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if len(frame["comps"]) == 4:
+                if frame.get("progressive") or frame.get("arith") \
+                        or frame.get("lossless"):
+                    raise ValueError("4-component (CMYK) supported for "
+                                     "Huffman sequential frames only")
+                # 4 components with no Adobe marker: assume plain CMYK
+                # (libjpeg's convention)
+                frame["adobe"] = (adobe_transform
+                                  if adobe_transform is not None else 0)
             if frame.get("progressive"):
                 # multi-scan driver owns the rest of the stream
                 if frame.get("arith"):
@@ -1448,6 +1529,8 @@ def _planes_to_image(frame, planes) -> np.ndarray:
     if len(full) == 1:
         out = np.clip(np.round(full[0]), 0, maxval).astype(dtype)
         return out[:, :, None]
+    if len(full) == 4:
+        return _adobe_to_rgb(frame, full, center, maxval, dtype)
     y, cb, cr = full
     cb = cb - center
     cr = cr - center
@@ -1456,6 +1539,35 @@ def _planes_to_image(frame, planes) -> np.ndarray:
         y - 0.344136 * cb - 0.714136 * cr,
         y + 1.772 * cb,
     ], axis=2)
+    return np.clip(np.round(rgb), 0, maxval).astype(dtype)
+
+
+def _adobe_to_rgb(frame, full, center, maxval, dtype) -> np.ndarray:
+    """Adobe 4-component finish (round 8).  Adobe streams store
+    INVERTED ink (stored = maxval - ink), so the multiplicative
+    CMYK→RGB model  R = maxval·(1 - C/maxval)·(1 - K/maxval)
+    collapses to  R = stored_C · stored_K / maxval.  transform 2
+    (YCCK) first converts the CMY triplet from YCbCr with the standard
+    coefficients; transform 0 is plain (inverted) CMYK.  transform 1
+    (YCbCr) is invalid for 4 components and rejected."""
+    transform = frame.get("adobe", 0)
+    if transform == 2:                               # YCCK
+        y, cb, cr, k = full
+        cb = cb - center
+        cr = cr - center
+        c = y + 1.402 * cr
+        m = y - 0.344136 * cb - 0.714136 * cr
+        ye = y + 1.772 * cb
+    elif transform == 0:                             # CMYK
+        c, m, ye, k = full
+    else:
+        raise ValueError(f"invalid Adobe transform {transform} for "
+                         "4 components")
+    c = np.clip(c, 0, maxval)
+    m = np.clip(m, 0, maxval)
+    ye = np.clip(ye, 0, maxval)
+    k = np.clip(k, 0, maxval)
+    rgb = np.stack([c * k, m * k, ye * k], axis=2) / maxval
     return np.clip(np.round(rgb), 0, maxval).astype(dtype)
 
 

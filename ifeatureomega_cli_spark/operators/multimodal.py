@@ -29,8 +29,8 @@ and tested.  Decoding is split honestly by what pure numpy can do:
   PROBED from the system libjpeg, validated bit-exact against libjpeg
   coefficient dumps on 11 real streams).
   Round 8 adds LOSSLESS (SOF3) JPEG — Annex H predictors, 2-16 bit —
-  and HIERARCHICAL (DHP/EXP/SOF5/SOF7) progressions: the full T.81
-  decode surface minus CMYK.
+  HIERARCHICAL (DHP/EXP/SOF5/SOF7) progressions, and Adobe
+  4-component CMYK/YCCK sequential decode: the full T.81 surface.
 * STUBBED: what genuinely needs ffmpeg-class dependencies
   (H.264/H.265/VP9 inter-frame codecs) —
   `decode_image_stub` (deterministic fake) stands in, swap for
@@ -471,7 +471,7 @@ def decode_media(payload: bytes, out_dim: int = 16) -> tuple[str, np.ndarray]:
                 img = np.repeat(img[:, :, :1], 3, axis=2)
             return "jpeg", image_features(img)
         except ValueError:
-            pass  # JPEG magic but hierarchical/CMYK/corrupt → stub
+            pass  # JPEG magic but unsupported-variant/corrupt → stub
     return "stub", decode_image_stub(payload, out_dim)
 
 
