@@ -18,10 +18,10 @@ validated bit-exact against libjpeg coefficient dumps on 11 real
 streams — and, round 8, LOSSLESS (SOF3, T.81 Annex H: the seven
 neighbor predictors + point transform, 2-16 bit samples, no DCT) and
 HIERARCHICAL (DHP, Annex J: EXP reference expansion + differential
-SOF5/SOF7 frames) and Adobe 4-component CMYK/YCCK sequential streams
+SOF5/SOF7 frames) and Adobe 4-component CMYK/YCCK streams, sequential AND progressive
 (APP14 transform, inverted-ink multiply to RGB).  The full T.81
 decode surface is covered; the remaining refusals are 4-component
-progressive/arithmetic streams and non-Huffman/progressive frames
+arithmetic/lossless streams and non-Huffman/progressive frames
 inside a hierarchy (ValueError — the media dispatcher falls back to
 the stub).
 
@@ -663,7 +663,7 @@ def encode_jpeg_hierarchical(img: np.ndarray, levels: int = 2,
     return bytes(out)
 
 
-def encode_jpeg_progressive(rgb: np.ndarray) -> bytes:
+def encode_jpeg_progressive(rgb: np.ndarray, cmyk: bool = False) -> bytes:
     """Progressive (SOF2) JFIF encoder — test support for the
     progressive decoder: writes the SAME quantized coefficients as
     `encode_jpeg` (4:4:4 / grayscale), spread over a spectral-selection
@@ -673,10 +673,19 @@ def encode_jpeg_progressive(rgb: np.ndarray) -> bytes:
     decode_jpeg(encode_jpeg(x))`` EXACTLY — a cross-codec differential
     oracle.  Emits per-block EOB0 only (the Annex K tables carry no
     EOBn>0 symbols); the decoder's longer-EOB-run paths are covered by
-    the real-file corpus in tests."""
+    the real-file corpus in tests.
+
+    cmyk=True (round 8): `rgb` is (H, W, 4) STORED Adobe CMYK — the
+    four channels are coded as-is with an APP14 transform-0 marker
+    (4-component progressive)."""
     gray = rgb.ndim == 2
     h, w = rgb.shape[:2]
-    if gray:
+    if cmyk:
+        if rgb.ndim != 3 or rgb.shape[2] != 4:
+            raise ValueError("cmyk=True expects (H, W, 4) stored values")
+        f = rgb.astype(np.float64)
+        comps = [f[:, :, ci] for ci in range(4)]
+    elif gray:
         comps = [rgb.astype(np.float64)]
     else:
         f = rgb.astype(np.float64)
@@ -704,7 +713,10 @@ def encode_jpeg_progressive(rgb: np.ndarray) -> bytes:
             + body
 
     out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if cmyk:
+        out += seg(0xEE, b"Adobe\x00\x64\x00\x00\x00\x00\x00")
+    else:
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     qtabs = [_QUANT_LUMA] + ([] if gray else [_QUANT_CHROMA])
     for tid, qt in enumerate(qtabs):
         out += seg(0xDB, bytes([tid]) + bytes(
@@ -930,10 +942,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     Lossless (SOF3) streams decode per Annex H (see _decode_lossless;
     2-16 bit, returns uint8/uint16 without color transform);
     hierarchical (DHP) progressions per Annex J (see
-    _decode_hierarchical); Adobe 4-component CMYK/YCCK sequential
-    streams convert to RGB (see _adobe_to_rgb).  Raises ValueError
-    for 4-component progressive/arithmetic streams and differential
-    frames outside a hierarchy."""
+    _decode_hierarchical); Adobe 4-component CMYK/YCCK streams
+    (sequential + progressive) convert to RGB (see _adobe_to_rgb).
+    Raises ValueError for 4-component arithmetic/lossless streams and
+    differential frames outside a hierarchy."""
     d = payload
     if len(d) < 4 or d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -998,7 +1010,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):  # 4: Adobe CMYK/YCCK (round 8)
                 raise ValueError(f"unsupported component count {nc}")
             comps = []
             for ci in range(nc):
@@ -1061,10 +1073,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             if len(frame["comps"]) == 4:
-                if frame.get("progressive") or frame.get("arith") \
-                        or frame.get("lossless"):
+                if frame.get("arith") or frame.get("lossless"):
                     raise ValueError("4-component (CMYK) supported for "
-                                     "Huffman sequential frames only")
+                                     "Huffman DCT frames only")
                 # 4 components with no Adobe marker: assume plain CMYK
                 # (libjpeg's convention)
                 frame["adobe"] = (adobe_transform

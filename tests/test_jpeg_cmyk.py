@@ -82,9 +82,25 @@ def test_no_adobe_marker_defaults_to_cmyk():
     assert abs(int(out[8, 12, 0]) - 200) <= 2
 
 
-def test_four_component_progressive_rejected():
+def test_four_component_progressive_decodes():
+    """4-component PROGRESSIVE (SOF2 + APP14): the progressive driver
+    is component-generic, so CMYK rides the same accumulation path and
+    finishes through the Adobe color conversion."""
+    from ifeatureomega_cli_spark.operators.jpeg import (
+        encode_jpeg_progressive)
+
+    img = _flat([200, 150, 100, 128])
+    out = decode_jpeg(encode_jpeg_progressive(img, cmyk=True))
+    assert out.shape == (16, 24, 3)
+    center = out[8, 12].astype(int)
+    assert abs(center[0] - 100) <= 3       # 200*128/255
+    assert abs(center[1] - 75) <= 3
+    assert abs(center[2] - 50) <= 3
+
+
+def test_four_component_arithmetic_rejected():
     payload = bytearray(encode_jpeg_adobe(_flat([10, 20, 30, 255])))
     i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC2                  # relabel SOF0 -> progressive
-    with pytest.raises(ValueError, match="CMYK|component count"):
+    payload[i + 1] = 0xC9                  # relabel SOF0 -> arith seq
+    with pytest.raises(ValueError, match="component count"):
         decode_jpeg(bytes(payload))
