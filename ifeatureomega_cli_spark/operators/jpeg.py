@@ -21,9 +21,9 @@ HIERARCHICAL (DHP, Annex J: EXP reference expansion + differential
 SOF5/SOF7 frames) and Adobe 4-component CMYK/YCCK streams, sequential AND progressive
 (APP14 transform, inverted-ink multiply to RGB).  The full T.81
 decode surface is covered; the remaining refusals are 4-component
-arithmetic/lossless streams and non-Huffman/progressive frames
-inside a hierarchy (ValueError — the media dispatcher falls back to
-the stub).
+LOSSLESS streams and non-Huffman/progressive frames inside a
+hierarchy (ValueError — the media dispatcher falls back to the
+stub).
 
 Design notes:
 
@@ -943,9 +943,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     2-16 bit, returns uint8/uint16 without color transform);
     hierarchical (DHP) progressions per Annex J (see
     _decode_hierarchical); Adobe 4-component CMYK/YCCK streams
-    (sequential + progressive) convert to RGB (see _adobe_to_rgb).
-    Raises ValueError for 4-component arithmetic/lossless streams and
-    differential frames outside a hierarchy."""
+    (sequential, progressive AND arithmetic) convert to RGB (see
+    _adobe_to_rgb).  Raises ValueError for 4-component lossless
+    streams and differential frames outside a hierarchy."""
     d = payload
     if len(d) < 4 or d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -1026,7 +1026,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):  # 4: Adobe CMYK/YCCK (round 8)
                 raise ValueError(f"unsupported component count {nc}")
             comps = []
             for ci in range(nc):
@@ -1073,9 +1073,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             if len(frame["comps"]) == 4:
-                if frame.get("arith") or frame.get("lossless"):
+                if frame.get("lossless"):
                     raise ValueError("4-component (CMYK) supported for "
-                                     "Huffman DCT frames only")
+                                     "DCT frames only")
                 # 4 components with no Adobe marker: assume plain CMYK
                 # (libjpeg's convention)
                 frame["adobe"] = (adobe_transform

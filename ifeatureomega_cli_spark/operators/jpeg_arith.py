@@ -762,17 +762,26 @@ def _encode_ac(enc, stats, fixed, zz, kx, se=63):
 
 
 def encode_jpeg_arith(rgb: np.ndarray, subsample: bool = False,
-                      restart_interval: int = 0) -> bytes:
+                      restart_interval: int = 0,
+                      cmyk: bool = False) -> bytes:
     """Sequential arithmetic-coded JFIF writer (SOF9 + DAC), the
     hermetic twin: shares the DCT/quantization front end with
     jpeg.encode_jpeg so the cross-codec differential oracle applies —
-    identical quantized coefficients, arithmetic entropy coding."""
+    identical quantized coefficients, arithmetic entropy coding.
+    cmyk=True (round 8): `rgb` is (H, W, 4) STORED Adobe CMYK, coded
+    as-is with an APP14 transform-0 marker."""
     from ifeatureomega_cli_spark.operators.jpeg import (
         _DCT, _QUANT_CHROMA, _QUANT_LUMA, _ZIGZAG)
 
     gray = rgb.ndim == 2
     h, w = rgb.shape[:2]
-    if gray:
+    if cmyk:
+        if rgb.ndim != 3 or rgb.shape[2] != 4:
+            raise ValueError("cmyk=True expects (H, W, 4) stored values")
+        f = rgb.astype(np.float64)
+        comps = [f[:, :, ci] for ci in range(4)]
+        subsample = False
+    elif gray:
         comps = [rgb.astype(np.float64)]
         subsample = False
     else:
@@ -800,7 +809,10 @@ def encode_jpeg_arith(rgb: np.ndarray, subsample: bool = False,
             + body
 
     out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if cmyk:
+        out += seg(0xEE, b"Adobe\x00\x64\x00\x00\x00\x00\x00")
+    else:
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     qtabs = [_QUANT_LUMA] + ([] if gray else [_QUANT_CHROMA])
     for tid, q in enumerate(qtabs):
         out += seg(0xDB, bytes([tid]) + bytes(
