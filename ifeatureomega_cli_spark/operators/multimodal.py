@@ -562,7 +562,9 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         if kind == "image":
             w, h = 16 * (1 + i % 4) + (i % 3), 8 * (1 + i % 3)
             px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-            which = (i // 3) % 4  # rotate all four real image decoders
+            # rotate all real image decoders; the round-8 JPEG variants
+            # (lossless, hierarchical, CMYK) share the "jpeg" path
+            which = (i // 3) % 7
             if which == 0:
                 payload = encode_bmp(px)
                 meta = (w, h, 1, 0, "bmp")
@@ -576,6 +578,30 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 px = pal[rng.randint(0, 16, size=(h, w))]
                 payload = encode_gif(px, interlace=bool(i % 2))
                 meta = (w, h, 1, 0, "gif")
+            elif which == 4:
+                from ifeatureomega_cli_spark.operators.jpeg import (
+                    encode_jpeg_lossless)
+
+                payload = encode_jpeg_lossless(
+                    px.astype(np.uint16), predictor=1 + i % 7, bits=8)
+                meta = (w, h, 1, 0, "jpeg-lossless")
+            elif which == 5:
+                from ifeatureomega_cli_spark.operators.jpeg import (
+                    encode_jpeg_hierarchical)
+
+                payload = encode_jpeg_hierarchical(
+                    px.astype(np.uint16), levels=2, lossless=True,
+                    bits=8)
+                meta = (w, h, 1, 0, "jpeg-hier")
+            elif which == 6:
+                from ifeatureomega_cli_spark.operators.jpeg import (
+                    encode_jpeg_adobe)
+
+                cmyk = np.concatenate(
+                    [px, rng.randint(128, 256, size=(h, w, 1),
+                                     dtype=np.uint8)], axis=2)
+                payload = encode_jpeg_adobe(cmyk, ycck=bool(i % 2))
+                meta = (w, h, 1, 0, "jpeg-cmyk")
             else:
                 from ifeatureomega_cli_spark.operators.jpeg import (
                     encode_jpeg)
