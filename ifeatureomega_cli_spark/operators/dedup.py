@@ -351,22 +351,39 @@ def ngram_jaccard_pairs(
     with a billion-shingle vocabulary the birthday bound is ~(10⁹)²/2⁶⁵ ≈
     3·10⁻²; per PAIR the effect needs the collision to hit two docs'
     shingle sets asymmetrically, and the result remains deterministic for
-    a fixed corpus.  Set False for the letter-exact string-keyed plan."""
+    a fixed corpus.  Set False for the letter-exact string-keyed plan.
+
+    The shingle table is consumed by four downstream subtrees (stop-
+    shingle census, anti join, per-doc sizes, both sides of the self
+    join); Catalyst does not reuse the exchange across them, so without
+    materialization the Arrow shingling UDF executes 8× per query
+    (round-8 plan audit — 2.2× end-to-end).  Batch inputs therefore
+    pin the hashed and the anti-joined shingle tables with
+    `localCheckpoint(eager=False)` — ContextCleaner reclaims the blocks
+    when the result DataFrame is dropped, so repeated calls do not leak
+    cache.  On a real cluster localCheckpoint trades executor-loss
+    recovery for speed (lineage is truncated); streams skip it
+    (unsupported on streaming plans)."""
     from pyspark.sql.types import StringType
 
     @pandas_udf(ArrayType(StringType()))
     def _sh(texts: pd.Series) -> pd.Series:
         return pd.Series([sorted(_py_shingles(t or "", shingle_n)) for t in texts])
 
+    can_ckpt = not df.isStreaming
     sh = _parallelize(df).select(
         F.col(id_col), F.explode(_sh(F.col(text_col))).alias("shingle")
     )
     if hash_shingles:
         sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
+    if can_ckpt:
+        sh = sh.localCheckpoint(eager=False)
     # stop-shingles (the OVER-limit set) are the small side — broadcast them
     # as an anti join; the surviving vocabulary grows with the corpus.
     stop = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_freq)
     sh = sh.join(F.broadcast(stop.select("shingle")), "shingle", "left_anti")
+    if can_ckpt:
+        sh = sh.localCheckpoint(eager=False)
     # |A| counted on the SURVIVING shingles (stop-shingles excluded from
     # numerator and denominator alike — keeps jaccard ≤ 1 and matches the
     # documented oracle semantics)
