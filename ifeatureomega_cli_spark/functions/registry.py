@@ -884,14 +884,20 @@ def _mk_ctdc(cfg, L):
 
     def kern(r: Ragged):
         rs = r.strip(PGAP)
-        blocks = []
+        rid = rs.row_ids()
+        den = np.maximum(rs.lengths, 1).astype(np.float64)[:, None]
+        out = np.empty((rs.n, 13 * 3))
         for p in range(13):
-            c = K.unigram_counts(rs.remap(groups[p]), 3, normalize=True)
+            # direct segmented bincount on the remapped ids — no per-property
+            # Ragged twin, one shared row-id array for all 13 properties
+            g = groups[p][rs.flat]
+            c = np.bincount(rid * 3 + g, minlength=rs.n * 3).reshape(rs.n, 3)
+            block = out[:, p * 3:(p + 1) * 3]
+            np.divide(c, den, out=block)
             # reference computes c3 = 1 - c1 - c2 (ref :1844); with a full
             # partition of the alphabet that equals the direct frequency
-            c[:, 2] = 1.0 - c[:, 0] - c[:, 1]
-            blocks.append(c)
-        return np.concatenate(blocks, axis=1)
+            block[:, 2] = 1.0 - block[:, 0] - block[:, 1]
+        return out
 
     return kern
 
