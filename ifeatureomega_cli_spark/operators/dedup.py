@@ -249,41 +249,59 @@ def minhash_signatures(
     happens inside the UDF (Python string ops beat interpreted JVM lambda
     chains by ~20× here).
 
-    digest="fast" (default): pd.util.hash_array shingle hashing — the
-    throughput path.  digest="md5": md5_number_lower-compatible hashing mod
-    the 31-bit Mersenne prime — ~2× slower but recomputable in ANSI-ish SQL
-    (the DuckDB oracle derives the identical signatures), the same
-    portability trade as textstats.fingerprint's md5 variant."""
+    digest="fast" (default): fully vectorized shingle hashing (round 9 —
+    the `_word_hash_shingles` word-dictionary hash+mix front-end shared
+    with ngram_jaccard_pairs; only each batch's unique words become Python
+    objects) through an Arrow-native UDF with zero-copy signature output.
+    The hash function differs from round 8's shingle-string
+    pd.util.hash_array (both are deterministic 64-bit maps; minhash
+    semantics depend only on hash agreement between equal shingle sets).
+    digest="md5": md5_number_lower-compatible hashing mod the 31-bit
+    Mersenne prime — slower but recomputable in ANSI-ish SQL value-for-
+    value (the DuckDB oracle derives the identical signatures), so that
+    path keeps the exact per-shingle-string md5 loop."""
     _check_digest(digest)
     p = _P31 if digest == "md5" else _MERSENNE
     a, b = minhash_params(n_hashes, seed, digest)
 
-    @pandas_udf(ArrayType(LongType()))
-    def _sig(texts: pd.Series) -> pd.Series:
-        # batch-vectorized: hash every shingle of every doc in one C pass
-        # (pandas hash_array is deterministic for a fixed hash_key), then
-        # one (S, n_hashes) modular transform + segmented min per doc
-        all_sh: list[str] = []
-        counts = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            sh = _py_shingles(t or "", shingle_n)
-            counts[i] = len(sh)
-            all_sh.extend(sh)
-        if not all_sh:
-            return pd.Series([[p] * n_hashes] * len(texts))
-        if digest == "md5":
+    if digest == "md5":
+        @pandas_udf(ArrayType(LongType()))
+        def _sig(texts: pd.Series) -> pd.Series:
+            all_sh: list[str] = []
+            counts = np.zeros(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts):
+                sh = _py_shingles(t or "", shingle_n)
+                counts[i] = len(sh)
+                all_sh.extend(sh)
+            if not all_sh:
+                return pd.Series([[p] * n_hashes] * len(texts))
             base = (_md5_lower64(all_sh) % np.uint64(p)).astype(np.int64)
-        else:
-            base = (pd.util.hash_array(np.array(all_sh, dtype=object))
-                    .view(np.int64) & 0x7FFFFFFFFFFFFFFF) % _MERSENNE
-        sigm = (a[None, :] * base[:, None] + b[None, :]) % p
-        offsets = np.concatenate(([0], np.cumsum(counts)))
-        out = np.full((len(texts), n_hashes), p, dtype=np.int64)
-        nz = counts > 0
-        red = np.minimum.reduceat(sigm, offsets[:-1][nz], axis=0)
-        # reduceat with repeated indices needs the nz filter above
-        out[nz] = red[: nz.sum()] if red.shape[0] == nz.sum() else red
-        return pd.Series(list(out))
+            sigm = (a[None, :] * base[:, None] + b[None, :]) % p
+            offsets = np.concatenate(([0], np.cumsum(counts)))
+            out = np.full((len(texts), n_hashes), p, dtype=np.int64)
+            nz = counts > 0
+            red = np.minimum.reduceat(sigm, offsets[:-1][nz], axis=0)
+            # reduceat with repeated indices needs the nz filter above
+            out[nz] = red[: nz.sum()] if red.shape[0] == nz.sum() else red
+            return pd.Series(list(out))
+    else:
+        from pyspark.sql.functions import arrow_udf
+
+        @arrow_udf(ArrayType(LongType()))
+        def _sig(texts: pa.Array) -> pa.Array:
+            flat, counts = _word_hash_shingles(texts, shingle_n)
+            n = len(counts)
+            out = np.full((n, n_hashes), p, dtype=np.int64)
+            if len(flat):
+                base = (flat.view(np.int64)
+                        & 0x7FFFFFFFFFFFFFFF) % _MERSENNE
+                sigm = (a[None, :] * base[:, None] + b[None, :]) % p
+                offsets = np.concatenate(([0], np.cumsum(counts)))
+                nz = counts > 0
+                red = np.minimum.reduceat(sigm, offsets[:-1][nz], axis=0)
+                out[nz] = red[: nz.sum()] if red.shape[0] == nz.sum() else red
+            loff = pa.array(np.arange(n + 1, dtype=np.int32) * n_hashes)
+            return pa.ListArray.from_arrays(loff, pa.array(out.ravel()))
 
     base = _parallelize(df) if parallelize else df
     return base.select(F.col(id_col), _sig(F.col(text_col)).alias("sig"))
@@ -826,38 +844,66 @@ def simhash_signatures(
 ) -> DataFrame:
     """SimHash over word shingles (weighted bit-vote), one UDF pass.
 
-    digest="fast" (default): 64-bit, pd.util.hash_array.  digest="md5":
-    60-bit (md5_number_lower >> 4 — the top bits would overflow a signed
-    BIGINT when packed, and 60 divides evenly into 4 × 15-bit bands) so a
-    SQL oracle recomputes the signature value-for-value."""
+    digest="fast" (default): 64-bit, round 9: vectorized word-dict
+    hash+mix shingles (`_word_hash_shingles`) + np.unpackbits bit voting
+    through an Arrow-native UDF — the hash differs from round 8's
+    shingle-string pd.util.hash_array (both deterministic; simhash
+    semantics depend only on hash agreement between equal shingle sets,
+    and any fixed 4-way band split preserves the ≤3-Hamming guarantee).
+    digest="md5": 60-bit (md5_number_lower >> 4 — the top bits would
+    overflow a signed BIGINT when packed, and 60 divides evenly into
+    4 × 15-bit bands) so a SQL oracle recomputes the signature
+    value-for-value — that path keeps the exact per-string md5 loop."""
     _check_digest(digest)
     n_bits = 60 if digest == "md5" else 64
 
-    @pandas_udf(LongType())
-    def _sim(texts: pd.Series) -> pd.Series:
-        all_sh: list[str] = []
-        counts = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            sh = _py_shingles(t or "", shingle_n)
-            counts[i] = len(sh)
-            all_sh.extend(sh)
-        out = np.zeros(len(texts), dtype=np.int64)
-        if not all_sh:
-            return pd.Series(out)
-        if digest == "md5":
+    if digest == "md5":
+        @pandas_udf(LongType())
+        def _sim(texts: pd.Series) -> pd.Series:
+            all_sh: list[str] = []
+            counts = np.zeros(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts):
+                sh = _py_shingles(t or "", shingle_n)
+                counts[i] = len(sh)
+                all_sh.extend(sh)
+            out = np.zeros(len(texts), dtype=np.int64)
+            if not all_sh:
+                return pd.Series(out)
             hs = (_md5_lower64(all_sh) >> np.uint64(4)).astype(np.int64)
-        else:
-            hs = pd.util.hash_array(
-                np.array(all_sh, dtype=object)).view(np.int64)
-        bits = ((hs[:, None] >> np.arange(n_bits)[None, :]) & 1) * 2 - 1
-        offsets = np.concatenate(([0], np.cumsum(counts)))
-        nz = counts > 0
-        votes = np.add.reduceat(bits, offsets[:-1][nz], axis=0)
-        packed = ((votes > 0).astype(np.uint64)
-                  << np.arange(n_bits, dtype=np.uint64)[None, :]).sum(
-            axis=1, dtype=np.uint64).astype(np.int64)
-        out[nz] = packed
-        return pd.Series(out)
+            bits = ((hs[:, None] >> np.arange(n_bits)[None, :]) & 1) * 2 - 1
+            offsets = np.concatenate(([0], np.cumsum(counts)))
+            nz = counts > 0
+            votes = np.add.reduceat(bits, offsets[:-1][nz], axis=0)
+            packed = ((votes > 0).astype(np.uint64)
+                      << np.arange(n_bits, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64).astype(np.int64)
+            out[nz] = packed
+            return pd.Series(out)
+    else:
+        from pyspark.sql.functions import arrow_udf
+
+        @arrow_udf(LongType())
+        def _sim(texts: pa.Array) -> pa.Array:
+            flat, counts = _word_hash_shingles(texts, shingle_n)
+            n = len(counts)
+            out = np.zeros(n, dtype=np.int64)
+            if len(flat):
+                # bit k of each hash, LSB-first (unpackbits over the
+                # little-endian byte view == (h >> k) & 1)
+                bits = np.unpackbits(
+                    flat.view(np.uint8).reshape(-1, 8), axis=1,
+                    bitorder="little").astype(np.int32)
+                offsets = np.concatenate(([0], np.cumsum(counts)))
+                nz = counts > 0
+                ones = np.add.reduceat(bits, offsets[:-1][nz], axis=0)
+                ones = ones[: int(nz.sum())] if ones.shape[0] != int(
+                    nz.sum()) else ones
+                scnt = counts[nz][:, None]
+                packed = (((2 * ones > scnt)).astype(np.uint64)
+                          << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                    axis=1, dtype=np.uint64).astype(np.int64)
+                out[nz] = packed
+            return pa.array(out)
 
     base = _parallelize(df) if parallelize else df
     return base.select(F.col(id_col), _sim(F.col(text_col)).alias("simhash"))
@@ -1044,22 +1090,45 @@ def embedding_dup_pairs_exact(
     blocks = (base.groupBy(F.pmod(F.xxhash64("__id", F.lit(2)), F.lit(nb))
                    .alias("__blk")).agg(packed.alias("__brows")))
 
+    def _unpack(col, i):
+        """Tile side i of an Arrow ListArray of struct<__id, __v> →
+        (ids int64[k], matrix float64[k, d]) with NO per-row Python: the
+        nested list buffers are re-sliced directly (guide §4.2)."""
+        rows = col[i].values  # ListScalar → StructArray of this tile side
+        ids = np.asarray(rows.field("__id").to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        vecs = rows.field("__v")
+        voff = vecs.offsets.to_numpy()
+        flat = np.asarray(vecs.values.to_numpy(zero_copy_only=False)
+                          [voff[0]:voff[-1]], dtype=np.float64)
+        lens = np.diff(voff)
+        if len(lens) == 0:
+            return ids, np.zeros((0, 0))
+        d = lens[0]
+        if not (lens == d).all():
+            raise ValueError("embedding_dup_pairs_exact: ragged vectors")
+        return ids, flat.reshape(len(lens), int(d))
+
     def gen(batches):
-        for pdf in batches:
-            for crows, brows in zip(pdf["__crows"], pdf["__brows"]):
-                cid = np.array([r["__id"] for r in crows], dtype=np.int64)
-                bid = np.array([r["__id"] for r in brows], dtype=np.int64)
-                Cm = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in crows])
-                Bm = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in brows])
+        for b in batches:
+            ccol = b.column(b.schema.get_field_index("__crows"))
+            bcol = b.column(b.schema.get_field_index("__brows"))
+            for i in range(b.num_rows):
+                cid, Cm = _unpack(ccol, i)
+                bid, Bm = _unpack(bcol, i)
+                if Cm.size == 0 or Bm.size == 0:
+                    continue
                 Cm = Cm / (np.linalg.norm(Cm, axis=1, keepdims=True) + 1e-300)
                 Bm = Bm / (np.linalg.norm(Bm, axis=1, keepdims=True) + 1e-300)
                 sims = Cm @ Bm.T
                 hit = (sims >= threshold) & (cid[:, None] < bid[None, :])
                 ai, bi = np.nonzero(hit)
-                yield pd.DataFrame({"id_a": cid[ai], "id_b": bid[bi],
-                                    "cosine": sims[ai, bi]})
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(cid[ai]), pa.array(bid[bi]),
+                     pa.array(sims[ai, bi])],
+                    ["id_a", "id_b", "cosine"])
 
-    return chunks.crossJoin(blocks).mapInPandas(
+    return chunks.crossJoin(blocks).mapInArrow(
         gen, schema="id_a long, id_b long, cosine double")
 
 
