@@ -559,11 +559,16 @@ class MolProps:
         cached = self._amask_cache.get("\0arrays")
         if cached is None:
             border = np.asarray(self.border, dtype=np.float64)
-            val = np.zeros(self.n, dtype=np.int64)
+            # accumulate RAW float bond orders and round the per-atom sum
+            # once — mirroring the scalar evaluator's int(round(tot)):
+            # rounding per bond would give an aromatic atom's two
+            # 1.5-order bonds 2+2=4 instead of round(3.0)=3
+            valf = np.zeros(self.n, dtype=np.float64)
             if len(self.mol.bonds):
                 ab = np.array([(b.a, b.b) for b in self.mol.bonds])
-                np.add.at(val, ab[:, 0], np.rint(border).astype(np.int64))
-                np.add.at(val, ab[:, 1], np.rint(border).astype(np.int64))
+                np.add.at(valf, ab[:, 0], border)
+                np.add.at(valf, ab[:, 1], border)
+            val = np.rint(valf).astype(np.int64)
             hc = np.asarray(self.hcount, dtype=np.int64)
             cached = {
                 "anum": np.asarray(self.anum, dtype=np.int64),

@@ -1199,10 +1199,20 @@ def _decode_lossless(d, pos, frame, scan, htabs, predictor, pt,
     emitted as-is (grayscale or RGB-like planes), per common practice
     (the standard defines none for SOF3).
 
-    Scope: single-component scans at any sampling, or interleaved
-    multi-component scans with uniform 1x1 sampling (what real
-    lossless writers emit); other layouts raise ValueError.
+    Scope: single-component frames at any sampling, or one interleaved
+    scan covering every component with uniform 1x1 sampling (what real
+    lossless writers emit); other layouts raise ValueError.  In
+    particular a multi-component frame written as one scan PER component
+    is refused up front (ADVICE r8: decode_jpeg returns after the first
+    SOS, so silently decoding only the first component's plane would
+    yield a wrong-shaped image).
     """
+    frame_ids = {c["id"] for c in frame["comps"]}
+    if set(scan) != frame_ids:
+        raise ValueError(
+            f"lossless scan covers components {sorted(scan)} of frame "
+            f"{sorted(frame_ids)} — non-interleaved multi-scan SOF3 is "
+            "outside the decoder's documented scope")
     h, w = frame["h"], frame["w"]
     prec = frame["prec"]
     planes, _ = _lossless_planes(d, pos, frame, scan, htabs, predictor,
@@ -1364,6 +1374,14 @@ def _decode_hierarchical(d, pos, qtabs, htabs) -> np.ndarray:
     h = int.from_bytes(body[1:3], "big")
     w = int.from_bytes(body[3:5], "big")
     nc = body[5]
+    if nc == 4:
+        # ADVICE r8 (low): this driver does not parse APP14, so a
+        # 4-component hierarchy would silently fall back to Adobe
+        # transform 0 and decode YCCK to wrong colors — refuse instead
+        # (the documented scope is 1- and 3-component progressions)
+        raise ValueError(
+            "hierarchical: 4-component (CMYK/YCCK) progressions are "
+            "outside the decoder's scope — no APP14 transform parsing")
     dhp_comps = []
     for ci in range(nc):
         cid, samp, qid = body[6 + 3 * ci: 9 + 3 * ci]

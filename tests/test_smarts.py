@@ -249,3 +249,27 @@ def test_compiled_masks_match_scalar_reference():
                 got = [(bits >> k) & 1 == 1
                        for k in range(len(mp.border))]
                 assert got == want, (patt, bk)
+
+
+def test_compiled_val_primitive_aromatic(pytestconfig=None):
+    """ADVICE r8 (high): the compiled [v3]/[v4] masks must round the SUM of
+    raw bond orders per atom, not each (possibly aromatic 1.5) order before
+    summing — benzene carbons are v4 (ring 1.5+1.5 → 3, +1 H), pyridine N
+    is v3; the MACCS table itself uses no v primitive, so this pins the
+    bitmask path directly against the scalar ladder."""
+    from ifeatureomega_cli_spark.functions.smarts import (
+        MolProps, _eval_atom)
+
+    for smi, patt, expect in [
+        ("c1ccccc1", "[v4]", [True] * 6),    # benzene C: 3 + 1 H
+        ("c1ccccc1", "[v3]", [False] * 6),
+        ("c1ccncc1", "[v3]", [False, False, False, True, False, False]),
+        ("CC=C", "[v4]", [True, True, True]),
+    ]:
+        q = parse_smarts(patt)
+        mp = MolProps(parse_smiles(smi))
+        key, fn = q.atom_tests[0]
+        bits = mp.aint(key, fn)
+        got = [(bits >> i) & 1 == 1 for i in range(mp.n)]
+        scalar = [_eval_atom(mp, i, q.atom_exprs[0]) for i in range(mp.n)]
+        assert got == scalar == expect, (smi, patt, got, scalar)
