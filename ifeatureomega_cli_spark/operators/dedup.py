@@ -6,8 +6,10 @@ All operators are pure DataFrame pipelines designed for the 100 TB case:
 * minhash LSH: shingle → minhash signature (one Arrow-vectorized UDF) →
   band buckets → bucket join restricted to same-bucket candidates (no n²);
 * simhash: 64-bit signature, banded for candidate generation;
-* n-gram Jaccard: shingle explode + self-join on shingle with per-pair
-  intersection counts (only docs sharing ≥1 shingle ever meet);
+* n-gram Jaccard: per-doc distinct shingle-hash arrays, then either a
+  broadcast-inverted-index kernel (bounded corpora — no pair exchange at
+  all) or a shingle-keyed groupBy + vectorized pair expansion (only docs
+  sharing ≥1 shingle ever meet);
 * embedding cosine: random-hyperplane LSH buckets then in-bucket verify.
 
 Every candidate-pair generator keys its shuffle on the bucket id, so skewed
