@@ -1130,7 +1130,13 @@ def embedding_dup_pairs_exact(
                      pa.array(sims[ai, bi])],
                     ["id_a", "id_b", "cosine"])
 
-    return chunks.crossJoin(blocks).mapInArrow(
+    # the tile table is BYTES-small (nb² rows of packed groups) but each row
+    # is a full matmul tile — AQE's coalescing sees only the bytes and runs
+    # the kernel on a handful of tasks (measured: 25 tiles on 4 tasks at
+    # sf1).  An explicit round-robin width (respected by AQE) spreads one
+    # tile per task; width from the session conf, not a local constant.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return chunks.crossJoin(blocks).repartition(n_part).mapInArrow(
         gen, schema="id_a long, id_b long, cosine double")
 
 
